@@ -1,0 +1,117 @@
+"""Exact brute-force k-NN — Phase 1 end-to-end slice and the ground-truth
+oracle for the IVF+RaBitQ approximate path (SURVEY.md §7 phase 1).
+
+Two implementations:
+
+* `knn_exact` — pure Column expressions (J1 broadcast cross join + D1 fold +
+  A1 window top-k). Deterministic double-precision math, whole-stage codegen,
+  hash-checkable against an external oracle. Use for correctness and for
+  moderate |queries| x |base|.
+
+* `knn_exact_fast` — the scale path: broadcast the query block to every
+  executor as a numpy matrix and compute all pairwise distances per Arrow
+  batch with one BLAS matmul (||b||^2 - 2 b.q^T + ||q||^2), keeping only the
+  per-batch top-k before the shuffle. This is the Spark analogue of the
+  reference's SIMD bulk kernels (src/simd.rs) and scales as
+  O(|base| / n_partitions) memory per task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rabitq_spark.functions.vector import l2_squared
+from rabitq_spark.operators.topk import topk_per_group
+
+RESULT_SCHEMA = (
+    "query_id bigint, neighbor_id bigint, dist double, rank int"
+)
+
+
+def knn_exact(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    base_id: str = "id",
+    base_vec: str = "vec",
+) -> DataFrame:
+    """Exact top-k by squared L2, ties broken by neighbor id (ascending).
+
+    Plan shape: BroadcastNestedLoopJoin(queries) -> project(dist) ->
+    WindowGroupLimit(rank<=k). The query side is broadcast — at 100 TB the
+    base side never moves, only the (small) query batch does.
+    """
+    pairs = base.crossJoin(F.broadcast(queries))
+    scored = pairs.select(
+        F.col(query_id).alias("query_id"),
+        F.col(base_id).alias("neighbor_id"),
+        l2_squared(F.col(query_vec), F.col(base_vec)).alias("dist"),
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("dist").asc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "dist", "rank")
+
+
+def knn_exact_fast(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    base_id: str = "id",
+    base_vec: str = "vec",
+) -> DataFrame:
+    """BLAS-backed exact top-k: per-partition matmul + local top-k, then a
+    global top-k per query. Map-side combine keeps the shuffle at
+    O(|queries| * k * n_partitions) rows regardless of base size."""
+    spark = queries.sparkSession
+    qpd = queries.select(query_id, query_vec).toPandas()
+    q_ids = np.asarray(qpd[query_id].values, dtype=np.int64)
+    q_mat = np.ascontiguousarray(np.vstack(qpd[query_vec].values).astype(np.float64))
+    q_sq = (q_mat * q_mat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_sq))
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, sq_b = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = np.asarray(pdf[base_id].values, dtype=np.int64)
+            b_mat = np.ascontiguousarray(np.vstack(pdf[base_vec].values).astype(np.float64))
+            b_sq = (b_mat * b_mat).sum(axis=1)
+            # dists[i, j] = ||q_i - b_j||^2, computed as one GEMM
+            dists = sq_b[:, None] + b_sq[None, :] - 2.0 * (mat_b @ b_mat.T)
+            np.maximum(dists, 0.0, out=dists)
+            kk = min(k, dists.shape[1])
+            part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(dists.shape[0]), kk)
+            cols = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_b[rows],
+                    "neighbor_id": b_ids[cols],
+                    "dist": dists[rows, cols],
+                    "rank": 0,
+                }
+            )
+
+    local = base.select(base_id, base_vec).mapInPandas(score_partition, RESULT_SCHEMA)
+    return (
+        topk_per_group(
+            local.drop("rank"),
+            ["query_id"],
+            [F.col("dist").asc(), F.col("neighbor_id").asc()],
+            k,
+        )
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
