@@ -32,9 +32,9 @@ class RaBitQConfig:
     theta_log_dim: int = 4
     default_x_dot_product: float = 0.8
     n_clusters: int = 16
-    nprobe: int = 4
+    nprobe: int = 8
     topk: int = 10
-    overfetch: int = 4
+    overfetch: int = 8
     seed: int = 42
 
     @property

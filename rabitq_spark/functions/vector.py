@@ -18,7 +18,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _to_double(arr: Column) -> Column:
+def _to_double(arr: Column | str) -> Column:
+    if isinstance(arr, str):
+        arr = F.col(arr)
     return arr.cast("array<double>")
 
 
@@ -87,9 +89,11 @@ def sign_binarize_packed(arr: Column, dim: int) -> Column:
         indexed = F.zip_with(
             chunk,
             F.sequence(F.lit(0), F.lit(63)),
-            lambda x, i: F.when(x > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
-                F.lit(0).cast("bigint")
-            ),
+            # call_function: the SQL shiftleft takes a Column shift amount
+            # (the Python wrapper artificially requires an int literal)
+            lambda x, i: F.when(
+                x > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint")),
         )
         words.append(F.aggregate(indexed, F.lit(0).cast("bigint"), lambda s, v: s.bitwiseOR(v)))
     return F.array(*words)

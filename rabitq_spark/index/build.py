@@ -1,0 +1,181 @@
+"""IVF + RaBitQ index construction — the training pipeline (SURVEY.md §3
+entry point 2; reference RaBitQ::from_path, src/rabitq.rs:158-265).
+
+Spark shape:
+  T1  read base Parquet, zero-pad to dim % 64 == 0
+  T2  centroids via MLlib KMeans (replaces the external faiss script,
+      scripts/cluster.py) — trained on a sample at scale
+  T3  one mapInPandas pass over the base computing, per row, in float32
+      (matching reference numerics): nearest centroid, residual, packed sign
+      codes, and the Factor quadruple (src/rabitq.rs:199-229)
+  T4  the result is the index DataFrame, partitioned by cluster_id
+
+The per-row math is a handful of BLAS calls per Arrow batch — the Spark
+analogue of the reference's SIMD loops. Rotation matrix P and projected
+centroids are broadcast once; nothing driver-sized scales with n.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rabitq_spark._dist import ensure_package_on_executors
+from rabitq_spark.config import RaBitQConfig
+from rabitq_spark.index.model import RaBitQModel
+
+INDEX_SCHEMA = (
+    "cluster_id int, orig_id bigint, code array<bigint>, "
+    "factor_ip float, factor_ppc float, error_bound float, center_dist_sq float"
+)
+
+
+def gen_rotation(dim_pad: int, seed: int) -> np.ndarray:
+    """Random orthogonal matrix: QR of a standard Gaussian
+    (gen_random_qr_orthogonal, src/utils.rs:16-20). Seeded → deterministic."""
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.standard_normal((dim_pad, dim_pad)))
+    return q.astype(np.float32)
+
+
+def gen_bias(dim_pad: int, seed: int) -> np.ndarray:
+    """U(0,1) dither bias (gen_random_bias, src/utils.rs:37-41)."""
+    rng = np.random.default_rng(seed + 1)
+    return rng.random(dim_pad, dtype=np.float32)
+
+
+def pack_signs(mat: np.ndarray) -> np.ndarray:
+    """Pack sign bits (v > 0) of each row into little-endian u64 words —
+    vector_binarize_u64 (src/utils.rs:53-61): bit i of word i//64 set iff
+    v[i] > 0. Returns int64 view (bit pattern preserved for Spark BIGINT)."""
+    bits = (mat > 0).astype(np.uint8)
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    return packed.view(np.uint64).astype(np.int64, copy=False)
+
+
+def _kmeans_centroids(
+    base: DataFrame, vec_col: str, k: int, seed: int, sample_fraction: float | None
+) -> np.ndarray:
+    """Coarse centroids with MLlib KMeans on the raw (padded) vectors.
+
+    Replaces scripts/cluster.py (faiss). Assignments are computed later in
+    projected space, which is equivalent since P is orthogonal. At 100 TB,
+    train on a sample (reference does the same via reservoir sampling,
+    scripts/cluster.py:10-19); the transform pass still covers every row.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = base.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=k, seed=seed, maxIter=25, initMode="k-means||").fit(df)
+    centers = [np.asarray(c) for c in model.clusterCenters()]
+    return np.vstack(centers).astype(np.float32)
+
+
+def build_index(
+    base: DataFrame,
+    config: RaBitQConfig,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    dim: int | None = None,
+    centroids: np.ndarray | None = None,
+    kmeans_sample_fraction: float | None = None,
+) -> RaBitQModel:
+    """Train the IVF+RaBitQ index over `base` (id_col BIGINT, vec_col ARRAY<FLOAT>)."""
+    spark = base.sparkSession
+    ensure_package_on_executors(spark)
+    if dim is None:
+        dim = len(base.select(vec_col).first()[0])
+    dim_pad = ((dim + 63) // 64) * 64
+
+    base = base.select(F.col(id_col).alias("orig_id"), F.col(vec_col).alias("vec"))
+    if dim_pad != dim:
+        # P5 zero-padding (src/rabitq.rs:167-179)
+        base = base.withColumn(
+            "vec",
+            F.concat("vec", F.array_repeat(F.lit(0.0).cast("float"), dim_pad - dim)),
+        )
+
+    if centroids is None:
+        centroids = _kmeans_centroids(
+            base, "vec", config.n_clusters, config.seed, kmeans_sample_fraction
+        )
+    centroids = centroids.astype(np.float32)
+    if centroids.shape[1] != dim_pad:
+        pad = np.zeros((centroids.shape[0], dim_pad - centroids.shape[1]), np.float32)
+        centroids = np.hstack([centroids, pad])
+
+    rotation = gen_rotation(dim_pad, config.seed)
+    rand_bias = gen_bias(dim_pad, config.seed)
+    centroids_proj = (centroids @ rotation).astype(np.float32)
+
+    sc = spark.sparkContext
+    bc = sc.broadcast((rotation, centroids_proj))
+    epsilon = config.epsilon
+    default_dot = config.default_x_dot_product
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rot, cp = bc.value
+        cp_sq = (cp.astype(np.float32) ** 2).sum(axis=1)
+        dim_sqrt = np.float32(np.sqrt(np.float32(dim_pad)))
+        # error_base = 2ε/sqrt(dim-1)  (src/rabitq.rs:220)
+        error_base = np.float32(2.0 * epsilon / np.sqrt(dim_pad - 1.0))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.vstack(pdf["vec"].values).astype(np.float32)
+            xp = (x @ rot).astype(np.float32)  # T2 projection (src/rabitq.rs:188)
+            # D6 nearest centroid in projected space (src/utils.rs:261-277)
+            d2 = xp @ cp.T
+            d2 = (xp**2).sum(axis=1)[:, None] - 2.0 * d2 + cp_sq[None, :]
+            labels = d2.argmin(axis=1)
+            resid = xp - cp[labels]  # x_c_quantized (src/rabitq.rs:205)
+            center_dist_sq = (resid.astype(np.float32) ** 2).sum(axis=1)
+            x_c_dist = np.sqrt(center_dist_sq)
+            codes = pack_signs(resid)
+            # <r, sign(r)> = Σ|r| (sign is ±1; zeros contribute 0 either way)
+            abs_sum = np.abs(resid).sum(axis=1)
+            norm = x_c_dist * dim_sqrt
+            with np.errstate(divide="ignore", invalid="ignore"):
+                x_dot = np.where(
+                    np.isfinite(norm) & (norm > 0), abs_sum / norm, default_dot
+                ).astype(np.float32)
+            x_c_over_ip = np.where(x_dot != 0, x_c_dist / x_dot, np.inf).astype(np.float32)
+            # Factor quadruple (src/rabitq.rs:219-229)
+            error_bound = error_base * np.sqrt(
+                np.maximum(x_c_over_ip**2 - center_dist_sq, 0.0)
+            )
+            factor_ip = (-2.0 / dim_sqrt) * x_c_over_ip
+            # one_vec · sign(r) = (#pos) − (#neg) over the padded dim
+            n_pos = (resid > 0).sum(axis=1)
+            sign_sum = (2 * n_pos - resid.shape[1]).astype(np.float32)
+            factor_ppc = factor_ip * sign_sum
+            yield pd.DataFrame(
+                {
+                    "cluster_id": labels.astype(np.int32),
+                    "orig_id": pdf["orig_id"].values,
+                    "code": list(codes),
+                    "factor_ip": factor_ip.astype(np.float32),
+                    "factor_ppc": factor_ppc.astype(np.float32),
+                    "error_bound": error_bound.astype(np.float32),
+                    "center_dist_sq": center_dist_sq.astype(np.float32),
+                }
+            )
+
+    index_df = base.mapInPandas(transform, INDEX_SCHEMA)
+    return RaBitQModel(
+        config=config,
+        dim=dim,
+        dim_pad=dim_pad,
+        rotation=rotation,
+        rand_bias=rand_bias,
+        centroids_proj=centroids_proj,
+        index_df=index_df,
+        base_df=base,
+    )

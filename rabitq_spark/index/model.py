@@ -1,0 +1,94 @@
+"""RaBitQ index model: the Spark-shaped equivalent of the reference's
+`RaBitQ` struct (src/rabitq.rs:58-69).
+
+Big state lives in DataFrames (index codes+factors, base vectors); small
+state (rotation matrix, dither bias, projected centroids) is driver-held
+numpy, broadcast to executors — mirroring SURVEY.md §1.1's mapping.
+
+Persistence (S6/S7 analogue, src/rabitq.rs:84-156): a directory of
+  index/   Parquet, partitioned by cluster_id   (codes + factors + orig_id)
+  base/    Parquet                              (orig_id, vec  — unrotated, padded)
+  meta.json + arrays.npz                        (dim, config, P, bias, centroids)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from rabitq_spark.config import RaBitQConfig
+
+
+@dataclass
+class RaBitQModel:
+    config: RaBitQConfig
+    dim: int          # original dimension
+    dim_pad: int      # padded to multiple of 64 (src/rabitq.rs:167-179)
+    rotation: np.ndarray        # (dim_pad, dim_pad) orthogonal P
+    rand_bias: np.ndarray       # (dim_pad,) U(0,1) dither
+    centroids_proj: np.ndarray  # (k, dim_pad) — projected centroids C·P
+    index_df: DataFrame  # cluster_id, orig_id, code[], factor_ip, factor_ppc, error_bound, center_dist_sq
+    base_df: DataFrame   # orig_id, vec (original values, padded to dim_pad)
+
+    @property
+    def n_clusters(self) -> int:
+        return self.centroids_proj.shape[0]
+
+    @property
+    def n_words(self) -> int:
+        return self.dim_pad // 64
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Write index + base Parquet and the numpy/JSON sidecar.
+
+        The index is partitioned by cluster_id so a probe-filtered read
+        prunes partitions (the Spark analogue of the reference's CSR posting
+        ranges, src/rabitq.rs:240-252 — offsets become partition boundaries).
+        """
+        os.makedirs(path, exist_ok=True)
+        (
+            self.index_df.repartition("cluster_id")
+            .sortWithinPartitions("center_dist_sq")
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(f"{path}/index")
+        )
+        self.base_df.write.mode("overwrite").parquet(f"{path}/base")
+        np.savez(
+            f"{path}/arrays.npz",
+            rotation=self.rotation,
+            rand_bias=self.rand_bias,
+            centroids_proj=self.centroids_proj,
+        )
+        with open(f"{path}/meta.json", "w") as f:
+            json.dump(
+                {
+                    "dim": self.dim,
+                    "dim_pad": self.dim_pad,
+                    "config": self.config.__dict__,
+                    "format_version": 1,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> RaBitQModel:
+        with open(f"{path}/meta.json") as f:
+            meta = json.load(f)
+        arrays = np.load(f"{path}/arrays.npz")
+        return cls(
+            config=RaBitQConfig(**meta["config"]),
+            dim=meta["dim"],
+            dim_pad=meta["dim_pad"],
+            rotation=arrays["rotation"],
+            rand_bias=arrays["rand_bias"],
+            centroids_proj=arrays["centroids_proj"],
+            index_df=spark.read.parquet(f"{path}/index"),
+            base_df=spark.read.parquet(f"{path}/base"),
+        )

@@ -1,0 +1,219 @@
+"""Batch ANN search — the reference's 7-stage query lifecycle
+(src/rabitq.rs:267-333) as one DataFrame program (SURVEY.md §3).
+
+Stages:
+  1-4. query prep (pad, rotate, probe selection, per-(query,cluster)
+       residual quantization) — one mapInPandas over the query batch with
+       the rotation matrix + projected centroids broadcast. Emits the probe
+       table: (query_id, cluster_id, y_c_dist_sq, lower_bound, delta,
+       scalar_sum, qplanes).
+  5.   rough scoring — equi-join probes ⋈ index on cluster_id (probe side
+       broadcast; index side partition-pruned by the probed cluster set),
+       then the D5 estimator as a pure Column expression (whole-stage
+       codegen; src/rabitq.rs:336-367).
+  6.   top-R rough candidates per query (WindowGroupLimit) — the batch
+       substitute for the sequential heap threshold (src/rerank.rs:62-114).
+  7.   exact rerank: join base on orig_id, exact squared-L2 in double
+       precision, top-k per query.
+
+Scale notes: the only shuffles are the two window top-ks and (if the probe
+table outgrows broadcast) the cluster_id join. The index never moves; probes
+move to it. Cluster-size skew is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rabitq_spark._dist import ensure_package_on_executors
+from rabitq_spark.functions.vector import l2_squared, pad_to_multiple
+from rabitq_spark.index.model import RaBitQModel
+from rabitq_spark.operators.topk import topk_per_group
+
+PROBE_SCHEMA = (
+    "query_id bigint, cluster_id int, y_c_dist_sq float, lower_bound float, "
+    "delta float, scalar_sum float, qplanes array<bigint>"
+)
+
+
+def _prepare_probes(
+    model: RaBitQModel, queries: DataFrame, query_id: str, query_vec: str, nprobe: int
+) -> DataFrame:
+    """Stages 1-4: rotate queries, pick nprobe nearest centroids, quantize the
+    per-(query, centroid) residual into 4 bit-planes (P8/P9/P10,
+    src/rabitq.rs:304-317)."""
+    spark = queries.sparkSession
+    ensure_package_on_executors(spark)
+    cfg = model.config
+    dim, dim_pad = model.dim, model.dim_pad
+    theta_log_dim = cfg.theta_log_dim
+    scalar = np.float32(cfg.scalar)
+    bc = spark.sparkContext.broadcast(
+        (model.rotation, model.centroids_proj, model.rand_bias)
+    )
+
+    def prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rot, cp, bias = bc.value
+        cp_sq = (cp**2).sum(axis=1)
+        n_words = dim_pad // 64
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.vstack(pdf[query_vec].values).astype(np.float32)
+            if q.shape[1] < dim_pad:  # P5 query padding (src/rabitq.rs:276-280)
+                q = np.hstack(
+                    [q, np.zeros((q.shape[0], dim_pad - q.shape[1]), np.float32)]
+                )
+            yp = (q @ rot).astype(np.float32)  # stage 2 rotate
+            # stage 3: J1 distances to all centroids + top-nprobe
+            d2 = (yp**2).sum(axis=1)[:, None] - 2.0 * (yp @ cp.T) + cp_sq[None, :]
+            nb = min(nprobe, cp.shape[0])
+            probe_idx = np.argpartition(d2, nb - 1, axis=1)[:, :nb]
+            out_rows = []
+            for r in range(yp.shape[0]):
+                qid = pdf[query_id].values[r]
+                for c in probe_idx[r]:
+                    resid = yp[r] - cp[c]  # P10 residual
+                    lb, ub = np.float32(resid.min()), np.float32(resid.max())
+                    delta = np.float32((ub - lb) * scalar)
+                    mult = np.float32(0.0) if delta == 0 else np.float32(1.0) / delta
+                    # P9 scalar quantize with dither (src/utils.rs:194-209)
+                    qu = ((resid - lb) * mult + bias).astype(np.uint8)
+                    scalar_sum = np.float32(qu.sum())
+                    # P8 bit-plane packing (src/utils.rs:71-97), plane-major
+                    planes = np.empty((theta_log_dim, n_words), np.int64)
+                    for p in range(theta_log_dim):
+                        bits = ((qu >> p) & 1).astype(np.uint8)
+                        planes[p] = (
+                            np.packbits(bits, bitorder="little")
+                            .view(np.uint64)
+                            .astype(np.int64, copy=False)
+                        )
+                    out_rows.append(
+                        (
+                            qid,
+                            int(c),
+                            np.float32(max(d2[r, c], 0.0)),
+                            lb,
+                            delta,
+                            scalar_sum,
+                            planes.ravel(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "query_id",
+                    "cluster_id",
+                    "y_c_dist_sq",
+                    "lower_bound",
+                    "delta",
+                    "scalar_sum",
+                    "qplanes",
+                ],
+            )
+
+    return queries.select(
+        F.col(query_id).alias(query_id), F.col(query_vec).alias(query_vec)
+    ).mapInPandas(prep, PROBE_SCHEMA)
+
+
+def rough_distance_expr(theta_log_dim: int, n_words: int) -> F.Column:
+    """D5 rough-distance estimator as a Column expression
+    (src/rabitq.rs:336-367) — pure codegen, no Python.
+
+    rough = center_dist_sq + y_c_dist_sq + lower_bound·factor_ppc
+            + (2·asym_dot − scalar_sum)·factor_ip·delta
+            − error_bound·sqrt(y_c_dist_sq)
+    """
+    asym = F.lit(0).cast("bigint")
+    for p in range(theta_log_dim):
+        plane = F.slice(F.col("qplanes"), p * n_words + 1, n_words)
+        anded = F.zip_with(
+            F.col("code"), plane, lambda x, y: F.bit_count(x.bitwiseAND(y))
+        )
+        pop = F.aggregate(anded, F.lit(0), lambda s, v: s + v)
+        asym = asym + F.shiftleft(pop.cast("bigint"), p)
+    return (
+        F.col("center_dist_sq")
+        + F.col("y_c_dist_sq")
+        + F.col("lower_bound") * F.col("factor_ppc")
+        + (2.0 * asym.cast("double") - F.col("scalar_sum"))
+        * F.col("factor_ip")
+        * F.col("delta")
+        - F.col("error_bound") * F.sqrt(F.col("y_c_dist_sq"))
+    )
+
+
+def search(
+    model: RaBitQModel,
+    queries: DataFrame,
+    topk: int | None = None,
+    nprobe: int | None = None,
+    overfetch: int | None = None,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    prune_partitions: bool = True,
+) -> DataFrame:
+    """Batch top-k ANN: returns (query_id, neighbor_id, dist, rank).
+
+    dist is exact squared L2 in the original space (the reference reranks on
+    unrotated base columns — src/rerank.rs:85-90) computed as a deterministic
+    double-precision fold, so an exhaustive configuration (nprobe ≥ k,
+    overfetch ≥ n/topk) reproduces exact brute-force results bit-for-bit.
+    """
+    cfg = model.config
+    topk = topk or cfg.topk
+    nprobe = nprobe or cfg.nprobe
+    overfetch = overfetch or cfg.overfetch
+
+    probes = _prepare_probes(model, queries, query_id, query_vec, nprobe)
+
+    index = model.index_df
+    if prune_partitions and nprobe < model.n_clusters:
+        # Static partition pruning: the probed cluster set is tiny (≤ nq ×
+        # nprobe); pushing it into the scan as an IN-filter prunes Parquet
+        # partitions — the analogue of the reference's CSR offsets scan
+        # (src/rabitq.rs:348). For very large query batches, skip (all
+        # clusters probed anyway).
+        probed = [r.cluster_id for r in probes.select("cluster_id").distinct().collect()]
+        index = index.filter(F.col("cluster_id").isin(probed))
+
+    # Stage 5: J2 equi-join + D5 estimator. Probe side is small → broadcast.
+    cand = index.join(F.broadcast(probes), "cluster_id")
+    cand = cand.select(
+        "query_id",
+        "orig_id",
+        rough_distance_expr(cfg.theta_log_dim, model.n_words).alias("rough"),
+    )
+
+    # Stage 6: top-R rough per query (WindowGroupLimit ≥ Spark 3.5).
+    r = max(topk * overfetch, topk)
+    shortlist = topk_per_group(
+        cand, ["query_id"], [F.col("rough").asc(), F.col("orig_id").asc()], r
+    ).select("query_id", "orig_id")
+
+    # Stage 7: exact rerank on original vectors (J3 + D1 + final top-k).
+    # base_df is padded; pad the query the same way (zeros cancel in the
+    # difference, so dist equals the unpadded exact distance).
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        pad_to_multiple(F.col(query_vec), 64, model.dim).alias("__qvec"),
+    )
+    exact = (
+        shortlist.join(model.base_df, "orig_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("orig_id").alias("neighbor_id"),
+            l2_squared(F.col("__qvec"), F.col("vec")).alias("dist"),
+        )
+    )
+    return topk_per_group(
+        exact, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], topk
+    ).select("query_id", "neighbor_id", "dist", "rank")

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rabitq_spark._dist import ensure_package_on_executors
 from rabitq_spark.functions.vector import l2_squared
 from rabitq_spark.operators.topk import topk_per_group
 
@@ -75,6 +76,7 @@ def knn_exact_fast(
     global top-k per query. Map-side combine keeps the shuffle at
     O(|queries| * k * n_partitions) rows regardless of base size."""
     spark = queries.sparkSession
+    ensure_package_on_executors(spark)
     qpd = queries.select(query_id, query_vec).toPandas()
     q_ids = np.asarray(qpd[query_id].values, dtype=np.int64)
     q_mat = np.ascontiguousarray(np.vstack(qpd[query_vec].values).astype(np.float64))

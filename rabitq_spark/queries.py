@@ -128,16 +128,84 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # --------------------------------------------------------------------------
+# Q: IVF + RaBitQ index build + batch search (SURVEY §3, §7 phases 2-3).
+#
+# The exhaustive configuration (nprobe = n_clusters, unbounded overfetch)
+# reranks every candidate exactly, so the result equals brute-force k-NN
+# bit-for-bit — making the full train+search pipeline DuckDB-oracle-checkable
+# (the estimator/quantization path is still exercised: codes, factors, rough
+# scores and the top-R shortlist all run; the shortlist just keeps everything).
+
+_MODEL_CACHE: dict = {}
+
+
+def _get_model(spark: SparkSession, sf_dir: str):
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.index import build_index
+
+    key = sf_dir
+    if key not in _MODEL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        model = build_index(base, RaBitQConfig())
+        model.index_df = model.index_df.cache()
+        _MODEL_CACHE[key] = model
+    return _MODEL_CACHE[key]
+
+
+def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.index import search
+
+    model = _get_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate search at default nprobe/overfetch, reported as per-query
+    recall@k vs the exact oracle (A8, src/utils.rs:367-379). Not
+    SQL-expressible (depends on trained KMeans state) -> rows-only check."""
+    from rabitq_spark.index import search
+
+    model = _get_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    approx = search(model, queries, topk=_KNN_K)
+    exact = knn_exact(queries, base, _KNN_K)
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg((F.count(F.lit(1)) / _KNN_K).alias("recall"))
+        .agg(F.avg("recall").alias("mean_recall"), F.count(F.lit(1)).alias("n_queries"))
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_exact": q_knn_exact,
+    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "knn_exact": _SQL_KNN_EXACT,
+    # exhaustive IVF+RaBitQ == exact brute force (see q_ann_ivf_exhaustive)
+    "ann_ivf_exhaustive": _SQL_KNN_EXACT,
+    # ann_ivf_recall: intentionally no oracle (depends on trained model state)
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
 }

@@ -1,0 +1,95 @@
+"""Index build + batch search: exhaustive == exact (the strongest invariant —
+quantization can screen but never change final results when everything is
+reranked); approximate recall sane; estimator is a probabilistic lower bound;
+save/load round-trip preserves results (SURVEY.md §5.1/.3/.6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rabitq_spark.config import RaBitQConfig
+from rabitq_spark.index import RaBitQModel, build_index, search
+from rabitq_spark.index.search import _prepare_probes, rough_distance_expr
+from rabitq_spark.functions.vector import l2_squared
+from rabitq_spark.operators.knn import knn_exact
+
+K = 5
+NQ = 8
+
+
+@pytest.fixture(scope="module")
+def model_and_data(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(f"vec_id < {NQ}").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cfg = RaBitQConfig(n_clusters=8, nprobe=4, topk=K, overfetch=8)
+    model = build_index(base, cfg)
+    model.index_df = model.index_df.cache()
+    return model, base, queries
+
+
+def test_exhaustive_equals_exact(spark, model_and_data):
+    model, base, queries = model_and_data
+    exact = knn_exact(queries, base, K).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    exh = search(
+        model, queries, topk=K, nprobe=model.n_clusters, overfetch=10**6
+    ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(exh, exact, check_exact=True)
+
+
+def test_approx_recall_reasonable(spark, model_and_data):
+    model, base, queries = model_and_data
+    exact = knn_exact(queries, base, K).toPandas()
+    approx = search(model, queries, topk=K).toPandas()
+    recall = len(approx.merge(exact, on=["query_id", "neighbor_id"])) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_estimator_is_probabilistic_lower_bound(spark, model_and_data):
+    # rough ≤ exact with high empirical frequency (the −error_bound·dist term
+    # at src/rabitq.rs:363 makes rough a lower bound w.h.p. per the paper)
+    model, base, queries = model_and_data
+    probes = _prepare_probes(model, queries, "query_id", "qvec", model.n_clusters)
+    cand = model.index_df.join(F.broadcast(probes), "cluster_id").select(
+        "query_id", "orig_id",
+        rough_distance_expr(model.config.theta_log_dim, model.n_words).alias("rough"),
+    )
+    qv = queries.select("query_id", F.col("qvec").alias("__qvec"))
+    joined = (
+        cand.join(model.base_df, "orig_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("rough", l2_squared(F.col("__qvec"), F.col("vec")).alias("exact"))
+        .toPandas()
+    )
+    frac_lb = (joined["rough"] <= joined["exact"]).mean()
+    assert frac_lb >= 0.9, frac_lb
+    assert np.corrcoef(joined["rough"], joined["exact"])[0, 1] > 0.5
+
+
+def test_save_load_roundtrip(spark, model_and_data, tmp_path):
+    model, base, queries = model_and_data
+    before = search(model, queries, topk=K).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    path = str(tmp_path / "idx")
+    model.save(path)
+    loaded = RaBitQModel.load(spark, path)
+    assert loaded.dim == model.dim and loaded.n_clusters == model.n_clusters
+    after = search(loaded, queries, topk=K).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(before, after, check_exact=True)
+
+
+def test_index_schema_and_codes(spark, model_and_data):
+    model, _, _ = model_and_data
+    row = model.index_df.first()
+    assert len(row.code) == model.n_words
+    counts = model.index_df.groupBy("cluster_id").count().toPandas()
+    assert counts["count"].sum() == model.base_df.count()
+    assert set(counts["cluster_id"]) <= set(range(model.n_clusters))
