@@ -1,0 +1,190 @@
+"""Text-analysis Column expressions for the training-data pipeline
+(north-star extension, SURVEY.md §7 phase 6): tokenization, shingling,
+minhash, simhash, quality metrics, language heuristics.
+
+All pure `pyspark.sql.functions` trees (whole-stage codegen, no Python), and
+all deterministic so a DuckDB oracle can mirror them expression-for-
+expression: md5 is the cross-engine hash (identical hex output), folds are
+left-to-right, and arithmetic is written in the same order on both sides.
+ANSI-safe: no out-of-bounds element_at, no unguarded division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empties dropped. (The testdata corpus is
+    space-separated; swap the delimiter regex for real corpora.)"""
+    return F.filter(F.split(_c(text), " "), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams, joined by single spaces — the dedup unit.
+
+    Guarded so short documents yield an empty array (Spark's sequence()
+    counts DOWN when start > stop, so the bound must be checked first).
+    """
+    w = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= n, make).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_band_key(shingles: Column | str, band: int) -> Column:
+    """One minhash value = min over shingles of md5('<band>|' + s).
+
+    md5 hex strings order identically in any engine; banding several of
+    these keys gives LSH blocking whose false-negative rate falls
+    exponentially in the band count.
+    """
+    sh = _c(shingles)
+    return F.array_min(
+        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{band}|"), s)))
+    )
+
+
+def jaccard(a: Column | str, b: Column | str) -> Column:
+    """|a ∩ b| / |a ∪ b| over distinct arrays; 0.0 when both empty."""
+    a, b = _c(a), _c(b)
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(a, b)).cast("double") / union.cast("double")
+    )
+
+
+def token_hash60(tok: Column | str) -> Column:
+    """Deterministic 60-bit token hash: first 15 hex chars of md5, parsed
+    base-16. Fits BIGINT (no sign issues); reproducible in any SQL engine."""
+    return F.conv(F.substring(F.md5(_c(tok)), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash60(text: Column | str) -> Column:
+    """60-bit SimHash over distinct tokens (document fingerprinting).
+
+    bit b of the result = majority vote of bit b across token hashes
+    (+1 if set, −1 if not; > 0 wins). Pure codegen: a fold per bit over the
+    collected hash array.
+    """
+    hashes = F.transform(F.array_distinct(tokens(text)), token_hash60)
+    bit_cols = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda s, h: s
+                + F.when(
+                    F.call_function("shiftright", h, b).bitwiseAND(F.lit(1).cast("bigint"))
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.call_function("shiftleft", F.lit(1).cast("bigint"), b),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        bit_cols, F.lit(0).cast("bigint"), lambda s, v: s.bitwiseOR(v)
+    )
+
+
+def hamming60(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 60-bit hashes."""
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical-text fingerprint: md5 of lowercased, space-collapsed text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(_c(text)), " +", " ")))
+
+
+# -- quality / language heuristics -----------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stop.cast("double") / n.cast("double")
+    )
+
+
+def distinct_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    )
+
+
+def mean_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda s, t: s + F.length(t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / n.cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length saturation, vocabulary
+    diversity, reasonable mean token length. Deterministic arithmetic —
+    mirror the exact expression order in the oracle SQL."""
+    t = _c(text)
+    length_part = F.least(token_count(t).cast("double") / F.lit(30.0), F.lit(1.0))
+    diversity = distinct_ratio(t)
+    mlen = mean_token_len(t)
+    len_part = F.when((mlen >= 3.0) & (mlen <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return length_part * F.lit(0.4) + diversity * F.lit(0.4) + len_part * F.lit(0.2)
+
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Marker-word language heuristic with deterministic alphabetical
+    tie-break; CJK characters dominate to 'zh'. (On the synthetic corpus this
+    mostly returns 'en' — the operator contract is determinism, and accuracy
+    on real corpora comes from swapping the marker table.)"""
+    t = _c(text)
+    toks = tokens(t)
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    best_lang = F.lit("en")
+    best_score = F.lit(-1)
+    # iterate langs in alphabetical order; strict > keeps the earlier lang on
+    # ties -> deterministic
+    for lang in sorted(_LANG_MARKERS):
+        score = F.size(F.filter(toks, lambda x: x.isin(*_LANG_MARKERS[lang])))
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(cjk * 3 > F.length(t), F.lit("zh")).otherwise(best_lang)

@@ -72,50 +72,45 @@ def _prepare_probes(
             yp = (q @ rot).astype(np.float32)  # stage 2 rotate
             # stage 3: J1 distances to all centroids + top-nprobe
             d2 = (yp**2).sum(axis=1)[:, None] - 2.0 * (yp @ cp.T) + cp_sq[None, :]
+            nq = yp.shape[0]
             nb = min(nprobe, cp.shape[0])
-            probe_idx = np.argpartition(d2, nb - 1, axis=1)[:, :nb]
-            out_rows = []
-            for r in range(yp.shape[0]):
-                qid = pdf[query_id].values[r]
-                for c in probe_idx[r]:
-                    resid = yp[r] - cp[c]  # P10 residual
-                    lb, ub = np.float32(resid.min()), np.float32(resid.max())
-                    delta = np.float32((ub - lb) * scalar)
-                    mult = np.float32(0.0) if delta == 0 else np.float32(1.0) / delta
-                    # P9 scalar quantize with dither (src/utils.rs:194-209)
-                    qu = ((resid - lb) * mult + bias).astype(np.uint8)
-                    scalar_sum = np.float32(qu.sum())
-                    # P8 bit-plane packing (src/utils.rs:71-97), plane-major
-                    planes = np.empty((theta_log_dim, n_words), np.int64)
-                    for p in range(theta_log_dim):
-                        bits = ((qu >> p) & 1).astype(np.uint8)
-                        planes[p] = (
-                            np.packbits(bits, bitorder="little")
-                            .view(np.uint64)
-                            .astype(np.int64, copy=False)
-                        )
-                    out_rows.append(
-                        (
-                            qid,
-                            int(c),
-                            np.float32(max(d2[r, c], 0.0)),
-                            lb,
-                            delta,
-                            scalar_sum,
-                            planes.ravel(),
-                        )
-                    )
+            probe_idx = np.argpartition(d2, nb - 1, axis=1)[:, :nb]  # (nq, nb)
+            # stages 4: fully vectorized over (query, probe) pairs
+            resid = (yp[:, None, :] - cp[probe_idx]).astype(np.float32)  # (nq, nb, dim)
+            lb = resid.min(axis=2).astype(np.float32)  # (nq, nb)
+            ub = resid.max(axis=2).astype(np.float32)
+            delta = ((ub - lb) * scalar).astype(np.float32)
+            with np.errstate(divide="ignore"):
+                mult = np.where(delta > 0, np.float32(1.0) / delta, np.float32(0.0))
+            # P9 scalar quantize with dither (src/utils.rs:194-209): trunc as u8
+            qu = (
+                (resid - lb[:, :, None]) * mult[:, :, None] + bias[None, None, :]
+            ).astype(np.uint8)
+            scalar_sum = qu.sum(axis=2, dtype=np.uint32).astype(np.float32)
+            # P8 bit-plane packing (src/utils.rs:71-97), plane-major per pair
+            flat = qu.reshape(nq * nb, dim_pad)
+            planes = np.empty((theta_log_dim, nq * nb, n_words), dtype=np.uint64)
+            for p in range(theta_log_dim):
+                bits = ((flat >> p) & 1).astype(np.uint8)
+                planes[p] = np.packbits(bits, axis=1, bitorder="little").view(np.uint64)
+            # (planes, pairs, words) -> (pairs, planes*words), plane-major
+            qplanes = (
+                planes.transpose(1, 0, 2)
+                .reshape(nq * nb, theta_log_dim * n_words)
+                .view(np.int64)
+            )
+            y_c = np.take_along_axis(d2, probe_idx, axis=1).astype(np.float32)
+            np.maximum(y_c, 0.0, out=y_c)
             yield pd.DataFrame(
-                out_rows,
-                columns=[
-                    "query_id",
-                    "cluster_id",
-                    "y_c_dist_sq",
-                    "lower_bound",
-                    "delta",
-                    "scalar_sum",
-                    "qplanes",
-                ],
+                {
+                    "query_id": np.repeat(pdf[query_id].values, nb),
+                    "cluster_id": probe_idx.ravel().astype(np.int32),
+                    "y_c_dist_sq": y_c.ravel(),
+                    "lower_bound": lb.ravel(),
+                    "delta": delta.ravel(),
+                    "scalar_sum": scalar_sum.ravel(),
+                    "qplanes": list(qplanes),
+                }
             )
 
     return queries.select(

@@ -1,0 +1,210 @@
+"""Deduplication operators for the 100 TB training-data pipeline
+(north-star extension, SURVEY.md §7 phase 6).
+
+Four families, all shuffle-conscious:
+
+* exact     — hash-groupBy on a canonical fingerprint; one shuffle on the
+              fingerprint, min-id wins.
+* minhash   — shingle → banded minhash keys → equi-join blocking → exact
+              Jaccard verify on candidates only. The blocking join is the
+              only quadratic-risk step and is keyed, so it shuffles by band
+              key and scales horizontally; false-negative rate decays
+              exponentially with band count.
+* simhash   — 60-bit fingerprint; band the bits into (max_hamming + 1)
+              segments so the pigeonhole principle makes the banded
+              candidate join EXACTLY equivalent to the all-pairs hamming
+              scan (no recall loss), then verify hamming on candidates.
+* embedding — cosine-threshold near-dup pairs on the embeddings table
+              (exact all-pairs at test scale; at 100 TB block by IVF
+              cluster via the RaBitQ index — similarity_join operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rabitq_spark.functions.text import (
+    fingerprint,
+    hamming60,
+    jaccard,
+    minhash_band_key,
+    simhash60,
+    word_shingles,
+)
+from rabitq_spark.functions.vector import cosine_similarity
+
+
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via canonical fingerprint: every doc mapped to the lowest
+    doc id sharing its fingerprint. One shuffle (window over fingerprint)."""
+    from pyspark.sql import Window
+
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).withColumn("is_dup", (F.col("doc_id") != F.col("canonical_id")).cast("int"))
+
+
+def _shingle_table(
+    docs: DataFrame, id_col: str, text_col: str, shingle_words: int
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_words).alias("shingles"),
+    )
+
+
+def neardup_minhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    n_bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan: per-doc shingle set (codegen) → explode n_bands minhash keys →
+    self-equi-join on (band, key) for candidates → exact Jaccard verify.
+    Candidates shuffle by band key; the verify join brings only candidate
+    pairs' shingle sets together — never all-pairs.
+    """
+    sh = _shingle_table(docs, id_col, text_col, shingle_words).cache()
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        minhash_band_key("shingles", b).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    bands = bands.filter(F.col("key").isNotNull())
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with simhash hamming distance <= max_hamming (id_a < id_b).
+
+    The 60-bit hash is split into (max_hamming + 1) bit-bands; any pair
+    within the hamming budget must agree on >= 1 band (pigeonhole), so
+    band-blocking + exact verify returns EXACTLY the all-pairs result —
+    which is what the oracle computes the naive way.
+    """
+    n_bands = max_hamming + 1
+    band_bits = 60 // n_bands
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), simhash60(F.col(text_col)).alias("sim")
+    ).cache()
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.call_function(
+                            "shiftright", F.col("sim"), F.lit(b * band_bits)
+                        )
+                        .bitwiseAND(F.lit(mask).cast("bigint"))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sim", "bk.band", "bk.key")
+    left, right = bands.alias("l"), bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select("id_a", "id_b", hamming60("sim_a", "sim_b").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs (id_a < id_b, cosine >= threshold), exact.
+
+    All-pairs with the deterministic double-precision fold — the oracle
+    shape. At 100 TB use similarity_join (IVF-blocked) instead; this exact
+    variant is the correctness anchor.
+    """
+    from rabitq_spark.functions.vector import dot, l2_norm
+
+    # Precompute per-vector norms once (n rows, not n² work); the pairwise
+    # step then does a single dot-product fold per pair.
+    normed = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("va", "vb") / denom)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -191,6 +191,268 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup family (SURVEY §7 phase 6; designed for 100 TB — see operators/dedup)
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       COUNT(*) OVER (PARTITION BY fp) AS group_size,
+       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
+FROM (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+  FROM documents
+) t
+"""
+
+
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.dedup import neardup_minhash_pairs
+
+    return neardup_minhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_words=3,
+        n_bands=8,
+        threshold=0.8,
+    )
+
+
+_SQL_NEARDUP_MINHASH = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+         ELSE [] END) AS shingles
+  FROM toks
+), bands AS (
+  SELECT doc_id, b,
+         list_min(list_transform(shingles, s -> md5(concat(CAST(b AS VARCHAR), '|', s)))) AS key
+  FROM sh, (SELECT unnest(range(8)) AS b)
+  WHERE len(shingles) > 0
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(s1.shingles, s2.shingles))) = 0
+              THEN 0.0
+              ELSE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS DOUBLE)
+         END AS jaccard
+  FROM cand JOIN sh s1 ON cand.id_a = s1.doc_id JOIN sh s2 ON cand.id_b = s2.doc_id
+) t WHERE jaccard >= 0.8
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# The oracle computes the naive all-pairs hamming scan; the Spark operator's
+# bit-band blocking is guaranteed-equivalent by pigeonhole (4 bands, ≤3 bits
+# differ → some band matches), so the results must agree exactly.
+_SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS dt,
+         text
+  FROM documents
+), hashes AS (
+  SELECT doc_id,
+         list_transform(dt, t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+), sims AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(hs,
+                    h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END),
+           (a, v) -> a | v) AS sim
+  FROM hashes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+_SQL_EMB_NEARDUP = """
+WITH normed AS (
+  SELECT vec_id AS id, embedding AS v,
+         sqrt(list_reduce(
+           list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+           (acc, x) -> acc + x)) AS norm
+  FROM embeddings
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CASE WHEN a.norm * b.norm = 0.0 THEN 0.0
+              ELSE list_reduce(
+                     list_transform(range(1, len(a.v) + 1),
+                       i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)),
+                     (acc, x) -> acc + x) / (a.norm * b.norm)
+         END AS cosine
+  FROM normed a JOIN normed b ON a.id < b.id
+) t WHERE cosine >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# Text-analysis family
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.functions.text import distinct_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "n_chars",
+        token_count("text").alias("n_tok"),
+        distinct_token_count("text").alias("n_dtok"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_dtok").alias("total_distinct_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+_SQL_TEXT_STATS = """
+WITH per_doc AS (
+  SELECT lang, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+         len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_dtok
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_tok) AS total_tokens,
+       SUM(n_dtok) AS total_distinct_tokens,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+_SQL_QUALITY = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n,
+         len(list_distinct(w)) AS nd,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE) END AS mlen
+  FROM t
+)
+SELECT doc_id,
+       least(CAST(n AS DOUBLE) / 30.0, 1.0) * 0.4
+       + (CASE WHEN n = 0 THEN 0.0
+               ELSE CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) END) * 0.4
+       + (CASE WHEN mlen >= 3.0 AND mlen <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+       AS quality
+FROM m
+"""
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.functions.text import lang_guess
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_guess("text").alias("lang_pred"))
+
+
+_SQL_LANG_GUESS = """
+WITH t AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+         len(list_filter(w, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+         len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS s_en,
+         len(list_filter(w, x -> x IN ('el','la','de','que','y'))) AS s_es,
+         len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN cjk * 3 > length(text) THEN 'zh'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return topk_per_group(
+        counts.withColumn("g", F.lit(1)),
+        ["g"],
+        [F.col("cnt").desc(), F.col("token").asc()],
+        20,
+    ).select("token", "cnt", "rank")
+
+
+_SQL_TOP_TOKENS = """
+SELECT token, cnt, CAST(rank AS INT) AS rank FROM (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM (
+    SELECT token, COUNT(*) AS cnt FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ) u GROUP BY token
+  ) t
+) r WHERE rank <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -199,6 +461,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
+    "dedup_exact": q_dedup_exact,
+    "neardup_minhash": q_neardup_minhash,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "text_stats": q_text_stats,
+    "quality_scores": q_quality_scores,
+    "lang_guess": q_lang_guess,
+    "top_tokens": q_top_tokens,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -208,4 +478,12 @@ ORACLE_SQL: dict[str, str] = {
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "neardup_minhash": _SQL_NEARDUP_MINHASH,
+    "simhash_pairs": _SQL_SIMHASH,
+    "embedding_neardup": _SQL_EMB_NEARDUP,
+    "text_stats": _SQL_TEXT_STATS,
+    "quality_scores": _SQL_QUALITY,
+    "lang_guess": _SQL_LANG_GUESS,
+    "top_tokens": _SQL_TOP_TOKENS,
 }
