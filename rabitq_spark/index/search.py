@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from rabitq_spark._dist import ensure_package_on_executors
 from rabitq_spark.functions.vector import l2_squared, pad_to_multiple
 from rabitq_spark.index.model import RaBitQModel
+from rabitq_spark.metrics import SearchMetrics
 from rabitq_spark.operators.topk import topk_per_group
 
 PROBE_SCHEMA = (
@@ -154,6 +155,7 @@ def search(
     query_id: str = "query_id",
     query_vec: str = "qvec",
     prune_partitions: bool = True,
+    metrics: "SearchMetrics | None" = None,
 ) -> DataFrame:
     """Batch top-k ANN: returns (query_id, neighbor_id, dist, rank).
 
@@ -186,12 +188,19 @@ def search(
         "orig_id",
         rough_distance_expr(cfg.theta_log_dim, model.n_words).alias("rough"),
     )
+    if metrics is not None:
+        # A10 rough-candidate counter (src/metrics.rs analogue, zero extra pass)
+        cand = cand.observe(metrics.rough, F.count(F.lit(1)).alias("rough_count"))
 
     # Stage 6: top-R rough per query (WindowGroupLimit ≥ Spark 3.5).
     r = max(topk * overfetch, topk)
     shortlist = topk_per_group(
         cand, ["query_id"], [F.col("rough").asc(), F.col("orig_id").asc()], r
     ).select("query_id", "orig_id")
+    if metrics is not None:
+        shortlist = shortlist.observe(
+            metrics.precise, F.count(F.lit(1)).alias("precise_count")
+        )
 
     # Stage 7: exact rerank on original vectors (J3 + D1 + final top-k).
     # base_df is padded; pad the query the same way (zeros cancel in the

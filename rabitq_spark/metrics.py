@@ -1,0 +1,41 @@
+"""Search metrics — the engine's analogue of the reference's global atomic
+counters (src/metrics.rs:7-61; SURVEY.md A10).
+
+Spark-native mechanism: `df.observe(Observation, ...)` attaches accumulator-
+backed aggregates to a point in the plan; values materialize after the first
+action, with zero extra passes over the data. Where the reference counts
+rough-scored candidates vs precisely reranked candidates (src/rerank.rs:
+104-105), we observe the candidate stream before and after the top-R
+shortlist.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Observation
+
+
+@dataclass
+class SearchMetrics:
+    """Holds Observations wired into a search plan by
+    `rabitq_spark.index.search.search(..., metrics=...)`."""
+
+    rough: Observation = field(default_factory=lambda: Observation("rabitq_rough"))
+    precise: Observation = field(default_factory=lambda: Observation("rabitq_precise"))
+
+    @property
+    def rough_count(self) -> int:
+        """Candidates scored by the quantized estimator (METRICS.rough)."""
+        return int(self.rough.get["rough_count"])
+
+    @property
+    def precise_count(self) -> int:
+        """Candidates exactly reranked (METRICS.precise)."""
+        return int(self.precise.get["precise_count"])
+
+    @property
+    def ratio(self) -> float:
+        """precise/rough — estimator selectivity (src/metrics.rs:30-41)."""
+        r = self.rough_count
+        return (self.precise_count / r) if r else 0.0

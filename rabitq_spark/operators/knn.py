@@ -63,6 +63,46 @@ def knn_exact(
     ).select("query_id", "neighbor_id", "dist", "rank")
 
 
+def knn_exact_refined(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    margin: int = 8,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    base_id: str = "id",
+    base_vec: str = "vec",
+) -> DataFrame:
+    """Exact top-k with bit-exact fold distances at GEMM speed.
+
+    Two phases: (1) `knn_exact_fast` shortlists k+margin candidates per query
+    (BLAS), (2) distances for the shortlist are recomputed with the
+    deterministic double fold and re-ranked. Identical to `knn_exact` unless
+    the true k-th and (k+margin)-th neighbors are within GEMM rounding error
+    (~1e-12 relative) — margin makes that practically impossible while the
+    refine step touches only nq × (k+margin) rows.
+    """
+    short = knn_exact_fast(
+        queries, base, k + margin, query_id, query_vec, base_id, base_vec
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
+    )
+    bv = base.select(F.col(base_id).alias("neighbor_id"), F.col(base_vec).alias("__bvec"))
+    scored = (
+        short.join(bv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    ).select("query_id", "neighbor_id", "dist", "rank")
+
+
 def knn_exact_fast(
     queries: DataFrame,
     base: DataFrame,

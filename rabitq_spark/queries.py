@@ -322,6 +322,226 @@ SELECT id_a, id_b, cosine FROM (
 
 
 # --------------------------------------------------------------------------
+# Q: similarity join — top-k neighbors for EVERY row of the embeddings table
+# (table x table, J2 generalized). Exhaustive config => exact, oracle-checked.
+
+_SIMJOIN_K = 5
+
+
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.simjoin import similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    model = _get_model(spark, sf_dir)
+    return similarity_join(left, model, k=_SIMJOIN_K, exhaustive=True)
+
+
+_SQL_SIMILARITY_JOIN = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, len(b.embedding)+1),
+             i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(q.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM embeddings b, embeddings q
+)
+SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {_SIMJOIN_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: multimodal pipeline — binary media column -> Arrow-batched feature
+# extraction (decode stubbed; see operators/multimodal.py). Oracle recomputes
+# media_len/byte_sum from the source text (payload == UTF-8 text bytes).
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.multimodal import (
+        extract_features,
+        media_table_from_documents,
+    )
+
+    media = media_table_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "media_len", F.size("feat").alias("feat_dim"), "byte_sum"
+    )
+
+
+_SQL_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       length(text) AS media_len,
+       16 AS feat_dim,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                     i -> ord(substring(text, i, 1)))) AS BIGINT) AS byte_sum
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-time family: as-of join, tumbling windows, sessionization, funnel.
+# Timestamps are emitted as epoch-microsecond BIGINTs so the comparison is
+# independent of session time zones and timestamp-unit representations.
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the latest click at-or-before it per user
+    (backward as-of join — union-sort-window plan, no range explosion)."""
+    from rabitq_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join_backward(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_payload=("click_ts_us", "click_value"),
+        tie_col="click_ts_us",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "purchase_value",
+        F.col("asof_click_ts_us").alias("click_ts_us"),
+        F.col("asof_click_value").alias("click_value"),
+    )
+
+
+_SQL_ASOF = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.value AS purchase_value,
+       epoch_us(c.ts) AS click_ts_us,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.events import tumbling_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(ev, "1 hour")
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_SQL_WINDOW_EVENTS = """
+SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.events import funnel_counts
+
+    return funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+_SQL_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CAST(event_type = 'signup' AS INT)) AS did_signup,
+         MAX(CAST(event_type = 'click' AS INT)) AS did_click,
+         MAX(CAST(event_type = 'purchase' AS INT)) AS did_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(did_signup) AS n_signup,
+       SUM(did_signup * did_click) AS n_signup_click,
+       SUM(did_signup * did_click * did_purchase) AS n_full_funnel
+FROM per_user
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (semi-structured columns)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_JSON_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Text-analysis family
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,9 +689,23 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "lang_guess": q_lang_guess,
     "top_tokens": q_top_tokens,
+    "asof_purchase_click": q_asof_purchase_click,
+    "window_events": q_window_events,
+    "sessionize": q_sessionize,
+    "funnel": q_funnel,
+    "json_props": q_json_props,
+    "similarity_join": q_similarity_join,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "similarity_join": _SQL_SIMILARITY_JOIN,
+    "multimodal_features": _SQL_MULTIMODAL,
+    "asof_purchase_click": _SQL_ASOF,
+    "window_events": _SQL_WINDOW_EVENTS,
+    "sessionize": _SQL_SESSIONIZE,
+    "funnel": _SQL_FUNNEL,
+    "json_props": _SQL_JSON_PROPS,
     "knn_exact": _SQL_KNN_EXACT,
     # exhaustive IVF+RaBitQ == exact brute force (see q_ann_ivf_exhaustive)
     "ann_ivf_exhaustive": _SQL_KNN_EXACT,

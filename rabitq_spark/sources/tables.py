@@ -26,7 +26,23 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table (TESTDATA.md layout)."""
+    """Load one testdata table (TESTDATA.md layout).
+
+    The events table carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    default; read it as raw nanos (legacy conf, session-settable) and expose
+    both an exact epoch-micros BIGINT and a TIMESTAMP column. Integer DIV
+    keeps the ns→µs conversion exact (a double division would lose precision
+    at 2024-era epoch-nanos magnitudes).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return (
+            df.withColumn("ts_us", F.expr("ts DIV 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

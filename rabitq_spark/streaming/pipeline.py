@@ -1,0 +1,94 @@
+"""Structured Streaming pipelines over the events stream.
+
+The reference has no streaming surface (SURVEY.md §2.6) — this is
+north-star extension territory. The logical plans here are the SAME
+operators as rabitq_spark.operators.events (tumbling window agg, dedup);
+Structured Streaming adds watermarks and state management. Batch/stream
+equivalence is the test contract: running the stream to completion over a
+static directory must reproduce the batch aggregate exactly.
+
+Scale notes: windowed aggregation state is bounded by the watermark horizon;
+dropDuplicatesWithinWatermark keeps the dedup state finite. Both shuffle by
+the aggregation key, same as batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanos (nanosAsLong read)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    Same ns→µs conversion as the batch loader; maxFilesPerTrigger bounds
+    per-microbatch work.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+def windowed_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window count/sum with late-data watermark — the streaming
+    twin of operators.events.tumbling_window_agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup on event_id with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_complete_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Run an aggregating stream to completion (availableNow) into a memory
+    sink in complete mode; returns the final result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

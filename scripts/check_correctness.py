@@ -67,7 +67,9 @@ def main() -> int:
         for c in s.columns:
             sv, ov = s[c].values, o[c].values
             if sv.dtype.kind == "f" or ov.dtype.kind == "f":
-                if not np.array_equal(sv.astype(float), ov.astype(float)):
+                if not np.array_equal(
+                    sv.astype(float), ov.astype(float), equal_nan=True
+                ):
                     exact = False
                     close = np.allclose(
                         sv.astype(float), ov.astype(float), rtol=1e-9, equal_nan=True

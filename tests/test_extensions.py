@@ -1,0 +1,134 @@
+"""As-of join, streaming batch-equivalence, multimodal plumbing, vecs IO,
+similarity join, and search metrics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rabitq_spark.metrics import SearchMetrics
+from rabitq_spark.operators.asof import asof_join_backward
+from rabitq_spark.operators.events import sessionize, tumbling_window_agg
+from rabitq_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    media_table_from_documents,
+)
+from rabitq_spark.sources.tables import load_table
+from rabitq_spark.sources.vecs import decode_vecs_bytes, read_vecs, write_vecs
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 150, 15.0), (3, 50, 5.0)],
+        "user_id bigint, ts bigint, lval double",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 150, "b"), (2, 10, "c"), (9, 1, "z")],
+        "user_id bigint, ts bigint, tag string",
+    )
+    out = asof_join_backward(
+        left, right, on="user_id", right_payload=("tag",), tie_col="ts"
+    ).collect()
+    got = {(r.user_id, r.ts): r.asof_tag for r in out}
+    assert got[(1, 100)] == "a"   # inclusive: equal ts matches
+    assert got[(1, 200)] == "b"   # latest prior
+    assert got[(2, 150)] == "c"
+    assert got[(3, 50)] is None   # no right rows for key
+
+
+def test_streaming_equals_batch(spark, sf_dir, tmp_path):
+    # stream the events table through Structured Streaming and compare with
+    # the batch tumbling aggregate — must match exactly
+    from rabitq_spark.streaming import read_events_stream, windowed_counts_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "events_stream")
+    raw.repartition(6).write.parquet(src)
+
+    stream = windowed_counts_stream(read_events_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM win_test")
+        .toPandas()
+        .sort_values(["window_start", "event_type"], ignore_index=True)
+    )
+    want = (
+        tumbling_window_agg(load_table(spark, sf_dir, "events"))
+        .toPandas()
+        .sort_values(["window_start", "event_type"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = media_table_from_documents(docs)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 50
+    assert all(len(f) == 16 for f in feats["feat"])
+    # histogram is L1-normalized
+    np.testing.assert_allclose(
+        [np.sum(f) for f in feats["feat"]], 1.0, rtol=1e-5
+    )
+    # payload is the UTF-8 text: media_len == n_chars
+    want = {r.doc_id: r.n_chars for r in docs.collect()}
+    got = dict(zip(feats["media_id"], feats["media_len"]))
+    assert got == want
+
+
+def test_frame_sample_shapes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    frames = frame_sample(media_table_from_documents(docs), n_frames=4).toPandas()
+    assert len(frames) == 40
+    assert set(frames["frame_no"]) == {0, 1, 2, 3}
+    assert all(len(b) > 0 for b in frames["frame_bytes"])
+
+
+def test_vecs_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    vecs = [rng.standard_normal(17).astype(np.float32) for _ in range(9)]
+    path = str(tmp_path / "t.fvecs")
+    write_vecs(path, vecs, "fvecs")
+    # pure decoder
+    decoded = decode_vecs_bytes(open(path, "rb").read(), "fvecs")
+    assert len(decoded) == 9
+    np.testing.assert_array_equal(decoded[4], vecs[4])
+    # through Spark
+    df = read_vecs(spark, path, "fvecs").toPandas().sort_values("id")
+    assert len(df) == 9
+    np.testing.assert_allclose(np.vstack(df["vec"].values), np.vstack(vecs))
+
+    ivecs = [np.array([1, 2, 3], np.int32), np.array([7], np.int32)]
+    ipath = str(tmp_path / "t.ivecs")
+    write_vecs(ipath, ivecs, "ivecs")
+    idf = read_vecs(spark, ipath, "ivecs").toPandas().sort_values("id")
+    got_ivecs = [list(v) for v in idf["vec"]]
+    assert got_ivecs == [[1, 2, 3], [7]]
+
+
+def test_search_metrics_observed(spark, sf_dir):
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.index import build_index, search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    model = build_index(base, RaBitQConfig(n_clusters=8, nprobe=4, topk=5, overfetch=2))
+    m = SearchMetrics()
+    res = search(model, queries, metrics=m)
+    n = res.count()
+    assert n > 0
+    assert m.rough_count > 0
+    assert 0 < m.precise_count <= m.rough_count
+    assert 0 < m.ratio <= 1.0
