@@ -64,6 +64,31 @@ def minhash_band_key(shingles: Column | str, band: int) -> Column:
     )
 
 
+def band_xor_constant(band: int) -> int:
+    """Deterministic 60-bit xor-mix constant for band `band` (derived from
+    md5 so any engine can reproduce it as a literal)."""
+    import hashlib
+
+    return int(hashlib.md5(f"band{band}".encode()).hexdigest()[:15], 16)
+
+
+def shingle_hashes60(shingles: Column | str) -> Column:
+    """Hash each shingle ONCE to a 60-bit integer (md5-based, cross-engine).
+
+    Banded minhash keys are then cheap integer mixes of this array —
+    md5 cost is paid once per shingle instead of once per (shingle, band).
+    """
+    return F.transform(_c(shingles), token_hash60)
+
+
+def xor_minhash_key(hashes: Column | str, band: int) -> Column:
+    """Minhash for one band: min over (hash XOR band-constant) — an xor-mix
+    min-wise family; the per-band constant reorders the mins independently.
+    Pure integer ops (no per-band md5)."""
+    c = F.lit(band_xor_constant(band)).cast("bigint")
+    return F.array_min(F.transform(_c(hashes), lambda h: h.bitwiseXOR(c)))
+
+
 def jaccard(a: Column | str, b: Column | str) -> Column:
     """|a ∩ b| / |a ∪ b| over distinct arrays; 0.0 when both empty."""
     a, b = _c(a), _c(b)

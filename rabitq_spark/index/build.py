@@ -78,6 +78,63 @@ def _kmeans_centroids(
     return np.vstack(centers).astype(np.float32)
 
 
+def hierarchical_kmeans_centroids(
+    base: DataFrame,
+    vec_col: str,
+    k_top: int,
+    k_down: int,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    sub_iters: int = 10,
+) -> np.ndarray:
+    """Two-level hierarchical k-means (reference scripts/cluster.py:63-108):
+    MLlib KMeans picks k_top coarse cells, then every cell is refined into
+    k_down sub-centroids — k_top × k_down centroids total (empty cells give
+    fewer).
+
+    Spark shape: the top level is distributed MLlib; the refinement is
+    `applyInPandas` per top-cell (each cell's rows are already co-located by
+    the groupBy shuffle), running a seeded Lloyd loop in numpy — exactly the
+    map-side work faiss did in the reference, parallelized across cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from rabitq_spark._dist import ensure_package_on_executors
+
+    ensure_package_on_executors(base.sparkSession)
+    df = base.select(F.col(vec_col).alias("vec"))
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    feat = df.select("vec", array_to_vector(F.col("vec")).alias("features"))
+    top = KMeans(k=k_top, seed=seed, maxIter=25).fit(feat)
+    assigned = top.transform(feat).select(
+        F.col("prediction").alias("cell"), "vec"
+    )
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        x = np.vstack(pdf["vec"].values).astype(np.float32)
+        k = min(k_down, x.shape[0])
+        rng = np.random.default_rng(seed + cell)
+        centers = x[rng.choice(x.shape[0], size=k, replace=False)].copy()
+        for _ in range(sub_iters):  # plain Lloyd, deterministic
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            lab = d2.argmin(axis=1)
+            for j in range(k):
+                m = lab == j
+                if m.any():
+                    centers[j] = x[m].mean(axis=0)
+        return pd.DataFrame({"cell": cell, "centroid": list(centers)})
+
+    dim = len(base.select(vec_col).first()[0])
+    out = assigned.groupBy("cell").applyInPandas(
+        refine, f"cell int, centroid array<float>"
+    )
+    cents = out.select("centroid").toPandas()["centroid"].values
+    return np.vstack(cents).astype(np.float32).reshape(-1, dim)
+
+
 def build_index(
     base: DataFrame,
     config: RaBitQConfig,

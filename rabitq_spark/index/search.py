@@ -172,7 +172,7 @@ def search(
     probes = _prepare_probes(model, queries, query_id, query_vec, nprobe)
 
     index = model.index_df
-    if prune_partitions and nprobe < model.n_clusters:
+    if prune_partitions and nprobe * 2 <= model.n_clusters:
         # Static partition pruning: the probed cluster set is tiny (≤ nq ×
         # nprobe); pushing it into the scan as an IN-filter prunes Parquet
         # partitions — the analogue of the reference's CSR offsets scan

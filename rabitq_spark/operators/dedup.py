@@ -28,7 +28,6 @@ from rabitq_spark.functions.text import (
     fingerprint,
     hamming60,
     jaccard,
-    minhash_band_key,
     simhash60,
     word_shingles,
 )
@@ -77,15 +76,18 @@ def neardup_minhash_pairs(
     Candidates shuffle by band key; the verify join brings only candidate
     pairs' shingle sets together — never all-pairs.
     """
+    from rabitq_spark.functions.text import shingle_hashes60, xor_minhash_key
+
     sh = _shingle_table(docs, id_col, text_col, shingle_words).cache()
-    bands = sh.select(
+    hashed = sh.select("doc_id", shingle_hashes60("shingles").alias("hs"))
+    bands = hashed.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        minhash_band_key("shingles", b).alias("key"),
+                        xor_minhash_key("hs", b).alias("key"),
                     )
                     for b in range(n_bands)
                 ]
@@ -183,14 +185,59 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine near-duplicate pairs (id_a < id_b, cosine >= threshold), exact.
 
-    All-pairs with the deterministic double-precision fold — the oracle
-    shape. At 100 TB use similarity_join (IVF-blocked) instead; this exact
-    variant is the correctness anchor.
+    Exact-equivalent two-phase plan: GEMM prefilter (margin-guarded, cannot
+    drop a qualifying pair) + deterministic fold verify, so results are
+    bit-identical to the naive all-pairs oracle. The prefilter broadcasts
+    the embedding matrix — the correctness-anchor operator for tables that
+    fit one executor's memory; at 100 TB use similarity_join (IVF-blocked)
+    instead.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from rabitq_spark._dist import ensure_package_on_executors
     from rabitq_spark.functions.vector import dot, l2_norm
 
-    # Precompute per-vector norms once (n rows, not n² work); the pairwise
-    # step then does a single dot-product fold per pair.
+    spark = embeddings.sparkSession
+    ensure_package_on_executors(spark)
+
+    # Phase 1 — candidate generation: one GEMM per Arrow batch against the
+    # broadcast table, keeping only pairs whose GEMM cosine clears the
+    # threshold minus a safety margin (1e-6 ≫ GEMM rounding error, so no
+    # qualifying pair can be missed).
+    pdf_all = embeddings.select(id_col, vec_col).toPandas()
+    all_ids = np.asarray(pdf_all[id_col].values, dtype=np.int64)
+    all_mat = np.ascontiguousarray(
+        np.vstack(pdf_all[vec_col].values).astype(np.float64)
+    )
+    all_norms = np.linalg.norm(all_mat, axis=1)
+    bc = spark.sparkContext.broadcast((all_ids, all_mat, all_norms))
+    margin = 1e-6
+
+    def find_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, norms_b = bc.value
+        safe_norms = np.where(norms_b == 0.0, 1.0, norms_b)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = np.asarray(pdf[id_col].values, dtype=np.int64)
+            mat = np.ascontiguousarray(np.vstack(pdf[vec_col].values).astype(np.float64))
+            norms = np.linalg.norm(mat, axis=1)
+            cos = (mat @ mat_b.T) / np.where(norms == 0, 1.0, norms)[:, None] / safe_norms[None, :]
+            li, ri = np.nonzero(cos >= threshold - margin)
+            keep = ids[li] < ids_b[ri]
+            yield pd.DataFrame(
+                {"id_a": ids[li][keep], "id_b": ids_b[ri][keep]}
+            )
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        find_candidates, "id_a bigint, id_b bigint"
+    )
+
+    # Phase 2 — exact verify: deterministic double fold on candidates only
+    # (bit-identical to the all-pairs oracle formulation).
     normed = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -202,7 +249,7 @@ def embedding_neardup_pairs(
     b = normed.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     denom = F.col("na") * F.col("nb")
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("va", "vb") / denom)
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(

@@ -222,7 +222,16 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_NEARDUP_MINHASH = """
+def _band_constants_sql(n_bands: int) -> str:
+    from rabitq_spark.functions.text import band_xor_constant
+
+    rows = ", ".join(
+        f"({b}, CAST({band_xor_constant(b)} AS BIGINT))" for b in range(n_bands)
+    )
+    return f"(VALUES {rows}) AS bc(b, c)"
+
+
+_SQL_NEARDUP_MINHASH = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents
@@ -233,11 +242,16 @@ WITH toks AS (
                           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
          ELSE [] END) AS shingles
   FROM toks
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+           s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)) AS hs
+  FROM sh
+  WHERE len(shingles) > 0
 ), bands AS (
   SELECT doc_id, b,
-         list_min(list_transform(shingles, s -> md5(concat(CAST(b AS VARCHAR), '|', s)))) AS key
-  FROM sh, (SELECT unnest(range(8)) AS b)
-  WHERE len(shingles) > 0
+         list_min(list_transform(hs, h -> xor(h, c))) AS key
+  FROM hashed, {_band_constants_sql(8)}
 ), cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM bands l JOIN bands r
