@@ -36,18 +36,26 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files.
+def read_events_stream(
+    spark: SparkSession, events_path: str, glob: str | None = None
+) -> DataFrame:
+    """File-source stream over events parquet.
 
-    Same ns→µs conversion as the batch loader; maxFilesPerTrigger bounds
-    per-microbatch work.
+    `events_path` must be a directory (file-source requirement); pass a
+    single file as (parent_dir, glob="file.parquet"). Same ns→µs conversion
+    as the batch loader; maxFilesPerTrigger bounds per-microbatch work.
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", "4")
-        .parquet(events_dir)
+    if glob is None and events_path.endswith(".parquet"):
+        events_path, glob = os.path.dirname(events_path), os.path.basename(events_path)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+        "maxFilesPerTrigger", "4"
     )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.parquet(events_path)
     return raw.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
         "ts", F.timestamp_micros(F.col("ts_us"))
     )

@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the optimizations we rely on at scale
+must actually appear in the executed plan (broadcast joins, WindowGroupLimit
+partial top-k, Parquet filter pushdown + column pruning)."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from rabitq_spark.operators.knn import knn_exact
+from rabitq_spark.operators.topk import topk_per_group
+
+
+def _fmt(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_knn_broadcasts_queries_and_uses_group_limit(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    plan = _fmt(knn_exact(queries, base, 5))
+    assert "BroadcastNestedLoopJoin" in plan  # base never shuffles
+    assert "WindowGroupLimit" in plan          # partial top-k, not full sort
+
+
+def test_topk_window_group_limit(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = _fmt(
+        topk_per_group(
+            orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+        )
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_parquet_pushdown_and_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _fmt(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+    # column pruning: scan must read only the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_ann_search_plan_shape(spark, sf_dir):
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.index import build_index, search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    model = build_index(base, RaBitQConfig(n_clusters=8))
+    plan = _fmt(search(model, queries, topk=5, nprobe=2))
+    assert "BroadcastHashJoin" in plan   # probe side broadcast into J2
+    assert "WindowGroupLimit" in plan    # top-R shortlist is partial
