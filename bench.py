@@ -96,9 +96,17 @@ def main() -> None:
     from rabitq_spark.queries import SPARK_QUERIES
 
     skip = {"ann_ivf_exhaustive", "ann_ivf_recall", "knn_exact"}  # covered above
-    for name, fn in SPARK_QUERIES.items():
-        if name in skip:
-            continue
+    bench_queries = [(n, f) for n, f in SPARK_QUERIES.items() if n not in skip]
+    # warmup pass at the smallest SF: same plan shapes -> JIT/codegen caches
+    # are hot, so the timed loop measures the query, not first-run compilation
+    for name, fn in bench_queries:
+        try:
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001
+            pass
+    for name, fn in bench_queries:
         try:
             timings[name] = time_df(fn, spark, SF_DIR)
         except Exception:  # noqa: BLE001

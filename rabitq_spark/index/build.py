@@ -48,6 +48,17 @@ def gen_bias(dim_pad: int, seed: int) -> np.ndarray:
     return rng.random(dim_pad, dtype=np.float32)
 
 
+def gen_identity_rotation(dim_pad: int) -> np.ndarray:
+    """Debug hook: identity rotation (gen_identity_matrix, src/utils.rs:25-28)
+    — collapses the randomized transform so quantization is hand-checkable."""
+    return np.eye(dim_pad, dtype=np.float32)
+
+
+def gen_fixed_bias(dim_pad: int) -> np.ndarray:
+    """Debug hook: fixed 0.5 dither (gen_fixed_bias, src/utils.rs:31-34)."""
+    return np.full(dim_pad, 0.5, dtype=np.float32)
+
+
 def pack_signs(mat: np.ndarray) -> np.ndarray:
     """Pack sign bits (v > 0) of each row into little-endian u64 words —
     vector_binarize_u64 (src/utils.rs:53-61): bit i of word i//64 set iff
@@ -143,6 +154,7 @@ def build_index(
     dim: int | None = None,
     centroids: np.ndarray | None = None,
     kmeans_sample_fraction: float | None = None,
+    debug_deterministic: bool = False,
 ) -> RaBitQModel:
     """Train the IVF+RaBitQ index over `base` (id_col BIGINT, vec_col ARRAY<FLOAT>)."""
     spark = base.sparkSession
@@ -168,8 +180,14 @@ def build_index(
         pad = np.zeros((centroids.shape[0], dim_pad - centroids.shape[1]), np.float32)
         centroids = np.hstack([centroids, pad])
 
-    rotation = gen_rotation(dim_pad, config.seed)
-    rand_bias = gen_bias(dim_pad, config.seed)
+    if debug_deterministic:
+        # P3 debug generators (src/utils.rs:22-34): P = I, bias = 0.5 make
+        # every stage exactly reproducible and hand-checkable (SURVEY §5.4)
+        rotation = gen_identity_rotation(dim_pad)
+        rand_bias = gen_fixed_bias(dim_pad)
+    else:
+        rotation = gen_rotation(dim_pad, config.seed)
+        rand_bias = gen_bias(dim_pad, config.seed)
     centroids_proj = (centroids @ rotation).astype(np.float32)
 
     sc = spark.sparkContext

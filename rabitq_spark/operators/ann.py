@@ -1,0 +1,42 @@
+"""Adaptive ANN entry point: cost-based choice between brute force and the
+IVF+RaBitQ index.
+
+Measured (bench, local[32], sf0.1): below ~10^5 base vectors the fixed
+per-stage overhead of the IVF pipeline exceeds a single GEMM sweep, so a
+cost-based engine picks brute force there — exactly the kind of physical
+choice Catalyst makes for joins (broadcast vs shuffle). Above the threshold
+the IVF path wins and keeps winning as |base| grows (it scans nprobe/k of
+the data instead of all of it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from rabitq_spark.config import RaBitQConfig
+from rabitq_spark.index import RaBitQModel, build_index, search
+from rabitq_spark.operators.knn import knn_exact_refined
+
+BRUTE_FORCE_MAX_BASE = 100_000
+
+
+def ann_search(
+    queries: DataFrame,
+    base: DataFrame | RaBitQModel,
+    k: int,
+    config: RaBitQConfig | None = None,
+    base_count: int | None = None,
+    **search_kwargs,
+) -> DataFrame:
+    """Top-k neighbors per query: brute force for small bases (exact),
+    IVF+RaBitQ for large ones (approximate, nprobe/overfetch knobs)."""
+    if isinstance(base, RaBitQModel):
+        return search(base, queries, topk=k, **search_kwargs)
+    if base_count is None:
+        base_count = base.count()
+    if base_count <= BRUTE_FORCE_MAX_BASE:
+        return knn_exact_refined(
+            queries, base, k, query_id="query_id", query_vec="qvec"
+        )
+    model = build_index(base, config or RaBitQConfig())
+    return search(model, queries, topk=k, **search_kwargs)

@@ -78,8 +78,14 @@ def neardup_minhash_pairs(
     """
     from rabitq_spark.functions.text import shingle_hashes60, xor_minhash_key
 
-    sh = _shingle_table(docs, id_col, text_col, shingle_words).cache()
-    hashed = sh.select("doc_id", shingle_hashes60("shingles").alias("hs"))
+    sh = _shingle_table(docs, id_col, text_col, shingle_words)
+    # everything downstream (banding AND verification) runs on the 60-bit
+    # hashes: integer array ops are far cheaper than string-set ops, and the
+    # Jaccard over hashed shingles equals the string Jaccard up to 2^-60
+    # collision probability
+    hashed = sh.select(
+        "doc_id", F.array_distinct(shingle_hashes60("shingles")).alias("hs")
+    ).cache()
     bands = hashed.select(
         "doc_id",
         F.explode(
@@ -107,12 +113,12 @@ def neardup_minhash_pairs(
         .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    sa = hashed.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    sb = hashed.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", jaccard("sh_a", "sh_b").alias("jaccard"))
+        .select("id_a", "id_b", jaccard("hs_a", "hs_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

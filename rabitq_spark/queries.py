@@ -360,8 +360,8 @@ WITH toks AS (
   FROM toks
 ), hashed AS (
   SELECT doc_id,
-         list_transform(shingles,
-           s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)) AS hs
+         list_distinct(list_transform(shingles,
+           s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT))) AS hs
   FROM sh
   WHERE len(shingles) > 0
 ), bands AS (
@@ -375,12 +375,12 @@ WITH toks AS (
 )
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
-         CASE WHEN len(list_distinct(list_concat(s1.shingles, s2.shingles))) = 0
+         CASE WHEN len(list_distinct(list_concat(s1.hs, s2.hs))) = 0
               THEN 0.0
-              ELSE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS DOUBLE)
+              ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(s1.hs, s2.hs))) AS DOUBLE)
          END AS jaccard
-  FROM cand JOIN sh s1 ON cand.id_a = s1.doc_id JOIN sh s2 ON cand.id_b = s2.doc_id
+  FROM cand JOIN hashed s1 ON cand.id_a = s1.doc_id JOIN hashed s2 ON cand.id_b = s2.doc_id
 ) t WHERE jaccard >= 0.8
 """
 
