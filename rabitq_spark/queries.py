@@ -702,6 +702,23 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# MLlib LSH alternates (seeded but implementation-defined hash families ->
+# rows-only checks; deterministic siblings in the dedup family are the
+# oracle-checked versions)
+
+def q_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.mllib_lsh import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.mllib_lsh import brp_lsh_pairs
+
+    return brp_lsh_pairs(load_table(spark, sf_dir, "embeddings"), max_l2_distance=1.25)
+
+
+# --------------------------------------------------------------------------
 # Text-analysis family
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,6 +877,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "rollup_revenue": q_rollup_revenue,
     "stream_window": q_stream_window,
+    "minhash_lsh_mllib": q_minhash_lsh_mllib,
+    "brp_lsh_mllib": q_brp_lsh_mllib,
 }
 
 ORACLE_SQL: dict[str, str] = {
