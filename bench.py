@@ -58,12 +58,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- index build (timed separately; search assumes a built index)
-    # nprobe/overfetch chosen for recall ≈ 0.85+ on this dataset (the sf0.1
-    # embeddings are 64-dim Gaussian-cluster synthetic data where near-ties
-    # dominate; see PLAN.md). Brute-force timing is reported alongside — at
-    # this base size (2k vectors) a cost-based engine would pick brute force;
-    # IVF pays off as |base| grows.
-    cfg = RaBitQConfig(n_clusters=32, nprobe=16, topk=TOPK, overfetch=16)
+    # nprobe/overfetch tuned on this dataset (64-dim Gaussian-cluster
+    # synthetic with heavy near-ties; see PLAN.md): recall@10 ≈ 0.97 at
+    # essentially the same wall time as lower settings because local-mode
+    # cost is stage-overhead-bound. Brute-force timing is reported alongside
+    # — at this base size (2k vectors) a cost-based engine picks brute force
+    # (operators/ann.py); IVF pays off as |base| grows.
+    cfg = RaBitQConfig(n_clusters=32, nprobe=24, topk=TOPK, overfetch=32)
     t0 = time.perf_counter()
     model = build_index(base, cfg)
     model.index_df = model.index_df.cache()
@@ -95,7 +96,16 @@ def main() -> None:
     # --- registered relational/extension queries at bench SF
     from rabitq_spark.queries import SPARK_QUERIES
 
-    skip = {"ann_ivf_exhaustive", "ann_ivf_recall", "knn_exact"}  # covered above
+    # ann_* / knn_exact covered by the headline section above; the MLlib LSH
+    # entries are library alternates to our oracle-checked dedup operators
+    # (minhash_lsh_mllib's approxSimilarityJoin is ~4x our minhash at sf0.1)
+    skip = {
+        "ann_ivf_exhaustive",
+        "ann_ivf_recall",
+        "knn_exact",
+        "minhash_lsh_mllib",
+        "brp_lsh_mllib",
+    }
     bench_queries = [(n, f) for n, f in SPARK_QUERIES.items() if n not in skip]
     # warmup pass at the smallest SF: same plan shapes -> JIT/codegen caches
     # are hot, so the timed loop measures the query, not first-run compilation
