@@ -1,0 +1,84 @@
+"""Document chunking and deterministic dataset splitting — training-data
+pipeline staples (north-star extension).
+
+Both are pure Column expressions: chunking explodes windowed token slices
+(no Python, no shuffle until the consumer aggregates); splitting assigns
+rows to train/val/test by md5-hash buckets, which is reproducible across
+engines, runs, and partitionings — the property random() splits lack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rabitq_spark.functions.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into token windows of `chunk_tokens` with
+    `overlap` tokens shared between consecutive chunks.
+
+    Output: (doc_id, chunk_no, chunk_text, n_chunk_tokens). Chunks start at
+    token offsets 0, stride, 2*stride... (stride = chunk_tokens - overlap);
+    the last window may be shorter but is never empty.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    # number of chunks = 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    extra = F.greatest(n - chunk_tokens, F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra.cast("double") / stride).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.alias("chunk_no"),
+            F.slice(w, c * stride + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("ch")
+    )
+    return out.select(
+        "doc_id",
+        F.col("ch.chunk_no").alias("chunk_no"),
+        F.array_join(F.col("ch.toks"), " ").alias("chunk_text"),
+        F.size(F.col("ch.toks")).alias("n_chunk_tokens"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket of the id.
+
+    bucket = first 8 md5 hex chars of (salt|id) mod 100; rows keep their
+    split across runs, partitionings, and engines. Returns the input plus a
+    `split` column.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -702,6 +702,57 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Chunking + deterministic splits (training-data pipeline staples)
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"), 32, 8)
+
+
+_SQL_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), n AS (
+  SELECT doc_id, w,
+         1 + CAST(ceil(CAST(greatest(len(w) - 32, 0) AS DOUBLE) / 24) AS INT) AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(c AS INT) AS chunk_no,
+       array_to_string(w[c*24 + 1 : c*24 + 32], ' ') AS chunk_text,
+       CAST(len(w[c*24 + 1 : c*24 + 32]) AS INT) AS n_chunk_tokens
+FROM n, LATERAL unnest(range(0, n_chunks)) AS u(c)
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.chunking import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs.select("doc_id"), "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(concat('split-v1|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM b GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # MLlib LSH alternates (seeded but implementation-defined hash families ->
 # rows-only checks; deterministic siblings in the dedup family are the
 # oracle-checked versions)
@@ -879,9 +930,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window": q_stream_window,
     "minhash_lsh_mllib": q_minhash_lsh_mllib,
     "brp_lsh_mllib": q_brp_lsh_mllib,
+    "chunk_documents": q_chunk_documents,
+    "hash_split": q_hash_split,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "chunk_documents": _SQL_CHUNKS,
+    "hash_split": _SQL_HASH_SPLIT,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "customers_without_orders": _SQL_CUST_NO_ORDERS,
     "rollup_revenue": _SQL_ROLLUP,

@@ -1,0 +1,38 @@
+"""Chunking + deterministic hash split semantics."""
+
+from pyspark.sql import functions as F
+
+from rabitq_spark.operators.chunking import chunk_documents, hash_split
+
+
+def test_chunk_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(80))  # 80 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    # stride 24: chunks at 0, 24, 48 -> token 80 not covered by 48+32=80 ✓
+    assert [r.chunk_no for r in out] == [0, 1, 2]
+    assert out[0].n_chunk_tokens == 32 and out[2].n_chunk_tokens == 32
+    toks0 = out[0].chunk_text.split(" ")
+    toks1 = out[1].chunk_text.split(" ")
+    assert toks0[24:] == toks1[:8]  # overlap shared
+    assert toks0[0] == "t0" and toks1[0] == "t24"
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    assert len(out) == 1
+    assert out[0].chunk_text == "a b c" and out[0].n_chunk_tokens == 3
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    assert a == b  # reproducible
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.7 <= train / n <= 0.9  # roughly 80%
+    # different salt -> different assignment (not a constant function)
+    c = {r.doc_id: r.split for r in hash_split(docs, "doc_id", salt="other").collect()}
+    assert c != a

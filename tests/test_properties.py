@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the kernel layer — SURVEY §5.2/5.3.
+
+Strategy sizes are kept small: each example round-trips through a Spark job.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rabitq_spark.index.build import pack_signs
+from rabitq_spark.sources.vecs import decode_vecs_bytes, write_vecs
+
+# pure-python/numpy properties (no Spark in the loop -> many examples)
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-1e6, 1e6, width=32), min_size=1, max_size=40),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_vecs_roundtrip_property(tmp_path_factory, vecs):
+    path = str(tmp_path_factory.mktemp("v") / "x.fvecs")
+    arrs = [np.asarray(v, np.float32) for v in vecs]
+    write_vecs(path, arrs, "fvecs")
+    back = decode_vecs_bytes(open(path, "rb").read(), "fvecs")
+    assert len(back) == len(arrs)
+    for a, b in zip(arrs, back):
+        np.testing.assert_array_equal(a, b)
+
+
+@given(st.integers(1, 8), st.integers(0, 2**32))
+@settings(max_examples=100, deadline=None)
+def test_pack_signs_bit_semantics(n_words, seed):
+    rng = np.random.default_rng(seed)
+    dim = n_words * 64
+    mat = rng.standard_normal((3, dim)).astype(np.float32)
+    mat[rng.random((3, dim)) < 0.1] = 0.0  # zeros must NOT set bits
+    packed = pack_signs(mat)
+    assert packed.shape == (3, n_words)
+    for r in range(3):
+        bits = np.unpackbits(
+            packed[r].view(np.uint8), bitorder="little"
+        ).astype(bool)
+        np.testing.assert_array_equal(bits[:dim], mat[r] > 0)
+
+
+def test_rough_expr_matches_scalar_model(spark):
+    """D5 rough-distance Column expression evaluated by Spark, cross-checked
+    against an independent scalar reimplementation of the reference formula
+    (src/rabitq.rs:336-367) on random inputs — covers the slice indexing,
+    bit ops, and float32->double promotions in the codegen tree."""
+    from rabitq_spark.index.search import rough_distance_expr
+
+    rng = np.random.default_rng(0)
+    n_words = 2
+    rows = []
+    for i in range(64):
+        rows.append(
+            {
+                "i": i,
+                "code": rng.integers(0, 2**63, n_words, dtype=np.int64).tolist(),
+                "qplanes": rng.integers(0, 2**63, 4 * n_words, dtype=np.int64).tolist(),
+                "center_dist_sq": float(np.float32(rng.random() * 4)),
+                "y_c_dist_sq": float(np.float32(rng.random() * 4)),
+                "lower_bound": float(np.float32(rng.standard_normal())),
+                "scalar_sum": float(np.float32(rng.integers(0, 15 * 64))),
+                "delta": float(np.float32(rng.random() * 0.1)),
+                "factor_ip": float(np.float32(-rng.random())),
+                "factor_ppc": float(np.float32(rng.standard_normal())),
+                "error_bound": float(np.float32(rng.random())),
+            }
+        )
+    schema = (
+        "i int, code array<bigint>, qplanes array<bigint>, "
+        "center_dist_sq float, y_c_dist_sq float, lower_bound float, "
+        "scalar_sum float, delta float, factor_ip float, factor_ppc float, "
+        "error_bound float"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.i: r.rough
+        for r in df.select("i", rough_distance_expr(4, n_words).alias("rough")).collect()
+    }
+    for row in rows:
+        asym = 0
+        for p in range(4):
+            plane = row["qplanes"][p * n_words : (p + 1) * n_words]
+            asym += sum(
+                bin((int(c) & int(q)) & ((1 << 64) - 1)).count("1")
+                for c, q in zip(row["code"], plane)
+            ) << p
+        want = (
+            np.float64(np.float32(row["center_dist_sq"]))
+            + np.float64(np.float32(row["y_c_dist_sq"]))
+            + np.float64(np.float32(row["lower_bound"]))
+            * np.float64(np.float32(row["factor_ppc"]))
+            + (2.0 * asym - np.float64(np.float32(row["scalar_sum"])))
+            * np.float64(np.float32(row["factor_ip"]))
+            * np.float64(np.float32(row["delta"]))
+            - np.float64(np.float32(row["error_bound"]))
+            * np.sqrt(np.float64(np.float32(row["y_c_dist_sq"])))
+        )
+        assert abs(got[row["i"]] - want) < 1e-6 * max(1.0, abs(want))
