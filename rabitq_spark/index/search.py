@@ -126,15 +126,27 @@ def rough_distance_expr(theta_log_dim: int, n_words: int) -> F.Column:
     rough = center_dist_sq + y_c_dist_sq + lower_bound·factor_ppc
             + (2·asym_dot − scalar_sum)·factor_ip·delta
             − error_bound·sqrt(y_c_dist_sq)
+
+    The popcount sum is fully UNROLLED over (plane, word) into scalar
+    element_at/bit_count terms: the earlier slice+zip_with+aggregate fold
+    allocated per-row arrays, which capped rough scoring at ~1.4 M rows/s
+    and made IVF lose to brute force past ~1e5 candidates (measured,
+    scripts/scaling_probe.py). Unrolled scalar codegen removes every
+    allocation; indexes are compile-time constants within bounds, so it is
+    ANSI-safe.
     """
-    asym = F.lit(0).cast("bigint")
+    asym = None
     for p in range(theta_log_dim):
-        plane = F.slice(F.col("qplanes"), p * n_words + 1, n_words)
-        anded = F.zip_with(
-            F.col("code"), plane, lambda x, y: F.bit_count(x.bitwiseAND(y))
-        )
-        pop = F.aggregate(anded, F.lit(0), lambda s, v: s + v)
-        asym = asym + F.shiftleft(pop.cast("bigint"), p)
+        pop = None
+        for w in range(n_words):
+            term = F.bit_count(
+                F.element_at(F.col("code"), w + 1).bitwiseAND(
+                    F.element_at(F.col("qplanes"), p * n_words + w + 1)
+                )
+            )
+            pop = term if pop is None else pop + term
+        shifted = F.shiftleft(pop.cast("bigint"), p)
+        asym = shifted if asym is None else asym + shifted
     return (
         F.col("center_dist_sq")
         + F.col("y_c_dist_sq")

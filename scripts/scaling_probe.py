@@ -23,8 +23,11 @@ from rabitq_spark.index import build_index, search
 from rabitq_spark.operators.knn import knn_exact_fast
 from rabitq_spark.session import get_spark
 
-DIM = 64
-NQ = 1000
+import os
+
+DIM = int(os.environ.get("PROBE_DIM", "64"))
+PROBE_DIV = int(os.environ.get("PROBE_DIV", "8"))
+NQ = int(os.environ.get("PROBE_NQ", "1000"))
 K = 10
 
 
@@ -67,7 +70,7 @@ def main():
         queries.count()
         k_clusters = max(16, int(np.sqrt(n)))
         cfg = RaBitQConfig(
-            n_clusters=k_clusters, nprobe=max(8, k_clusters // 8), topk=K, overfetch=16
+            n_clusters=k_clusters, nprobe=max(8, k_clusters // PROBE_DIV), topk=K, overfetch=16
         )
         t0 = time.perf_counter()
         model = build_index(base, cfg, kmeans_sample_fraction=min(1.0, 50_000 / n))
