@@ -102,7 +102,9 @@ SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        # l_shipdate reads as TIMESTAMP_NTZ; the literal must be NTZ too or
+        # the comparison would coerce through the session timezone
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum("l_quantity").alias("sum_qty"),
@@ -644,6 +646,41 @@ FROM per_user
 """
 
 
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts spread across event-type columns."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer day index from epoch-micros: session-timezone-proof (unlike
+    # date_format on TIMESTAMP, which renders in the session zone)
+    daily = ev.select(
+        F.expr("ts_us DIV 86400000000").alias("day_idx"), "event_type"
+    )
+    return (
+        daily.groupBy("day_idx")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .select(
+            "day_idx",
+            F.col("click").alias("n_click"),
+            F.col("view").alias("n_view"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("signup").alias("n_signup"),
+            F.col("error").alias("n_error"),
+        )
+    )
+
+
+_SQL_PIVOT_EVENTS = """
+SELECT epoch_us(ts) // 86400000000 AS day_idx,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'view') AS n_view,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY 1
+"""
+
+
 _STREAM_SEQ = [0]
 
 
@@ -932,11 +969,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brp_lsh_mllib": q_brp_lsh_mllib,
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
+    "pivot_events": q_pivot_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "chunk_documents": _SQL_CHUNKS,
     "hash_split": _SQL_HASH_SPLIT,
+    "pivot_events": _SQL_PIVOT_EVENTS,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "customers_without_orders": _SQL_CUST_NO_ORDERS,
     "rollup_revenue": _SQL_ROLLUP,
