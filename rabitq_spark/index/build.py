@@ -89,6 +89,40 @@ def _kmeans_centroids(
     return np.vstack(centers).astype(np.float32)
 
 
+def append_to_index(model: RaBitQModel, new_base: DataFrame,
+                    id_col: str = "id", vec_col: str = "vec") -> RaBitQModel:
+    """Incrementally index new vectors into an existing model.
+
+    The reference leaves insert/update/delete unimplemented (README.md:18
+    unchecked); in Spark this is natural: quantize the new batch with the
+    FROZEN trained state (same centroids, rotation, bias — so existing codes
+    stay valid) and union the index/base DataFrames. On disk this is an
+    append of new Parquet files into the cluster_id partitions; no existing
+    data is rewritten. Recall degrades only if the data distribution drifts
+    from the trained centroids — the standard IVF contract.
+    """
+    appended = build_index(
+        new_base,
+        model.config,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=model.dim,
+        centroids=model.centroids_proj @ model.rotation.T,  # undo projection
+        debug_deterministic=False,
+        _frozen_state=(model.rotation, model.rand_bias, model.centroids_proj),
+    )
+    return RaBitQModel(
+        config=model.config,
+        dim=model.dim,
+        dim_pad=model.dim_pad,
+        rotation=model.rotation,
+        rand_bias=model.rand_bias,
+        centroids_proj=model.centroids_proj,
+        index_df=model.index_df.unionByName(appended.index_df),
+        base_df=model.base_df.unionByName(appended.base_df),
+    )
+
+
 def hierarchical_kmeans_centroids(
     base: DataFrame,
     vec_col: str,
@@ -155,6 +189,7 @@ def build_index(
     centroids: np.ndarray | None = None,
     kmeans_sample_fraction: float | None = None,
     debug_deterministic: bool = False,
+    _frozen_state: tuple | None = None,
 ) -> RaBitQModel:
     """Train the IVF+RaBitQ index over `base` (id_col BIGINT, vec_col ARRAY<FLOAT>)."""
     spark = base.sparkSession
@@ -180,15 +215,20 @@ def build_index(
         pad = np.zeros((centroids.shape[0], dim_pad - centroids.shape[1]), np.float32)
         centroids = np.hstack([centroids, pad])
 
-    if debug_deterministic:
+    if _frozen_state is not None:
+        # incremental append: reuse the trained transform so new codes are
+        # commensurable with existing ones (see append_to_index)
+        rotation, rand_bias, centroids_proj = _frozen_state
+    elif debug_deterministic:
         # P3 debug generators (src/utils.rs:22-34): P = I, bias = 0.5 make
         # every stage exactly reproducible and hand-checkable (SURVEY §5.4)
         rotation = gen_identity_rotation(dim_pad)
         rand_bias = gen_fixed_bias(dim_pad)
+        centroids_proj = (centroids @ rotation).astype(np.float32)
     else:
         rotation = gen_rotation(dim_pad, config.seed)
         rand_bias = gen_bias(dim_pad, config.seed)
-    centroids_proj = (centroids @ rotation).astype(np.float32)
+        centroids_proj = (centroids @ rotation).astype(np.float32)
 
     sc = spark.sparkContext
     bc = sc.broadcast((rotation, centroids_proj))

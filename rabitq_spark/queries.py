@@ -72,6 +72,67 @@ SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
 # --------------------------------------------------------------------------
 # Q: per-group top-k (A1/A5 window partial sort) on relational data
 
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k by cosine similarity (descending) — the distance the
+    reference leaves unchecked (README.md:19). IVF handles cosine by
+    normalizing vectors (cosine ranking == L2 ranking on unit vectors);
+    this brute-force form is the oracle anchor."""
+    from rabitq_spark.functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        F.col("vec_id"), F.col("embedding"), l2_norm("embedding").alias("norm")
+    )
+    q = normed.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = normed.crossJoin(F.broadcast(q))
+    denom = F.col("qnorm") * F.col("norm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot("qvec", "embedding") / denom
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        _KNN_K,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+_SQL_KNN_COSINE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(
+           list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+           (a, x) -> a + x)) AS norm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm
+  FROM normed WHERE vec_id < {_KNN_NQ}
+), scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         CASE WHEN q.qnorm * n.norm = 0.0 THEN 0.0
+              ELSE list_reduce(
+                     list_transform(range(1, len(q.qvec) + 1),
+                       i -> CAST(q.qvec[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)),
+                     (a, x) -> a + x) / (q.qnorm * n.norm)
+         END AS cosine
+  FROM normed n, q
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {_KNN_K}
+"""
+
+
 def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -942,6 +1003,7 @@ SELECT token, cnt, CAST(rank AS INT) AS rank FROM (
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_exact": q_knn_exact,
+    "knn_cosine": q_knn_cosine,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_recall": q_ann_ivf_recall,
     "topk_orders_per_segment": q_topk_orders_per_segment,
@@ -973,6 +1035,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "knn_cosine": _SQL_KNN_COSINE,
     "chunk_documents": _SQL_CHUNKS,
     "hash_split": _SQL_HASH_SPLIT,
     "pivot_events": _SQL_PIVOT_EVENTS,

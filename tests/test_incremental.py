@@ -1,0 +1,51 @@
+"""Incremental index append + cosine-via-normalization equivalence."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rabitq_spark.config import RaBitQConfig
+from rabitq_spark.index import append_to_index, build_index, search
+from rabitq_spark.operators.knn import knn_exact
+
+
+def test_append_then_exhaustive_equals_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    half1 = base.filter("id % 2 = 0")
+    half2 = base.filter("id % 2 = 1")
+    cfg = RaBitQConfig(n_clusters=8, topk=5)
+    model = build_index(half1, cfg)
+    model = append_to_index(model, half2)
+    assert model.index_df.count() == base.count()
+
+    queries = emb.filter("vec_id < 6").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = knn_exact(queries, base, 5).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    exh = search(
+        model, queries, topk=5, nprobe=model.n_clusters, overfetch=10**6
+    ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(exh, exact, check_exact=True)
+
+
+def test_cosine_equals_l2_on_normalized(spark, sf_dir):
+    # cosine top-k == L2 top-k over unit-normalized vectors (how the IVF
+    # path serves cosine); ranks must agree where no near-ties exist
+    from rabitq_spark.queries import q_knn_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cos = q_knn_cosine(spark, sf_dir).toPandas()
+
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].values).astype(np.float64)
+    ids = pdf["vec_id"].values
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in range(3):
+        qv = unit[ids == qid][0]
+        d = ((unit - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))[:10]
+        got = cos[cos.query_id == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert got == ids[order].tolist()
