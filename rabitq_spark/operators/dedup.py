@@ -52,6 +52,38 @@ def dedup_exact(
     ).withColumn("is_dup", (F.col("doc_id") != F.col("canonical_id")).cast("int"))
 
 
+def _banded_candidates(keys_df, n_bands: int, carry: list[str]):
+    """Candidate pairs from banded keys, each pair exactly once.
+
+    `keys_df` has doc_id, key columns k0..k{n-1}, and `carry` payload
+    columns. One equi-join per band; band b additionally requires all
+    earlier bands to mismatch (scalar predicates — no per-row array
+    allocation, the same codegen lesson as rough_distance_expr). A pair is
+    emitted only by its first matching band, so no .distinct() is needed.
+    Union of n_bands joins; each shuffles by its own band key.
+    """
+    parts = []
+    for b in range(n_bands):
+        l, r = keys_df.alias("l"), keys_df.alias("r")
+        cond = (F.col(f"l.k{b}") == F.col(f"r.k{b}")) & (
+            F.col("l.doc_id") < F.col("r.doc_id")
+        )
+        for i in range(b):
+            cond = cond & (F.col(f"l.k{i}") != F.col(f"r.k{i}"))
+        parts.append(
+            l.join(r, cond).select(
+                F.col("l.doc_id").alias("id_a"),
+                F.col("r.doc_id").alias("id_b"),
+                *[F.col(f"l.{c}").alias(f"{c}_a") for c in carry],
+                *[F.col(f"r.{c}").alias(f"{c}_b") for c in carry],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _shingle_table(
     docs: DataFrame, id_col: str, text_col: str, shingle_words: int
 ) -> DataFrame:
@@ -86,33 +118,11 @@ def neardup_minhash_pairs(
     hashed = sh.select(
         "doc_id", F.array_distinct(shingle_hashes60("shingles")).alias("hs")
     ).cache()
-    bands = hashed.select(
+    keys = hashed.filter(F.size("hs") > 0).select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        xor_minhash_key("hs", b).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    bands = bands.filter(F.col("key").isNotNull())
-    left = bands.alias("l")
-    right = bands.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .distinct()
+        *[xor_minhash_key("hs", b).alias(f"k{b}") for b in range(n_bands)],
     )
+    cand = _banded_candidates(keys, n_bands, carry=[])
     sa = hashed.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     sb = hashed.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     return (
@@ -142,41 +152,17 @@ def simhash_pairs(
         F.col(id_col).alias("doc_id"), simhash60(F.col(text_col)).alias("sim")
     ).cache()
     mask = (1 << band_bits) - 1
-    bands = sh.select(
+    keys = sh.select(
         "doc_id",
         "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.call_function(
-                            "shiftright", F.col("sim"), F.lit(b * band_bits)
-                        )
-                        .bitwiseAND(F.lit(mask).cast("bigint"))
-                        .alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "sim", "bk.band", "bk.key")
-    left, right = bands.alias("l"), bands.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-            F.col("l.sim").alias("sim_a"),
-            F.col("r.sim").alias("sim_b"),
-        )
-        .distinct()
+        *[
+            F.call_function("shiftright", F.col("sim"), F.lit(b * band_bits))
+            .bitwiseAND(F.lit(mask).cast("bigint"))
+            .alias(f"k{b}")
+            for b in range(n_bands)
+        ],
     )
+    cand = _banded_candidates(keys, n_bands, carry=["sim"])
     return (
         cand.select("id_a", "id_b", hamming60("sim_a", "sim_b").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
