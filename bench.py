@@ -76,9 +76,12 @@ def main() -> None:
     # warmup (JIT/codegen/broadcast) with a small batch
     search(model, queries.limit(10)).write.format("noop").mode("overwrite").save()
 
-    # --- headline: 1k-query ANN batch
+    # --- headline: 1k-query ANN batch (with A10 candidate counters)
+    from rabitq_spark.metrics import SearchMetrics
+
+    metrics = SearchMetrics()
     t0 = time.perf_counter()
-    approx = search(model, queries)
+    approx = search(model, queries, metrics=metrics)
     approx_pdf = approx.toPandas()
     ann_batch_sec = time.perf_counter() - t0
     timings["ann_batch_1k"] = ann_batch_sec
@@ -134,6 +137,9 @@ def main() -> None:
         "overfetch": cfg.overfetch,
         "recall_at_k": round(recall, 4),
         "ann_qps": round(nq / ann_batch_sec, 1),
+        # reference src/metrics.rs analogue: estimator selectivity
+        "rough_candidates_per_query": round(metrics.rough_count / max(nq, 1), 1),
+        "precise_rerank_per_query": round(metrics.precise_count / max(nq, 1), 1),
     }
     spark.stop()
     print(json.dumps(result))

