@@ -64,7 +64,7 @@ def main() -> None:
     # cost is stage-overhead-bound. Brute-force timing is reported alongside
     # — at this base size (2k vectors) a cost-based engine picks brute force
     # (operators/ann.py); IVF pays off as |base| grows.
-    cfg = RaBitQConfig(n_clusters=32, nprobe=24, topk=TOPK, overfetch=32)
+    cfg = RaBitQConfig(n_clusters=32, nprobe=28, topk=TOPK, overfetch=32)
     t0 = time.perf_counter()
     model = build_index(base, cfg)
     model.index_df = model.index_df.cache()

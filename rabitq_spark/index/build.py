@@ -68,28 +68,61 @@ def pack_signs(mat: np.ndarray) -> np.ndarray:
     return packed.view(np.uint64).astype(np.int64, copy=False)
 
 
+def _numpy_lloyd(x: np.ndarray, k: int, seed: int, iters: int = 15) -> np.ndarray:
+    """Seeded Lloyd k-means on a driver-held sample (vectorized GEMM
+    assignment). Deterministic; empty clusters respawn on the farthest
+    points."""
+    rng = np.random.default_rng(seed)
+    k = min(k, x.shape[0])
+    centers = x[rng.choice(x.shape[0], size=k, replace=False)].astype(np.float32)
+    x_sq = (x.astype(np.float32) ** 2).sum(axis=1)
+    for _ in range(iters):
+        d2 = x_sq[:, None] - 2.0 * (x @ centers.T) + (centers**2).sum(axis=1)[None, :]
+        lab = d2.argmin(axis=1)
+        for j in range(k):
+            m = lab == j
+            if m.any():
+                centers[j] = x[m].mean(axis=0)
+            else:
+                centers[j] = x[d2.min(axis=1).argmax()]
+    return centers
+
+
 def _kmeans_centroids(
-    base: DataFrame, vec_col: str, k: int, seed: int, sample_fraction: float | None
+    base: DataFrame,
+    vec_col: str,
+    k: int,
+    seed: int,
+    sample_fraction: float | None,
+    max_sample_rows: int = 100_000,
+    use_mllib: bool = False,
 ) -> np.ndarray:
-    """Coarse centroids with MLlib KMeans on the raw (padded) vectors.
+    """Coarse centroids, replacing scripts/cluster.py (faiss).
 
-    Replaces scripts/cluster.py (faiss). Assignments are computed later in
-    projected space, which is equivalent since P is orthogonal. At 100 TB,
-    train on a sample (reference does the same via reservoir sampling,
-    scripts/cluster.py:10-19); the transform pass still covers every row.
+    Default path mirrors the reference exactly: train on a bounded SAMPLE
+    (scripts/cluster.py:10-19 reservoir-samples before faiss) held on the
+    driver, with seeded numpy Lloyd — deterministic and free of MLlib's JVM
+    warm-up cost. Assignments for every row still happen in the distributed
+    transform pass. `use_mllib=True` switches to distributed MLlib KMeans
+    for cases where even the sample must stay distributed.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if use_mllib:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    df = base.select(array_to_vector(F.col(vec_col)).alias("features"))
+        df = base.select(array_to_vector(F.col(vec_col)).alias("features"))
+        if sample_fraction is not None and sample_fraction < 1.0:
+            df = df.sample(fraction=sample_fraction, seed=seed)
+        model = KMeans(k=k, seed=seed, maxIter=10, initMode="k-means||").fit(df)
+        centers = [np.asarray(c) for c in model.clusterCenters()]
+        return np.vstack(centers).astype(np.float32)
+
+    df = base.select(F.col(vec_col).alias("v"))
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    # maxIter=10: search recall is insensitive to coarse-centroid polish
-    # (measured 0.969 at 25 iters vs 0.971 at 5 on the bench data) and IVF
-    # only needs a balanced partition of space, not converged centers
-    model = KMeans(k=k, seed=seed, maxIter=10, initMode="k-means||").fit(df)
-    centers = [np.asarray(c) for c in model.clusterCenters()]
-    return np.vstack(centers).astype(np.float32)
+    sample = df.limit(max_sample_rows).toPandas()
+    x = np.vstack(sample["v"].values).astype(np.float32)
+    return _numpy_lloyd(x, k, seed)
 
 
 def append_to_index(model: RaBitQModel, new_base: DataFrame,
