@@ -772,6 +772,44 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for each purchase, count/sum the same user's clicks in
+    the preceding 30 minutes (binned-bucket plan, no quadratic scan)."""
+    from rabitq_spark.operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts_us").alias("p_ts_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_ts_us"), F.col("value").alias("c_value")
+    )
+    w_us = 30 * 60 * 1_000_000
+    pairs = interval_join(purchases, clicks, "user_id", "p_ts_us", "c_ts_us", w_us)
+    return (
+        pairs.groupBy("p_id", "user_id", "p_ts_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_30m"),
+            F.sum(F.col("c_value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("click_value_30m"),
+        )
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
+       COUNT(*) AS n_clicks_30m,
+       CAST(SUM(CAST(c.value AS DECIMAL(38,6))) AS DOUBLE) AS click_value_30m
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+GROUP BY 1, 2, 3
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + aggregation (semi-structured columns)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1021,6 +1059,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "funnel": q_funnel,
     "json_props": q_json_props,
+    "interval_join": q_interval_join,
     "similarity_join": q_similarity_join,
     "multimodal_features": q_multimodal_features,
     "shipping_priority": q_shipping_priority,
@@ -1049,6 +1088,7 @@ ORACLE_SQL: dict[str, str] = {
     "asof_purchase_click": _SQL_ASOF,
     "window_events": _SQL_WINDOW_EVENTS,
     "sessionize": _SQL_SESSIONIZE,
+    "interval_join": _SQL_INTERVAL_JOIN,
     "funnel": _SQL_FUNNEL,
     "json_props": _SQL_JSON_PROPS,
     "knn_exact": _SQL_KNN_EXACT,
