@@ -158,6 +158,105 @@ def rough_distance_expr(theta_log_dim: int, n_words: int) -> F.Column:
     )
 
 
+_POPCNT = None
+
+
+def _popcount64(arr: "np.ndarray") -> "np.ndarray":
+    """Vectorized popcount for int64 arrays (numpy<2 has no bitwise_count):
+    byte-LUT sum over the 8 bytes of each word."""
+    global _POPCNT
+    if _POPCNT is None:
+        _POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+    b = arr.view(np.uint8).reshape(*arr.shape, 8)
+    return _POPCNT[b].sum(axis=-1).astype(np.int64)
+
+
+def _fused_shortlist(
+    model: RaBitQModel, probes: DataFrame, r: int, theta_log_dim: int
+) -> DataFrame:
+    """Alternative stages 5-6: rough-score candidates and keep a local top-R
+    per query inside ONE mapInPandas over the index — the probe table rides
+    as a broadcast keyed by cluster.
+
+    Trades the JVM join+window for numpy batch math plus a much smaller
+    window input (≤ R rows per query per index partition instead of every
+    candidate). Wins when candidates/query is large; the JVM path wins on
+    small batches. Results are identical: same estimator, same top-R
+    semantics (ties on rough broken by orig_id via stable ordering).
+    """
+    spark = probes.sparkSession
+    ppdf = probes.toPandas()
+    n_words = model.n_words
+    by_cluster: dict = {}
+    for cid, grp in ppdf.groupby("cluster_id"):
+        planes = np.vstack(grp["qplanes"].values).astype(np.int64)  # (p, 4w)
+        by_cluster[int(cid)] = (
+            grp["query_id"].values.astype(np.int64),
+            grp["y_c_dist_sq"].values.astype(np.float32),
+            grp["lower_bound"].values.astype(np.float32),
+            grp["delta"].values.astype(np.float32),
+            grp["scalar_sum"].values.astype(np.float32),
+            planes.reshape(len(grp), theta_log_dim, n_words),
+        )
+    bc = spark.sparkContext.broadcast(by_cluster)
+
+    def score(batches):
+        probes_by_cluster = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_id, out_rough = [], [], []
+            for cid, grp in pdf.groupby("cluster_id"):
+                pr = probes_by_cluster.get(int(cid))
+                if pr is None:
+                    continue
+                qids, ycd, lb, delta, ssum, planes = pr
+                codes = np.vstack(grp["code"].values).astype(np.int64)  # (m, w)
+                m = codes.shape[0]
+                # asym[p_i, m_j] = Σ_plane popcount(code & plane) << plane
+                asym = np.zeros((len(qids), m), dtype=np.int64)
+                for p in range(theta_log_dim):
+                    anded = planes[:, p, None, :] & codes[None, :, :]
+                    asym += _popcount64(anded).sum(axis=-1) << p
+                f_ip = grp["factor_ip"].values.astype(np.float32)
+                f_ppc = grp["factor_ppc"].values.astype(np.float32)
+                eb = grp["error_bound"].values.astype(np.float32)
+                cds = grp["center_dist_sq"].values.astype(np.float32)
+                rough = (
+                    cds[None, :].astype(np.float64)
+                    + ycd[:, None]
+                    + lb[:, None] * f_ppc[None, :]
+                    + (2.0 * asym - ssum[:, None]) * (f_ip[None, :] * delta[:, None])
+                    - eb[None, :] * np.sqrt(ycd)[:, None]
+                )
+                ids = grp["orig_id"].values.astype(np.int64)
+                qq = np.repeat(qids, m)
+                out_q.append(qq)
+                out_id.append(np.tile(ids, len(qids)))
+                out_rough.append(rough.ravel())
+            if not out_q:
+                continue
+            q = np.concatenate(out_q)
+            i = np.concatenate(out_id)
+            ro = np.concatenate(out_rough)
+            # local top-R per query: sort by (query, rough, id), take first R
+            order = np.lexsort((i, ro, q))
+            q, i, ro = q[order], i[order], ro[order]
+            boundaries = np.flatnonzero(np.diff(q)) + 1
+            starts = np.concatenate(([0], boundaries))
+            ends = np.concatenate((boundaries, [len(q)]))
+            keep = np.concatenate(
+                [np.arange(s, min(s + r, e)) for s, e in zip(starts, ends)]
+            )
+            yield pd.DataFrame(
+                {"query_id": q[keep], "orig_id": i[keep], "rough": ro[keep]}
+            )
+
+    return model.index_df.mapInPandas(
+        score, "query_id bigint, orig_id bigint, rough double"
+    )
+
+
 def search(
     model: RaBitQModel,
     queries: DataFrame,
@@ -168,6 +267,7 @@ def search(
     query_vec: str = "qvec",
     prune_partitions: bool = True,
     metrics: "SearchMetrics | None" = None,
+    impl: str = "jvm",
 ) -> DataFrame:
     """Batch top-k ANN: returns (query_id, neighbor_id, dist, rank).
 
@@ -193,22 +293,35 @@ def search(
         probed = [r.cluster_id for r in probes.select("cluster_id").distinct().collect()]
         index = index.filter(F.col("cluster_id").isin(probed))
 
-    # Stage 5: J2 equi-join + D5 estimator. Probe side is small → broadcast.
-    cand = index.join(F.broadcast(probes), "cluster_id")
-    cand = cand.select(
-        "query_id",
-        "orig_id",
-        rough_distance_expr(cfg.theta_log_dim, model.n_words).alias("rough"),
-    )
-    if metrics is not None:
-        # A10 rough-candidate counter (src/metrics.rs analogue, zero extra pass)
-        cand = cand.observe(metrics.rough, F.count(F.lit(1)).alias("rough_count"))
-
-    # Stage 6: top-R rough per query (WindowGroupLimit ≥ Spark 3.5).
     r = max(topk * overfetch, topk)
-    shortlist = topk_per_group(
-        cand, ["query_id"], [F.col("rough").asc(), F.col("orig_id").asc()], r
-    ).select("query_id", "orig_id")
+    if impl == "fused":
+        # Stages 5-6 fused in one Arrow pass (see _fused_shortlist)
+        local = _fused_shortlist(model, probes, r, cfg.theta_log_dim)
+        if metrics is not None:
+            local = local.observe(
+                metrics.rough, F.count(F.lit(1)).alias("rough_count")
+            )
+        shortlist = topk_per_group(
+            local, ["query_id"], [F.col("rough").asc(), F.col("orig_id").asc()], r
+        ).select("query_id", "orig_id")
+    else:
+        # Stage 5: J2 equi-join + D5 estimator. Probe side small → broadcast.
+        cand = index.join(F.broadcast(probes), "cluster_id")
+        cand = cand.select(
+            "query_id",
+            "orig_id",
+            rough_distance_expr(cfg.theta_log_dim, model.n_words).alias("rough"),
+        )
+        if metrics is not None:
+            # A10 rough-candidate counter (src/metrics.rs analogue, no extra pass)
+            cand = cand.observe(
+                metrics.rough, F.count(F.lit(1)).alias("rough_count")
+            )
+
+        # Stage 6: top-R rough per query (WindowGroupLimit ≥ Spark 3.5).
+        shortlist = topk_per_group(
+            cand, ["query_id"], [F.col("rough").asc(), F.col("orig_id").asc()], r
+        ).select("query_id", "orig_id")
     if metrics is not None:
         shortlist = shortlist.observe(
             metrics.precise, F.count(F.lit(1)).alias("precise_count")

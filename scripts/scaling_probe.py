@@ -28,6 +28,7 @@ import os
 DIM = int(os.environ.get("PROBE_DIM", "64"))
 PROBE_DIV = int(os.environ.get("PROBE_DIV", "8"))
 NQ = int(os.environ.get("PROBE_NQ", "1000"))
+IMPL = os.environ.get("PROBE_IMPL", "jvm")
 K = 10
 
 
@@ -80,9 +81,9 @@ def main():
         model.base_df.count()
         build_s = time.perf_counter() - t0
 
-        search(model, queries.limit(10)).write.format("noop").mode("overwrite").save()
+        search(model, queries.limit(10), impl=IMPL).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        approx = search(model, queries).toPandas()
+        approx = search(model, queries, impl=IMPL).toPandas()
         ivf_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -71,6 +71,17 @@ def test_estimator_is_probabilistic_lower_bound(spark, model_and_data):
     assert np.corrcoef(joined["rough"], joined["exact"])[0, 1] > 0.5
 
 
+def test_fused_impl_equals_jvm(spark, model_and_data):
+    model, base, queries = model_and_data
+    a = search(model, queries, impl="jvm").toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    b = search(model, queries, impl="fused").toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
 def test_save_load_roundtrip(spark, model_and_data, tmp_path):
     model, base, queries = model_and_data
     before = search(model, queries, topk=K).toPandas().sort_values(
