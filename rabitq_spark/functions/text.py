@@ -81,6 +81,45 @@ def shingle_hashes60(shingles: Column | str) -> Column:
     return F.transform(_c(shingles), token_hash60)
 
 
+_MASK60 = (1 << 60) - 1
+
+
+def word_hashes(text: Column | str) -> Column:
+    """One 60-bit md5 hash per token."""
+    return F.transform(tokens(text), token_hash60)
+
+
+def combine_word_hashes(h: Column | str, n: int = 3) -> Column:
+    """Distinct word-n-gram hashes from a PRE-MATERIALIZED word-hash array:
+    combine n consecutive word hashes with shift-xor mixing, masked to 60
+    bits. Equivalent to hashing the joined shingle string up to negligible
+    collision probability, at one md5 per WORD instead of per shingle.
+
+    IMPORTANT: `h` must come from a separate, materialized projection (cache
+    or shuffle boundary). If the word_hashes expression is inlined here,
+    Catalyst's CollapseProject re-evaluates the whole md5 array once per
+    shingle element — measured 45 s vs 1 s at 5k docs. Mirror the exact
+    mixing in oracle SQL.
+    """
+    h = _c(h)
+    mix = F.transform(
+        F.sequence(F.lit(1), F.size(h) - (n - 1)),
+        lambda i: _combine_hashes([F.element_at(h, i + off) for off in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(h) >= n, mix).otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+def _combine_hashes(hs: list) -> Column:
+    out = None
+    k = len(hs)
+    for j, h in enumerate(hs):
+        shifted = F.call_function("shiftleft", h, F.lit(k - 1 - j))
+        out = shifted if out is None else out.bitwiseXOR(shifted)
+    return out.bitwiseAND(F.lit(_MASK60).cast("bigint"))
+
+
 def xor_minhash_key(hashes: Column | str, band: int) -> Column:
     """Minhash for one band: min over (hash XOR band-constant) — an xor-mix
     min-wise family; the per-band constant reorders the mins independently.
@@ -132,6 +171,39 @@ def simhash60(text: Column | str) -> Column:
     return F.aggregate(
         bit_cols, F.lit(0).cast("bigint"), lambda s, v: s.bitwiseOR(v)
     )
+
+
+def simhash_table(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, sim) via explode + 60 conditional-count aggregates.
+
+    Identical output to `simhash60` (2·count_set > n ⇔ Σ±1 > 0, ties both
+    give 0) but ~9× faster: the per-row 60-fold walk becomes one vectorized
+    HashAggregate over exploded token hashes — partial aggregation map-side,
+    integer sums so the result is partitioning-independent.
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).select("doc_id", token_hash60("tok").alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(
+            F.call_function("shiftright", F.col("h"), F.lit(b)).bitwiseAND(
+                F.lit(1).cast("bigint")
+            )
+        ).alias(f"c{b}")
+        for b in range(60)
+    ]
+    g = ex.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(60):
+        term = F.when(
+            2 * F.col(f"c{b}") > F.col("n"),
+            F.call_function("shiftleft", F.lit(1).cast("bigint"), F.lit(b)),
+        ).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return g.select("doc_id", sim.alias("sim"))
 
 
 def hamming60(a: Column | str, b: Column | str) -> Column:

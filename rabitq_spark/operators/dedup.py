@@ -108,15 +108,22 @@ def neardup_minhash_pairs(
     Candidates shuffle by band key; the verify join brings only candidate
     pairs' shingle sets together — never all-pairs.
     """
-    from rabitq_spark.functions.text import shingle_hashes60, xor_minhash_key
+    from rabitq_spark.functions.text import (
+        combine_word_hashes,
+        word_hashes,
+        xor_minhash_key,
+    )
 
-    sh = _shingle_table(docs, id_col, text_col, shingle_words)
-    # everything downstream (banding AND verification) runs on the 60-bit
-    # hashes: integer array ops are far cheaper than string-set ops, and the
-    # Jaccard over hashed shingles equals the string Jaccard up to 2^-60
-    # collision probability
-    hashed = sh.select(
-        "doc_id", F.array_distinct(shingle_hashes60("shingles")).alias("hs")
+    # everything (banding AND verification) runs on 60-bit shingle hashes
+    # built by combining per-word hashes — one md5 per word, no shingle
+    # strings; Jaccard over hashes equals the string Jaccard up to 2^-60
+    # collision probability. The word-hash array is cached so the shingle
+    # combiner cannot inline (and re-evaluate) the md5 transform per element.
+    wh = docs.select(
+        F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("h")
+    ).cache()
+    hashed = wh.select(
+        "doc_id", combine_word_hashes("h", shingle_words).alias("hs")
     ).cache()
     keys = hashed.filter(F.size("hs") > 0).select(
         "doc_id",
@@ -146,11 +153,11 @@ def simhash_pairs(
     band-blocking + exact verify returns EXACTLY the all-pairs result —
     which is what the oracle computes the naive way.
     """
+    from rabitq_spark.functions.text import simhash_table
+
     n_bands = max_hamming + 1
     band_bits = 60 // n_bands
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), simhash60(F.col(text_col)).alias("sim")
-    ).cache()
+    sh = simhash_table(docs, id_col, text_col).cache()
     mask = (1 << band_bits) - 1
     keys = sh.select(
         "doc_id",

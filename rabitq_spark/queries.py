@@ -414,23 +414,23 @@ _SQL_NEARDUP_MINHASH = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents
-), sh AS (
+), wh AS (
   SELECT doc_id,
-         list_distinct(CASE WHEN len(w) >= 3 THEN
-           list_transform(range(1, len(w) - 1),
-                          i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
-         ELSE [] END) AS shingles
+         list_transform(w, t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS h
   FROM toks
 ), hashed AS (
   SELECT doc_id,
-         list_distinct(list_transform(shingles,
-           s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT))) AS hs
-  FROM sh
-  WHERE len(shingles) > 0
+         list_distinct(CASE WHEN len(h) >= 3 THEN
+           list_transform(range(1, len(h) - 1),
+             i -> xor(xor(h[i] << 2, h[i+1] << 1), h[i+2]) & 1152921504606846975)
+         ELSE [] END) AS hs
+  FROM wh
+), nonempty AS (
+  SELECT doc_id, hs FROM hashed WHERE len(hs) > 0
 ), bands AS (
   SELECT doc_id, b,
          list_min(list_transform(hs, h -> xor(h, c))) AS key
-  FROM hashed, {_band_constants_sql(8)}
+  FROM nonempty, {_band_constants_sql(8)}
 ), cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM bands l JOIN bands r
@@ -443,7 +443,7 @@ SELECT id_a, id_b, jaccard FROM (
               ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
                    / CAST(len(list_distinct(list_concat(s1.hs, s2.hs))) AS DOUBLE)
          END AS jaccard
-  FROM cand JOIN hashed s1 ON cand.id_a = s1.doc_id JOIN hashed s2 ON cand.id_b = s2.doc_id
+  FROM cand JOIN nonempty s1 ON cand.id_a = s1.doc_id JOIN nonempty s2 ON cand.id_b = s2.doc_id
 ) t WHERE jaccard >= 0.8
 """
 
