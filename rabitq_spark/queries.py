@@ -742,6 +742,44 @@ FROM events GROUP BY 1
 """
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch: estimated distinct users per event_type,
+    deterministic md5 order statistics — the estimate itself hash-matches
+    the oracle (unlike HLL). Exact distinct count reported alongside."""
+    from rabitq_spark.functions.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    est = kmv_distinct(ev, ["event_type"], "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+_SQL_KMV = """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hashed
+), smallest AS (
+  SELECT event_type, COUNT(*) AS n, MAX(h) AS kth
+  FROM ranked WHERE rk <= 64 GROUP BY event_type
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type,
+       CASE WHEN s.n < 64 THEN CAST(s.n AS DOUBLE) ELSE 63.0 / s.kth END AS est_distinct,
+       e.exact_distinct
+FROM smallest s JOIN exact e ON s.event_type = e.event_type
+"""
+
+
 _STREAM_SEQ = [0]
 
 
@@ -1060,6 +1098,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
+    "kmv_distinct_users": q_kmv_distinct_users,
     "similarity_join": q_similarity_join,
     "multimodal_features": q_multimodal_features,
     "shipping_priority": q_shipping_priority,
@@ -1089,6 +1128,7 @@ ORACLE_SQL: dict[str, str] = {
     "window_events": _SQL_WINDOW_EVENTS,
     "sessionize": _SQL_SESSIONIZE,
     "interval_join": _SQL_INTERVAL_JOIN,
+    "kmv_distinct_users": _SQL_KMV,
     "funnel": _SQL_FUNNEL,
     "json_props": _SQL_JSON_PROPS,
     "knn_exact": _SQL_KNN_EXACT,

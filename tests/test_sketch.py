@@ -1,0 +1,34 @@
+"""KMV sketch: exact below k, within expected error above k, deterministic."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rabitq_spark.functions.sketch import kmv_distinct
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(0, 40).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = kmv_distinct(df, ["g"], "v", k=64).first().est_distinct
+    assert est == 40.0  # fewer than k distincts -> exact
+
+
+def test_kmv_estimate_within_error(spark):
+    n = 5000
+    df = spark.range(0, n).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    k = 256
+    rows = kmv_distinct(df, ["g"], "v", k=k).collect()
+    for r in rows:
+        true = n / 2
+        # standard error ~ 1/sqrt(k-2); allow 5 sigma
+        assert abs(r.est_distinct - true) / true < 5 / np.sqrt(k - 2), r
+
+
+def test_kmv_deterministic_across_partitionings(spark):
+    df = spark.range(0, 2000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    a = kmv_distinct(df.repartition(2), ["g"], "v", k=64).first().est_distinct
+    b = kmv_distinct(df.repartition(17), ["g"], "v", k=64).first().est_distinct
+    assert a == b  # order statistics don't depend on partitioning
