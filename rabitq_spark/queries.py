@@ -700,9 +700,9 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(did_signup) AS n_signup,
-       SUM(did_signup * did_click) AS n_signup_click,
-       SUM(did_signup * did_click * did_purchase) AS n_full_funnel
+       CAST(SUM(did_signup) AS BIGINT) AS n_signup,
+       CAST(SUM(did_signup * did_click) AS BIGINT) AS n_signup_click,
+       CAST(SUM(did_signup * did_click * did_purchase) AS BIGINT) AS n_full_funnel
 FROM per_user
 """
 
@@ -868,7 +868,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON_PROPS = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -975,9 +975,9 @@ WITH per_doc AS (
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_tok) AS total_tokens,
-       SUM(n_dtok) AS total_distinct_tokens,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_dtok) AS BIGINT) AS total_distinct_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
 FROM per_doc GROUP BY lang
 """
