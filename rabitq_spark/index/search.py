@@ -172,7 +172,11 @@ def _popcount64(arr: "np.ndarray") -> "np.ndarray":
 
 
 def _fused_shortlist(
-    model: RaBitQModel, probes: DataFrame, r: int, theta_log_dim: int
+    model: RaBitQModel,
+    probes: DataFrame,
+    r: int,
+    theta_log_dim: int,
+    prune_partitions: bool = True,
 ) -> DataFrame:
     """Alternative stages 5-6: rough-score candidates and keep a local top-R
     per query inside ONE mapInPandas over the index — the probe table rides
@@ -252,7 +256,13 @@ def _fused_shortlist(
                 {"query_id": q[keep], "orig_id": i[keep], "rough": ro[keep]}
             )
 
-    return model.index_df.mapInPandas(
+    # Partition pruning for free: the probe table is already on the driver,
+    # so the probed cluster set costs no extra Spark job (unlike the jvm
+    # path's distinct().collect()).
+    index = model.index_df
+    if prune_partitions and 2 * len(by_cluster) <= model.n_clusters:
+        index = index.filter(F.col("cluster_id").isin(list(by_cluster)))
+    return index.mapInPandas(
         score, "query_id bigint, orig_id bigint, rough double"
     )
 
@@ -284,19 +294,14 @@ def search(
     probes = _prepare_probes(model, queries, query_id, query_vec, nprobe)
 
     index = model.index_df
-    if prune_partitions and nprobe * 2 <= model.n_clusters:
-        # Static partition pruning: the probed cluster set is tiny (≤ nq ×
-        # nprobe); pushing it into the scan as an IN-filter prunes Parquet
-        # partitions — the analogue of the reference's CSR offsets scan
-        # (src/rabitq.rs:348). For very large query batches, skip (all
-        # clusters probed anyway).
-        probed = [r.cluster_id for r in probes.select("cluster_id").distinct().collect()]
-        index = index.filter(F.col("cluster_id").isin(probed))
-
     r = max(topk * overfetch, topk)
     if impl == "fused":
-        # Stages 5-6 fused in one Arrow pass (see _fused_shortlist)
-        local = _fused_shortlist(model, probes, r, cfg.theta_log_dim)
+        # Stages 5-6 fused in one Arrow pass (see _fused_shortlist); it
+        # collects the probe table itself and derives partition pruning
+        # from it, so no separate pruning job here.
+        local = _fused_shortlist(
+            model, probes, r, cfg.theta_log_dim, prune_partitions=prune_partitions
+        )
         if metrics is not None:
             local = local.observe(
                 metrics.rough, F.count(F.lit(1)).alias("rough_count")
@@ -305,6 +310,22 @@ def search(
             local, ["query_id"], [F.col("rough").asc(), F.col("orig_id").asc()], r
         ).select("query_id", "orig_id")
     else:
+        if prune_partitions and nprobe * 2 <= model.n_clusters:
+            # Static partition pruning: the probed cluster set is tiny (≤ nq ×
+            # nprobe); pushing it into the scan as an IN-filter prunes Parquet
+            # partitions — the analogue of the reference's CSR offsets scan
+            # (src/rabitq.rs:348). For very large query batches, skip (all
+            # clusters probed anyway). localCheckpoint materializes the
+            # mapInPandas probe prep ONCE (executor blocks, lineage cut);
+            # both the pruning collect and the broadcast join below read the
+            # blocks — previously the whole rotate/argpartition/quantize
+            # stage ran twice per search.
+            probes = probes.localCheckpoint(eager=True)
+            probed = [
+                row.cluster_id
+                for row in probes.select("cluster_id").distinct().collect()
+            ]
+            index = index.filter(F.col("cluster_id").isin(probed))
         # Stage 5: J2 equi-join + D5 estimator. Probe side small → broadcast.
         cand = index.join(F.broadcast(probes), "cluster_id")
         cand = cand.select(
