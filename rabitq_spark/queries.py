@@ -253,6 +253,118 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _get_cold_model(spark: SparkSession, sf_dir: str):
+    """Build → save → load round-trip: the production read path.
+
+    The reference's primary CLI flow is load-from-dir then query
+    (crates/cli/src/main.rs:53-61); here the loaded model's index is a
+    cluster_id-partitioned Parquet scan, so probe-filtered searches prune
+    partitions on disk instead of scanning a cached DataFrame.
+    """
+    key = ("cold", sf_dir)
+    if key not in _MODEL_CACHE:
+        import tempfile
+
+        from rabitq_spark.index.model import RaBitQModel
+
+        path = tempfile.mkdtemp(prefix="rabitq_cold_index_")
+        _get_model(spark, sf_dir).save(path)
+        _MODEL_CACHE[key] = RaBitQModel.load(spark, path)
+    return _MODEL_CACHE[key]
+
+
+def q_ann_ivf_cold_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive search against a saved-then-loaded index (S6 + the CLI's
+    load-then-query flow). Equals brute force bit-for-bit, so the whole
+    persistence path — Parquet partition layout, sidecar arrays, schema
+    round-trip — is oracle-checked."""
+    from rabitq_spark.index import search
+
+    model = _get_cold_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
+def _get_cosine_model(spark: SparkSession, sf_dir: str):
+    """IVF index over unit-normalized embeddings: cosine ranking == L2 ranking
+    on unit vectors, so the same index machinery serves cosine queries (the
+    distance the reference leaves unchecked, README.md:19)."""
+    key = ("cosine", sf_dir)
+    if key not in _MODEL_CACHE:
+        from rabitq_spark.config import RaBitQConfig
+        from rabitq_spark.functions.vector import l2_norm
+        from rabitq_spark.index import build_index
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        unit = emb.select(
+            F.col("vec_id").alias("id"),
+            _unit_vec(F.col("embedding"), l2_norm("embedding")).alias("vec"),
+        )
+        model = build_index(unit, RaBitQConfig())
+        model.index_df = model.index_df.cache()
+        _MODEL_CACHE[key] = model
+    return _MODEL_CACHE[key]
+
+
+def _unit_vec(vec, norm):
+    """x / ||x||, with zero vectors left unchanged (cosine guard handles them)."""
+    return F.when(norm == 0.0, vec).otherwise(
+        F.transform(vec, lambda x: x / norm)
+    )
+
+
+def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-served cosine top-k: candidates ranked by the index over unit
+    vectors (exhaustive config → exact), final cosine recomputed on the
+    ORIGINAL vectors with the same deterministic fold as q_knn_cosine, so
+    the output is bit-identical to the brute-force cosine oracle."""
+    from rabitq_spark.functions.vector import dot, l2_norm
+    from rabitq_spark.index import search
+
+    model = _get_cosine_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        F.col("vec_id"), F.col("embedding"), l2_norm("embedding").alias("norm")
+    )
+    queries = normed.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        _unit_vec(F.col("embedding"), F.col("norm")).alias("qvec"),
+    )
+    cand = search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    ).select("query_id", "neighbor_id")
+    q = normed.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = (
+        cand.join(
+            normed.select(
+                F.col("vec_id").alias("neighbor_id"), "embedding", "norm"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+    )
+    denom = F.col("qnorm") * F.col("norm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("qvec", "embedding") / denom)
+    scored = pairs.select(
+        "query_id", F.col("neighbor_id"), cos.alias("cosine")
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        _KNN_K,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
 # --------------------------------------------------------------------------
 # Additional relational shapes (free from Spark SQL per SURVEY §2.5, but
 # registered so the judge can see Catalyst handling them: multi-way joins
@@ -1082,6 +1194,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_ivf_cold_index": q_ann_ivf_cold_index,
+    "ann_ivf_cosine": q_ann_ivf_cosine,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
@@ -1134,6 +1248,10 @@ ORACLE_SQL: dict[str, str] = {
     "knn_exact": _SQL_KNN_EXACT,
     # exhaustive IVF+RaBitQ == exact brute force (see q_ann_ivf_exhaustive)
     "ann_ivf_exhaustive": _SQL_KNN_EXACT,
+    # saved→loaded index, exhaustive == exact brute force (production read path)
+    "ann_ivf_cold_index": _SQL_KNN_EXACT,
+    # IVF over unit vectors serves cosine; output == brute-force cosine
+    "ann_ivf_cosine": _SQL_KNN_COSINE,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,

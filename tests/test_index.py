@@ -97,6 +97,56 @@ def test_save_load_roundtrip(spark, model_and_data, tmp_path):
     pd.testing.assert_frame_equal(before, after, check_exact=True)
 
 
+def test_cold_index_partition_pruning(spark, model_and_data, tmp_path):
+    """The saved index is Parquet partitioned by cluster_id; a low-nprobe
+    search against the LOADED model must prune to only the probed partitions
+    (the Spark analogue of the reference's CSR posting-range reads,
+    src/rabitq.rs:240-252)."""
+    import contextlib
+    import io
+    import re
+
+    model, base, queries = model_and_data
+    path = str(tmp_path / "cold")
+    model.save(path)
+    loaded = RaBitQModel.load(spark, path)
+    result = search(loaded, queries, topk=K, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        result.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "cluster_id" in m.group(1), m.group(1)
+    # and the pruned search still returns well-formed results
+    assert result.count() > 0
+
+
+def test_ivf_cosine_equals_bruteforce_cosine(spark, sf_dir):
+    """IVF over unit vectors serves cosine: the registered query must equal
+    the brute-force cosine ranking bit-for-bit (cosine == L2 on unit
+    vectors; the distance the reference leaves unchecked, README.md:19)."""
+    from rabitq_spark.queries import q_ann_ivf_cosine, q_knn_cosine
+
+    ivf = q_ann_ivf_cosine(spark, sf_dir).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    brute = q_knn_cosine(spark, sf_dir).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(ivf, brute, check_exact=True)
+
+
+def test_default_nprobe_recall_gate(spark):
+    """Regression gate: mean recall@10 at DEFAULT nprobe must stay ≥ 0.9 on
+    the sf0.01 fixture (measured 0.97 at bench; the reference reports recall
+    as its headline metric, crates/cli/src/main.rs:77-81)."""
+    from rabitq_spark.queries import q_ann_ivf_recall
+
+    row = q_ann_ivf_recall(spark, "/root/testdata/sf0.01").first()
+    assert row.mean_recall >= 0.9, row.mean_recall
+
+
 def test_index_schema_and_codes(spark, model_and_data):
     model, _, _ = model_and_data
     row = model.index_df.first()
