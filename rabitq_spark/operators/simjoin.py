@@ -30,6 +30,8 @@ def similarity_join(
     nprobe: int | None = None,
     overfetch: int | None = None,
     exhaustive: bool = False,
+    max_query_block: int = 500_000,
+    left_count: int | None = None,
 ) -> DataFrame:
     """Top-k right neighbors for every left row.
 
@@ -37,6 +39,13 @@ def similarity_join(
     `exhaustive=True` probes every cluster and reranks every candidate —
     exact results (the oracle configuration); otherwise nprobe/overfetch
     trade recall for work exactly like batch search.
+
+    The exhaustive path holds one query block on the driver at a time (the
+    BLAS shortlist broadcasts the query matrix, analogous to the reference
+    holding the query set in RAM — crates/cli/src/main.rs:53-61). Left
+    tables larger than `max_query_block` are processed in hash-partitioned
+    blocks so driver memory stays bounded no matter how large the left
+    table grows.
     """
     if isinstance(right, RaBitQModel):
         model = right
@@ -60,9 +69,32 @@ def similarity_join(
         padded_q = queries.select(
             "query_id", pad_to_multiple(F.col("qvec"), 64, model.dim).alias("qvec")
         )
-        return knn_exact_refined(
-            padded_q, model.base_df, k,
-            query_id="query_id", query_vec="qvec",
-            base_id="orig_id", base_vec="vec",
-        )
+        if left_count is None:
+            left_count = padded_q.count()
+        n_blocks = max(1, -(-left_count // max_query_block))
+        if n_blocks == 1:
+            return knn_exact_refined(
+                padded_q, model.base_df, k,
+                query_id="query_id", query_vec="qvec",
+                base_id="orig_id", base_vec="vec",
+            )
+        # Blocked execution: each block collects ≤ max_query_block query
+        # rows to the driver for its GEMM broadcast; blocks are disjoint by
+        # a deterministic hash of query_id, and per-query top-k is
+        # independent across queries so the union is exact.
+        parts = [
+            knn_exact_refined(
+                padded_q.filter(
+                    F.pmod(F.xxhash64("query_id"), F.lit(n_blocks)) == i
+                ),
+                model.base_df, k,
+                query_id="query_id", query_vec="qvec",
+                base_id="orig_id", base_vec="vec",
+            )
+            for i in range(n_blocks)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     return search(model, queries, topk=k, nprobe=nprobe, overfetch=overfetch)

@@ -706,6 +706,9 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.col("ts_us").alias("click_ts_us"),
         F.col("value").alias("click_value"),
+        # unique per click: two clicks at the same microsecond resolve
+        # deterministically (largest event_id wins, mirrored in the oracle)
+        F.col("event_id").alias("click_event_id"),
     )
     out = asof_join_backward(
         purchases,
@@ -714,7 +717,7 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts_us",
         right_ts="ts_us",
         right_payload=("click_ts_us", "click_value"),
-        tie_col="click_ts_us",
+        tie_col="click_event_id",
     )
     return out.select(
         "event_id",
@@ -730,11 +733,14 @@ _SQL_ASOF = """
 SELECT p.event_id, p.user_id,
        epoch_us(p.ts) AS purchase_ts_us,
        p.value AS purchase_value,
-       epoch_us(c.ts) AS click_ts_us,
-       c.value AS click_value
+       q.click_ts_us, q.click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+LEFT JOIN LATERAL (
+  SELECT epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) q ON TRUE
 """
 
 

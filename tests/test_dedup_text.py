@@ -97,6 +97,104 @@ def test_embedding_neardup_symmetric_threshold(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
 
 
+def test_simhash_includes_zero_token_docs(spark):
+    """Zero-token documents carry sim = 0 (like simhash60 and the oracle's
+    all-pairs scan), so two empty docs are a hamming-0 pair — plain explode
+    used to drop them from the table entirely."""
+    from rabitq_spark.functions.text import simhash_table
+
+    df = _docs(spark, ["", "   ", "some real text content here"])
+    sims = {r.doc_id: r.sim for r in simhash_table(df, "doc_id", "text").collect()}
+    assert sims[0] == 0 and sims[1] == 0
+    assert len(sims) == 3
+    pairs = {(p.id_a, p.id_b) for p in simhash_pairs(df, max_hamming=3).collect()}
+    assert (0, 1) in pairs
+
+
+def test_dedup_cache_scope_is_bounded(spark, sf_dir):
+    """Repeated minhash calls must not accumulate cached intermediates in
+    executor storage: each invocation retires the previous one's caches."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    jsc = spark.sparkContext._jsc
+    neardup_minhash_pairs(docs).count()
+    n1 = jsc.getPersistentRDDs().size()
+    neardup_minhash_pairs(docs).count()
+    n2 = jsc.getPersistentRDDs().size()
+    assert n2 <= n1
+
+
+def test_embedding_neardup_blocked_path_no_driver_collect(spark, sf_dir, monkeypatch):
+    """Above broadcast_max_rows the operator must dispatch to the IVF-blocked
+    plan, which never collects the table to the driver: any toPandas() during
+    plan construction fails this test."""
+    from pyspark.sql import DataFrame
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def boom(self):
+        raise AssertionError("blocked path must not collect the table to the driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    # row_count passed explicitly (fake "huge table") so dispatch picks the
+    # blocked plan without a count job
+    df = embedding_neardup_pairs(
+        emb, threshold=0.4, broadcast_max_rows=1000, row_count=10_000_000
+    )
+    assert "cosine" in df.columns  # plan constructed without any toPandas
+
+
+def test_embedding_neardup_blocked_equals_broadcast(spark, sf_dir):
+    """With exhaustive search settings and k_per_row ≥ |table|, the blocked
+    path's candidate stage is complete, so its output must equal the exact
+    broadcast-GEMM path bit-for-bit."""
+    import pandas as pd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    exact = (
+        embedding_neardup_pairs(emb, threshold=0.4)
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    blocked = (
+        embedding_neardup_pairs(
+            emb,
+            threshold=0.4,
+            broadcast_max_rows=1,      # force the blocked path
+            row_count=n,
+            k_per_row=n,               # candidate stage complete
+            nprobe=10**6,              # clamped to n_clusters → exhaustive
+            overfetch=10**6,
+        )
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(blocked, exact, check_exact=True)
+
+
+def test_similarity_join_blocked_exhaustive_equals_single_block(spark, sf_dir):
+    """Chunking the exhaustive left side into hash blocks must not change the
+    result: per-query top-k is independent across queries."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.operators.simjoin import similarity_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    single = (
+        similarity_join(left, left, k=3, exhaustive=True)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    blocked = (
+        similarity_join(left, left, k=3, exhaustive=True, max_query_block=16)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(blocked, single, check_exact=True)
+
+
 def test_quality_and_lang_are_deterministic(spark):
     df = _docs(spark, ["the cat sat on the mat", "der hund und die katze nicht"])
     rows = df.select(

@@ -37,6 +37,23 @@ def test_asof_join_backward_semantics(spark):
     assert got[(3, 50)] is None   # no right rows for key
 
 
+def test_asof_tie_breaks_on_unique_id(spark):
+    """Two right rows at the same (key, ts): the one with the larger tie_col
+    wins, deterministically (ADVICE round 1: tying on the timestamp itself
+    made the attached payload nondeterministic)."""
+    left = spark.createDataFrame(
+        [(1, 10)], "user_id bigint, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7, "low"), (1, 10, 9, "high"), (1, 10, 8, "mid")],
+        "user_id bigint, ts bigint, rid bigint, tag string",
+    )
+    out = asof_join_backward(
+        left, right, on="user_id", right_payload=("tag",), tie_col="rid"
+    ).collect()
+    assert out[0].asof_tag == "high"
+
+
 def test_streaming_equals_batch(spark, sf_dir, tmp_path):
     # stream the events table through Structured Streaming and compare with
     # the batch tumbling aggregate — must match exactly
