@@ -138,6 +138,13 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             timings[name] = -1.0
 
+    # --- scale probe: IVF vs brute PAST the cost-rule switch. The driver
+    # testdata tops out at 2k vectors (brute wins there, and the engine
+    # correctly picks it — "ann_search_engine_1k" above); this seeded
+    # synthetic base shows the other regime, where the cost rule flips to
+    # IVF and IVF wins. Performance evidence only — never an oracle input.
+    scale_probe = _scale_probe(spark, n_base=1_000_000, nq=N_QUERIES)
+
     result = {
         # headline = the engine's cost-based ANN path (exact at this base
         # size, recall 1.0); the quantized IVF path is reported alongside
@@ -157,9 +164,82 @@ def main() -> None:
         # reference src/metrics.rs analogue: estimator selectivity
         "rough_candidates_per_query": round(metrics.rough_count / max(nq, 1), 1),
         "precise_rerank_per_query": round(metrics.precise_count / max(nq, 1), 1),
+        "scale_probe": scale_probe,
     }
     spark.stop()
     print(json.dumps(result))
+
+
+def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
+    """Seeded Gaussian-mixture base generated executor-side (as in
+    scripts/scaling_probe.py); measures the IVF and brute paths at a base
+    size past BRUTE_FORCE_MAX_BASE, where the cost rule switches to IVF."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.operators.knn import knn_exact_fast
+
+    centers = np.random.default_rng(7).standard_normal((64, dim)) * 3
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["id"].values
+            rng = np.random.default_rng(7 ^ int(ids[0]))
+            lab = rng.integers(0, 64, len(ids))
+            vecs = (centers[lab] + rng.standard_normal((len(ids), dim))).astype(
+                np.float32
+            )
+            yield pd.DataFrame({"id": ids, "vec": list(vecs)})
+
+    base = (
+        spark.range(n_base)
+        .repartition(32)
+        .mapInPandas(gen, "id bigint, vec array<float>")
+        .cache()
+    )
+    base.count()
+    queries = (
+        base.limit(nq)
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+        .cache()
+    )
+    queries.count()
+    k_clusters = int(np.sqrt(n_base))
+    # ~3% probe fraction: recall is estimator-bound, not coverage-bound, on
+    # this mixture (PLAN.md scaling table), so probing wider buys nothing
+    cfg = RaBitQConfig(
+        n_clusters=k_clusters, nprobe=k_clusters // 32, topk=TOPK, overfetch=16
+    )
+    t0 = time.perf_counter()
+    model = build_index(base, cfg, kmeans_sample_fraction=50_000 / n_base)
+    model.index_df = model.index_df.cache()
+    model.index_df.count()
+    model.base_df = model.base_df.cache()
+    model.base_df.count()
+    build_s = time.perf_counter() - t0
+
+    search(model, queries.limit(10)).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    approx = search(model, queries).toPandas()
+    ivf_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    exact = knn_exact_fast(queries, base, TOPK).toPandas()
+    brute_s = time.perf_counter() - t0
+    hits = approx.merge(
+        exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
+    )
+    for df in (base, queries, model.index_df, model.base_df):
+        df.unpersist()
+    return {
+        "n_base": n_base,
+        "n_queries": nq,
+        "build_sec": round(build_s, 2),
+        "ivf_sec": round(ivf_s, 2),
+        "brute_sec": round(brute_s, 2),
+        "ivf_recall_at_k": round(len(hits) / max(len(exact), 1), 4),
+    }
 
 
 if __name__ == "__main__":
