@@ -128,6 +128,64 @@ def xor_minhash_key(hashes: Column | str, band: int) -> Column:
     return F.array_min(F.transform(_c(hashes), lambda h: h.bitwiseXOR(c)))
 
 
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the lowercased text — the dedup unit
+    for n-gram Jaccard (robust to token boundaries, unlike word shingles).
+    Short texts yield an empty array."""
+    t = F.lower(_c(text))
+    ln = F.length(t)
+    make = F.transform(
+        F.sequence(F.lit(1), ln - (n - 1)),
+        lambda i: F.substr(t, i, F.lit(n)),
+    )
+    return F.array_distinct(
+        F.when(ln >= n, make).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def kgram_hash_seq(h: Column | str, n: int = 3) -> Column:
+    """ORDERED k-gram hash sequence (no distinct) from a pre-materialized
+    word-hash array — the winnowing input, where position matters. Same
+    shift-xor mix as combine_word_hashes."""
+    h = _c(h)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(h) - (n - 1)),
+        lambda i: _combine_hashes([F.element_at(h, i + off) for off in range(n)]),
+    )
+    return F.when(F.size(h) >= n, make).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def winnow_select(g: Column | str, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03): the
+    min hash of every w-window of the ordered k-gram sequence, deduplicated.
+    Guarantees a shared fingerprint for any match of length ≥ w + k − 1.
+    The window min is an UNROLLED least() over w element_at terms — pure
+    codegen, no per-row array allocation (PLAN.md Catalyst pitfall #1)."""
+    g = _c(g)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(g) - (w - 1)),
+        lambda i: F.least(*[F.element_at(g, i + off) for off in range(w)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(g) >= w, windows)
+        .when(F.size(g) > 0, F.array(F.array_min(g)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+# GPT-2-style piece classes, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): letter runs, single
+# digits, single punctuation. The corpus delimiter is a literal space.
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Subword-ish token count: number of BPE_PATTERN pieces."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def jaccard(a: Column | str, b: Column | str) -> Column:
     """|a ∩ b| / |a ∪ b| over distinct arrays; 0.0 when both empty."""
     a, b = _c(a), _c(b)

@@ -152,6 +152,17 @@ def neardup_minhash_pairs(
         wh.select("doc_id", combine_word_hashes("h", shingle_words).alias("hs")),
         _MINHASH_SCOPE,
     )
+    return _banded_jaccard_pairs(hashed, n_bands, threshold)
+
+
+def _banded_jaccard_pairs(
+    hashed: DataFrame, n_bands: int, threshold: float
+) -> DataFrame:
+    """Shared LSH tail: banded xor-minhash keys → candidate equi-joins →
+    exact Jaccard verify on the hash sets. `hashed` must be a materialized
+    (cached) (doc_id, hs array<bigint>) projection."""
+    from rabitq_spark.functions.text import jaccard, xor_minhash_key
+
     keys = hashed.filter(F.size("hs") > 0).select(
         "doc_id",
         *[xor_minhash_key("hs", b).alias(f"k{b}") for b in range(n_bands)],
@@ -164,6 +175,75 @@ def neardup_minhash_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", jaccard("hs_a", "hs_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_NGRAM_SCOPE: list = []
+
+
+def neardup_ngram_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_chars: int = 5,
+    n_bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by character-n-gram Jaccard (id_a < id_b,
+    jaccard >= threshold) — robust to token-boundary edits where word
+    shingles are brittle. Same scale shape as minhash: banded keys,
+    equi-join blocking, verify on candidates only."""
+    from rabitq_spark.functions.text import char_ngrams, token_hash60
+
+    _release_scope(_NGRAM_SCOPE)
+    grams = _scoped_cache(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            char_ngrams(F.col(text_col), n_chars).alias("gs"),
+        ),
+        _NGRAM_SCOPE,
+    )
+    hashed = _scoped_cache(
+        grams.select("doc_id", F.transform("gs", token_hash60).alias("hs")),
+        _NGRAM_SCOPE,
+    )
+    return _banded_jaccard_pairs(hashed, n_bands, threshold)
+
+
+_WINNOW_SCOPE: list = []
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram_words: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprints by winnowing (rolling k-gram hash + window-min
+    selection, Schleimer et al. SIGMOD'03): (doc_id, fp) rows, one per
+    selected fingerprint. Any two documents sharing a run of
+    window + kgram_words − 1 tokens are guaranteed a common fp, at ~1/window
+    the storage of all k-gram hashes. Pure codegen; docs with fewer than
+    kgram_words tokens produce no rows (explode of the empty selection)."""
+    from rabitq_spark.functions.text import (
+        kgram_hash_seq,
+        winnow_select,
+        word_hashes,
+    )
+
+    _release_scope(_WINNOW_SCOPE)
+    wh = _scoped_cache(
+        docs.select(
+            F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("h")
+        ),
+        _WINNOW_SCOPE,
+    )
+    return wh.select(
+        "doc_id",
+        F.explode(
+            winnow_select(kgram_hash_seq(F.col("h"), kgram_words), window)
+        ).alias("fp"),
     )
 
 

@@ -560,6 +560,109 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.dedup import neardup_ngram_pairs
+
+    return neardup_ngram_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n_chars=5,
+        n_bands=8,
+        threshold=0.8,
+    )
+
+
+_SQL_NEARDUP_NGRAM = f"""
+WITH ng AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN length(lower(text)) >= 5 THEN
+           list_transform(range(1, length(lower(text)) - 3),
+             i -> substring(lower(text), i, 5))
+         ELSE [] END) AS gs
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(gs, g -> CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)) AS hs
+  FROM ng
+), nonempty AS (
+  SELECT doc_id, hs FROM hashed WHERE len(hs) > 0
+), bands AS (
+  SELECT doc_id, b,
+         list_min(list_transform(hs, h -> xor(h, c))) AS key
+  FROM nonempty, {_band_constants_sql(8)}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(s1.hs, s2.hs))) = 0
+              THEN 0.0
+              ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(s1.hs, s2.hs))) AS DOUBLE)
+         END AS jaccard
+  FROM cand JOIN nonempty s1 ON cand.id_a = s1.doc_id JOIN nonempty s2 ON cand.id_b = s2.doc_id
+) t WHERE jaccard >= 0.8
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), kgram_words=3, window=4
+    )
+
+
+_SQL_WINNOW = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), wh AS (
+  SELECT doc_id,
+         list_transform(w, t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS h
+  FROM toks
+), kg AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= 3 THEN
+           list_transform(range(1, len(h) - 1),
+             i -> xor(xor(h[i] << 2, h[i+1] << 1), h[i+2]) & 1152921504606846975)
+         ELSE [] END AS g
+  FROM wh
+), wins AS (
+  SELECT doc_id,
+         CASE WHEN len(g) >= 4 THEN
+           list_transform(range(1, len(g) - 2),
+             i -> least(g[i], g[i+1], g[i+2], g[i+3]))
+         WHEN len(g) > 0 THEN [list_min(g)]
+         ELSE [] END AS fps
+  FROM kg
+)
+SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins
+"""
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document (training-data token
+    accounting; the regex piece classes are Java/RE2-portable)."""
+    from rabitq_spark.functions.text import bpe_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+_SQL_BPE_TOKENS = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.dedup import simhash_pairs
 
@@ -1206,6 +1309,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
     "neardup_minhash": q_neardup_minhash,
+    "neardup_ngram": q_neardup_ngram,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
@@ -1263,6 +1369,9 @@ ORACLE_SQL: dict[str, str] = {
     "pricing_summary": _SQL_PRICING,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "neardup_minhash": _SQL_NEARDUP_MINHASH,
+    "neardup_ngram": _SQL_NEARDUP_NGRAM,
+    "winnow_fingerprints": _SQL_WINNOW,
+    "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,
     "embedding_neardup": _SQL_EMB_NEARDUP,
     "text_stats": _SQL_TEXT_STATS,

@@ -46,6 +46,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Persist `df` as a bucketed (and optionally sorted) Parquet table.
+
+    Two tables bucketed by the same column into the same bucket count join
+    WITHOUT a shuffle — each task reads matching buckets from both sides
+    (the co-located join from the 100 TB brief; at cluster scale this
+    removes the dominant exchange from repeated fact-fact joins, e.g.
+    re-joining ANN results to the base table across query batches).
+    Returns the re-read table handle.
+    """
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(name)
+    return df.sparkSession.table(name)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLES:

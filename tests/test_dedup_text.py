@@ -97,6 +97,57 @@ def test_embedding_neardup_symmetric_threshold(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
 
 
+def test_neardup_ngram_robust_to_char_edits(spark):
+    """Char n-gram Jaccard catches a one-letter spelling variant that
+    3-word shingles would score at ~0 for short docs."""
+    from rabitq_spark.operators.dedup import neardup_ngram_pairs
+
+    a = "internationalization conference proceedings archive"
+    b = "internationalisation conference proceedings archive"  # s/z variant
+    far = "entirely unrelated subject matter discussion"
+    df = _docs(spark, [a, b, far])
+    pairs = neardup_ngram_pairs(df, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+    assert pairs[0].jaccard > 0.5
+
+
+def test_winnow_guarantee_and_compression(spark):
+    """Winnowing guarantee: two docs sharing a token run of length
+    window + kgram − 1 (= 6 here) select at least one common fingerprint;
+    and selection keeps far fewer than all k-gram hashes."""
+    from rabitq_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = _docs(
+        spark,
+        [
+            f"{shared} one two three four five six seven eight nine ten",
+            f"completely different prefix tokens here {shared}",
+            "no overlap with anything else at all whatsoever",
+        ],
+    )
+    fps = winnow_fingerprints(df, kgram_words=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    # compression: doc 0 has 17 tokens -> 15 kgrams; winnowing keeps fewer
+    assert len(by_doc[0]) < 15
+
+
+def test_bpe_token_count_pieces(spark):
+    from rabitq_spark.functions.text import bpe_token_count, token_count
+
+    df = _docs(spark, ["hello world 42!"])
+    row = df.select(
+        token_count("text").alias("ws"), bpe_token_count("text").alias("bpe")
+    ).first()
+    assert row.ws == 3
+    # pieces: hello | world | 4 | 2 | !
+    assert row.bpe == 5
+
+
 def test_simhash_includes_zero_token_docs(spark):
     """Zero-token documents carry sim = 0 (like simhash60 and the oracle's
     all-pairs scan), so two empty docs are a hamming-0 pair — plain explode

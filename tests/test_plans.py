@@ -48,6 +48,40 @@ def test_parquet_pushdown_and_pruning(spark, sf_dir):
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
 
 
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Co-located join: two tables bucketed by the join key into the same
+    bucket count must SortMergeJoin with NO shuffle exchange on either side
+    (the bucketed scan provides the partitioning)."""
+    from rabitq_spark.sources.tables import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    try:
+        bo = write_bucketed(
+            orders, "test_orders_bkt", "o_custkey", 8, sort_col="o_custkey"
+        )
+        bc = write_bucketed(
+            customer, "test_customer_bkt", "c_custkey", 8, sort_col="c_custkey"
+        )
+        # MERGE hint: at test scale Catalyst would broadcast the small side
+        # (also shuffle-free, but not what we're demonstrating); at real
+        # scale both sides are too big to broadcast and SMJ is the plan.
+        joined = bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey).select(
+            "o_orderkey", "c_name"
+        )
+        plan = _fmt(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: the co-located join returns the same rows as the plain join
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS test_customer_bkt")
+
+
 def test_ann_search_plan_shape(spark, sf_dir):
     from rabitq_spark.config import RaBitQConfig
     from rabitq_spark.index import build_index, search
