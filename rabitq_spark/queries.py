@@ -290,6 +290,64 @@ def q_ann_ivf_cold_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _get_stream_model(spark: SparkSession, sf_dir: str):
+    """Bootstrap an index on the first half of the embeddings, then stream
+    the second half in through Structured Streaming index maintenance
+    (foreachBatch append into the saved model's partitions)."""
+    key = ("stream", sf_dir)
+    if key not in _MODEL_CACHE:
+        import tempfile
+
+        from rabitq_spark.config import RaBitQConfig
+        from rabitq_spark.index import build_index
+        from rabitq_spark.index.model import RaBitQModel
+        from rabitq_spark.streaming.index_stream import (
+            maintain_index_stream,
+            read_vector_stream,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        half = emb.count() // 2
+        seed = emb.filter(F.col("vec_id") < half).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        path = tempfile.mkdtemp(prefix="rabitq_stream_index_")
+        build_index(seed, RaBitQConfig()).save(path)
+        stream_in = tempfile.mkdtemp(prefix="rabitq_stream_in_")
+        (
+            emb.filter(F.col("vec_id") >= half)
+            .select("vec_id", "embedding")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(stream_in)
+        )
+        maintain_index_stream(
+            path,
+            read_vector_stream(spark, stream_in),
+            checkpoint=tempfile.mkdtemp(prefix="rabitq_stream_ckpt_"),
+        )
+        _MODEL_CACHE[key] = RaBitQModel.load(spark, path)
+    return _MODEL_CACHE[key]
+
+
+def q_ann_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive search over a streamed-into index: half the base was
+    bootstrapped, half arrived through Structured Streaming micro-batches.
+    Exhaustive config == brute force over the FULL table, so the whole
+    streaming-append path (frozen transform, partition append, reload) is
+    oracle-checked bit-exact."""
+    from rabitq_spark.index import search
+
+    model = _get_stream_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
 def _get_cosine_model(spark: SparkSession, sf_dir: str):
     """IVF index over unit-normalized embeddings: cosine ranking == L2 ranking
     on unit vectors, so the same index machinery serves cosine queries (the
@@ -1305,6 +1363,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_ivf_cold_index": q_ann_ivf_cold_index,
     "ann_ivf_cosine": q_ann_ivf_cosine,
+    "ann_stream_index": q_ann_stream_index,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
@@ -1364,6 +1423,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_cold_index": _SQL_KNN_EXACT,
     # IVF over unit vectors serves cosine; output == brute-force cosine
     "ann_ivf_cosine": _SQL_KNN_COSINE,
+    # half bootstrapped + half streamed in, exhaustive == exact brute force
+    "ann_stream_index": _SQL_KNN_EXACT,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,

@@ -49,3 +49,52 @@ def test_cosine_equals_l2_on_normalized(spark, sf_dir):
         order = np.lexsort((ids, d))[:10]
         got = cos[cos.query_id == qid].sort_values("rank")["neighbor_id"].tolist()
         assert got == ids[order].tolist()
+
+
+def test_streaming_index_maintenance_equals_bruteforce(spark, sf_dir, tmp_path):
+    """Bootstrap half the base, stream the other half through foreachBatch
+    maintenance, reload — exhaustive search over the reloaded model must
+    equal brute force over the FULL table bit-for-bit (the streamed codes
+    are commensurable with the bootstrapped ones: frozen transform)."""
+    from rabitq_spark.index import RaBitQModel
+    from rabitq_spark.streaming.index_stream import (
+        maintain_index_stream,
+        read_vector_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    half = n // 2
+    seed = emb.filter(F.col("vec_id") < half).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    path = str(tmp_path / "model")
+    build_index(seed, RaBitQConfig(n_clusters=8, topk=5)).save(path)
+
+    stream_in = str(tmp_path / "in")
+    (
+        emb.filter(F.col("vec_id") >= half)
+        .select("vec_id", "embedding")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(stream_in)
+    )
+    maintain_index_stream(
+        path,
+        read_vector_stream(spark, stream_in, max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    model = RaBitQModel.load(spark, path)
+    assert model.index_df.count() == n
+    queries = emb.filter("vec_id < 6").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    exact = knn_exact(queries, base, 5).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    got = search(
+        model, queries, topk=5, nprobe=model.n_clusters, overfetch=10**6
+    ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, exact, check_exact=True)
