@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from rabitq_spark._dist import ensure_package_on_executors
 from rabitq_spark.config import RaBitQConfig
 from rabitq_spark.index.model import RaBitQModel
+from rabitq_spark.index.rotation import apply_rot, apply_rot_T
 
 INDEX_SCHEMA = (
     "cluster_id int, orig_id bigint, code array<bigint>, "
@@ -34,12 +35,29 @@ INDEX_SCHEMA = (
 )
 
 
-def gen_rotation(dim_pad: int, seed: int) -> np.ndarray:
-    """Random orthogonal matrix: QR of a standard Gaussian
-    (gen_random_qr_orthogonal, src/utils.rs:16-20). Seeded → deterministic."""
+MAX_DENSE_ROT_DIM = 2048
+
+
+def gen_rotation(dim_pad: int, seed: int, block_dim: int = MAX_DENSE_ROT_DIM):
+    """Random orthogonal rotation: QR of a standard Gaussian
+    (gen_random_qr_orthogonal, src/utils.rs:16-20). Seeded → deterministic.
+
+    Up to `block_dim` dims this is the reference's dense matrix; beyond it a
+    block-diagonal BlockRotation (one QR per ≤block_dim slice) keeps
+    broadcast size O(dim × block_dim) instead of O(dim²) — the dim-8k
+    escape hatch from the round-1 PLAN ceiling."""
     rng = np.random.default_rng(seed)
-    q, _ = np.linalg.qr(rng.standard_normal((dim_pad, dim_pad)))
-    return q.astype(np.float32)
+    if dim_pad <= block_dim:
+        q, _ = np.linalg.qr(rng.standard_normal((dim_pad, dim_pad)))
+        return q.astype(np.float32)
+    from rabitq_spark.index.rotation import BlockRotation
+
+    blocks = []
+    for s in range(0, dim_pad, block_dim):
+        b = min(block_dim, dim_pad - s)
+        q, _ = np.linalg.qr(rng.standard_normal((b, b)))
+        blocks.append(q.astype(np.float32))
+    return BlockRotation(blocks)
 
 
 def gen_bias(dim_pad: int, seed: int) -> np.ndarray:
@@ -151,7 +169,7 @@ def append_to_index(model: RaBitQModel, new_base: DataFrame,
         id_col=id_col,
         vec_col=vec_col,
         dim=model.dim,
-        centroids=model.centroids_proj @ model.rotation.T,  # undo projection
+        centroids=apply_rot_T(model.centroids_proj, model.rotation),  # undo projection
         debug_deterministic=False,
         _frozen_state=(model.rotation, model.rand_bias, model.centroids_proj),
     )
@@ -268,11 +286,11 @@ def build_index(
         # every stage exactly reproducible and hand-checkable (SURVEY §5.4)
         rotation = gen_identity_rotation(dim_pad)
         rand_bias = gen_fixed_bias(dim_pad)
-        centroids_proj = (centroids @ rotation).astype(np.float32)
+        centroids_proj = apply_rot(centroids, rotation).astype(np.float32)
     else:
         rotation = gen_rotation(dim_pad, config.seed)
         rand_bias = gen_bias(dim_pad, config.seed)
-        centroids_proj = (centroids @ rotation).astype(np.float32)
+        centroids_proj = apply_rot(centroids, rotation).astype(np.float32)
 
     sc = spark.sparkContext
     bc = sc.broadcast((rotation, centroids_proj))
@@ -289,7 +307,7 @@ def build_index(
             if pdf.empty:
                 continue
             x = np.vstack(pdf["vec"].values).astype(np.float32)
-            xp = (x @ rot).astype(np.float32)  # T2 projection (src/rabitq.rs:188)
+            xp = apply_rot(x, rot).astype(np.float32)  # T2 projection (src/rabitq.rs:188)
             # D6 nearest centroid in projected space (src/utils.rs:261-277)
             d2 = xp @ cp.T
             d2 = (xp**2).sum(axis=1)[:, None] - 2.0 * d2 + cp_sq[None, :]

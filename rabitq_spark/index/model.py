@@ -28,7 +28,7 @@ class RaBitQModel:
     config: RaBitQConfig
     dim: int          # original dimension
     dim_pad: int      # padded to multiple of 64 (src/rabitq.rs:167-179)
-    rotation: np.ndarray        # (dim_pad, dim_pad) orthogonal P
+    rotation: "np.ndarray | object"  # dense (dim_pad, dim_pad) orthogonal P, or BlockRotation past the dense ceiling
     rand_bias: np.ndarray       # (dim_pad,) U(0,1) dither
     centroids_proj: np.ndarray  # (k, dim_pad) — projected centroids C·P
     index_df: DataFrame  # cluster_id, orig_id, code[], factor_ip, factor_ppc, error_bound, center_dist_sq
@@ -60,11 +60,20 @@ class RaBitQModel:
             .parquet(f"{path}/index")
         )
         self.base_df.write.mode("overwrite").parquet(f"{path}/base")
+        from rabitq_spark.index.rotation import BlockRotation
+
+        if isinstance(self.rotation, BlockRotation):
+            # block-diagonal rotation (dim > dense ceiling): one array per block
+            rot_arrays = {
+                f"rotation_block_{i}": b for i, b in enumerate(self.rotation.blocks)
+            }
+        else:
+            rot_arrays = {"rotation": self.rotation}
         np.savez(
             f"{path}/arrays.npz",
-            rotation=self.rotation,
             rand_bias=self.rand_bias,
             centroids_proj=self.centroids_proj,
+            **rot_arrays,
         )
         with open(f"{path}/meta.json", "w") as f:
             json.dump(
@@ -79,14 +88,23 @@ class RaBitQModel:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> RaBitQModel:
+        from rabitq_spark.index.rotation import BlockRotation
+
         with open(f"{path}/meta.json") as f:
             meta = json.load(f)
         arrays = np.load(f"{path}/arrays.npz")
+        if "rotation" in arrays:
+            rotation = arrays["rotation"]
+        else:
+            n_blocks = sum(1 for k in arrays.files if k.startswith("rotation_block_"))
+            rotation = BlockRotation(
+                [arrays[f"rotation_block_{i}"] for i in range(n_blocks)]
+            )
         return cls(
             config=RaBitQConfig(**meta["config"]),
             dim=meta["dim"],
             dim_pad=meta["dim_pad"],
-            rotation=arrays["rotation"],
+            rotation=rotation,
             rand_bias=arrays["rand_bias"],
             centroids_proj=arrays["centroids_proj"],
             index_df=spark.read.parquet(f"{path}/index"),

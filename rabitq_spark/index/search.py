@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from rabitq_spark._dist import ensure_package_on_executors
 from rabitq_spark.functions.vector import l2_squared, pad_to_multiple
+from rabitq_spark.index.rotation import apply_rot
 from rabitq_spark.index.model import RaBitQModel
 from rabitq_spark.metrics import SearchMetrics
 from rabitq_spark.operators.topk import topk_per_group
@@ -70,7 +71,7 @@ def _prepare_probes(
                 q = np.hstack(
                     [q, np.zeros((q.shape[0], dim_pad - q.shape[1]), np.float32)]
                 )
-            yp = (q @ rot).astype(np.float32)  # stage 2 rotate
+            yp = apply_rot(q, rot).astype(np.float32)  # stage 2 rotate
             # stage 3: J1 distances to all centroids + top-nprobe
             d2 = (yp**2).sum(axis=1)[:, None] - 2.0 * (yp @ cp.T) + cp_sq[None, :]
             nq = yp.shape[0]

@@ -64,8 +64,10 @@ def maintain_index_stream(
     search over the union of bootstrapped and streamed vectors.
     """
     spark = vec_stream.sparkSession
+    from rabitq_spark.index.rotation import apply_rot_T
+
     frozen = RaBitQModel.load(spark, model_path)
-    centroids = frozen.centroids_proj @ frozen.rotation.T  # undo projection
+    centroids = apply_rot_T(frozen.centroids_proj, frozen.rotation)  # undo projection
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
         appended = build_index(
