@@ -721,6 +721,61 @@ FROM documents
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (two broadcast dims, customer-supplier
+    same-nation constraint), date-range filter pushed to the orders scan,
+    one aggregation shuffle on n_name."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.dedup import simhash_pairs
 
@@ -1387,6 +1442,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_join": q_similarity_join,
     "multimodal_features": q_multimodal_features,
     "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
     "customers_without_orders": q_customers_without_orders,
     "rollup_revenue": q_rollup_revenue,
     "stream_window": q_stream_window,
@@ -1403,6 +1459,7 @@ ORACLE_SQL: dict[str, str] = {
     "hash_split": _SQL_HASH_SPLIT,
     "pivot_events": _SQL_PIVOT_EVENTS,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
+    "local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
     "customers_without_orders": _SQL_CUST_NO_ORDERS,
     "rollup_revenue": _SQL_ROLLUP,
     # streaming run-to-completion must equal the batch aggregate
