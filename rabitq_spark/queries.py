@@ -1041,6 +1041,51 @@ FROM per_user
 """
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (p50/p90/p99) of event value per event_type via
+    the explicit order-statistic formula (k-th smallest, k = ceil(q·n)) —
+    deterministic and engine-portable, unlike interpolating percentile
+    built-ins whose arithmetic differs across engines. One shuffle on
+    event_type; rank via window, selection via conditional min."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def pick(q: float):
+        k = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.min(F.when(F.col("rk") == k, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"),
+        F.max("n").alias("n"),
+    )
+
+
+_SQL_VALUE_PERCENTILES = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MIN(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+       MIN(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+       MIN(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99,
+       MAX(n) AS n
+FROM ranked GROUP BY event_type
+"""
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: daily event counts spread across event-type columns."""
     ev = load_table(spark, sf_dir, "events")
@@ -1451,6 +1496,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
     "pivot_events": q_pivot_events,
+    "value_percentiles": q_value_percentiles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1458,6 +1504,7 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_documents": _SQL_CHUNKS,
     "hash_split": _SQL_HASH_SPLIT,
     "pivot_events": _SQL_PIVOT_EVENTS,
+    "value_percentiles": _SQL_VALUE_PERCENTILES,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
     "customers_without_orders": _SQL_CUST_NO_ORDERS,
