@@ -128,11 +128,34 @@ def xor_minhash_key(hashes: Column | str, band: int) -> Column:
     return F.array_min(F.transform(_c(hashes), lambda h: h.bitwiseXOR(c)))
 
 
-def char_ngrams(text: Column | str, n: int = 5) -> Column:
+def banded_minhash_key(
+    hashes: Column | str, band: int, rows_per_band: int = 1
+) -> Column:
+    """AND-amplified LSH band key: the shift-xor combination of
+    `rows_per_band` independent xor-minhashes. Collision probability per
+    band is J^r instead of J — essential when typical PAIRWISE similarity
+    is moderate (e.g. char-5-grams of a shared-vocab corpus measured 10%
+    single-min collisions at 5k docs → 1.3M candidate pairs per band;
+    r=4 measured 622). rows_per_band=1 degrades to xor_minhash_key."""
+    h = _c(hashes)
+    mins = []
+    for j in range(rows_per_band):
+        c = F.lit(band_xor_constant(band * rows_per_band + j)).cast("bigint")
+        mins.append(F.array_min(F.transform(h, lambda x, c=c: x.bitwiseXOR(c))))
+    if rows_per_band == 1:
+        return mins[0]
+    return _combine_hashes(mins)
+
+
+def char_ngrams(text: Column | str, n: int = 5, lower: bool = True) -> Column:
     """Distinct character n-grams of the lowercased text — the dedup unit
     for n-gram Jaccard (robust to token boundaries, unlike word shingles).
-    Short texts yield an empty array."""
-    t = F.lower(_c(text))
+    Short texts yield an empty array.
+
+    Pass lower=False with a PRE-LOWERED column: lower() inlined here is
+    re-evaluated per n-gram inside the lambda (no CSE across lambda
+    boundaries — measured 9.1 s vs 2.5 s at 5k docs, Catalyst pitfall #2)."""
+    t = F.lower(_c(text)) if lower else _c(text)
     ln = F.length(t)
     make = F.transform(
         F.sequence(F.lit(1), ln - (n - 1)),

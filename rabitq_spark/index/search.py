@@ -279,6 +279,7 @@ def search(
     prune_partitions: bool = True,
     metrics: "SearchMetrics | None" = None,
     impl: str = "jvm",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Batch top-k ANN: returns (query_id, neighbor_id, dist, rank).
 
@@ -327,8 +328,14 @@ def search(
                 for row in probes.select("cluster_id").distinct().collect()
             ]
             index = index.filter(F.col("cluster_id").isin(probed))
-        # Stage 5: J2 equi-join + D5 estimator. Probe side small → broadcast.
-        cand = index.join(F.broadcast(probes), "cluster_id")
+        # Stage 5: J2 equi-join + D5 estimator. Typical query batches make
+        # the probe table small → broadcast; a huge batch (probe table
+        # ~ nq × nprobe rows, e.g. a full-table similarity join) must
+        # instead shuffle BOTH sides by cluster_id (broadcast_probes=False)
+        # — the join key is the same either way, and the index side's
+        # shuffle is bounded by the pruned posting lists.
+        probe_side = F.broadcast(probes) if broadcast_probes else probes
+        cand = index.join(probe_side, "cluster_id")
         cand = cand.select(
             "query_id",
             "orig_id",

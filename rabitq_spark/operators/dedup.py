@@ -106,6 +106,44 @@ def _banded_candidates(keys_df, n_bands: int, carry: list[str]):
     return out
 
 
+def _banded_candidates_exploded(keys_df, n_bands: int):
+    """Candidate pairs via explode + ONE equi-join on (band, key) + distinct.
+
+    Fewer stages than the per-band union form and a single shuffle keyed by
+    (band, key) — the right plan when the candidate set is small relative
+    to the corpus (minhash/ngram tails, where AND-amplified bands keep
+    collisions rare). The union form (_banded_candidates) stays for
+    simhash, whose pigeonhole bands intentionally admit large candidate
+    sets that would make the distinct an expensive extra shuffle.
+    """
+    kv = keys_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"), F.col(f"k{b}").alias("k")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    l, r = kv.alias("l"), kv.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def _shingle_table(
     docs: DataFrame, id_col: str, text_col: str, shingle_words: int
 ) -> DataFrame:
@@ -152,22 +190,35 @@ def neardup_minhash_pairs(
         wh.select("doc_id", combine_word_hashes("h", shingle_words).alias("hs")),
         _MINHASH_SCOPE,
     )
-    return _banded_jaccard_pairs(hashed, n_bands, threshold)
+    return _banded_jaccard_pairs(hashed, n_bands, threshold, scope=_MINHASH_SCOPE)
 
 
 def _banded_jaccard_pairs(
-    hashed: DataFrame, n_bands: int, threshold: float
+    hashed: DataFrame,
+    n_bands: int,
+    threshold: float,
+    rows_per_band: int = 1,
+    scope: list | None = None,
 ) -> DataFrame:
     """Shared LSH tail: banded xor-minhash keys → candidate equi-joins →
     exact Jaccard verify on the hash sets. `hashed` must be a materialized
-    (cached) (doc_id, hs array<bigint>) projection."""
-    from rabitq_spark.functions.text import jaccard, xor_minhash_key
+    (cached) (doc_id, hs array<bigint>) projection. rows_per_band > 1
+    AND-amplifies each band (collision ~ J^r) for corpora whose baseline
+    pairwise similarity would otherwise flood the candidate join."""
+    from rabitq_spark.functions.text import banded_minhash_key, jaccard
 
     keys = hashed.filter(F.size("hs") > 0).select(
         "doc_id",
-        *[xor_minhash_key("hs", b).alias(f"k{b}") for b in range(n_bands)],
+        *[
+            banded_minhash_key("hs", b, rows_per_band).alias(f"k{b}")
+            for b in range(n_bands)
+        ],
     )
-    cand = _banded_candidates(keys, n_bands, carry=[])
+    if scope is not None:
+        # the banded self-join references the key table twice; without a
+        # barrier each side recomputes all n_bands×r array-min transforms
+        keys = _scoped_cache(keys, scope)
+    cand = _banded_candidates_exploded(keys, n_bands)
     sa = hashed.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     sb = hashed.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     return (
@@ -188,18 +239,28 @@ def neardup_ngram_pairs(
     n_chars: int = 5,
     n_bands: int = 8,
     threshold: float = 0.8,
+    rows_per_band: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard (id_a < id_b,
     jaccard >= threshold) — robust to token-boundary edits where word
     shingles are brittle. Same scale shape as minhash: banded keys,
-    equi-join blocking, verify on candidates only."""
+    equi-join blocking, verify on candidates only. Char n-grams of any
+    same-language corpus share heavily, so bands are AND-amplified
+    (rows_per_band=4: candidate collisions measured 1.3M → 622 per band
+    at 5k docs; recall at J=0.8 stays 1-(1-0.8^4)^8 ≈ 0.985)."""
     from rabitq_spark.functions.text import char_ngrams, token_hash60
 
     _release_scope(_NGRAM_SCOPE)
-    grams = _scoped_cache(
+    # lower() must be materialized BEFORE the n-gram lambda (see char_ngrams)
+    lowered = _scoped_cache(
         docs.select(
-            F.col(id_col).alias("doc_id"),
-            char_ngrams(F.col(text_col), n_chars).alias("gs"),
+            F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("lt")
+        ),
+        _NGRAM_SCOPE,
+    )
+    grams = _scoped_cache(
+        lowered.select(
+            "doc_id", char_ngrams(F.col("lt"), n_chars, lower=False).alias("gs")
         ),
         _NGRAM_SCOPE,
     )
@@ -207,7 +268,9 @@ def neardup_ngram_pairs(
         grams.select("doc_id", F.transform("gs", token_hash60).alias("hs")),
         _NGRAM_SCOPE,
     )
-    return _banded_jaccard_pairs(hashed, n_bands, threshold)
+    return _banded_jaccard_pairs(
+        hashed, n_bands, threshold, rows_per_band, scope=_NGRAM_SCOPE
+    )
 
 
 _WINNOW_SCOPE: list = []
@@ -239,11 +302,17 @@ def winnow_fingerprints(
         ),
         _WINNOW_SCOPE,
     )
-    return wh.select(
+    # the k-gram array must be MATERIALIZED before window selection: inlined,
+    # CollapseProject re-evaluates the whole array construction inside every
+    # element_at of every window (PLAN.md Catalyst pitfall #2 — measured
+    # 15 s → 0.6 s at sf0.1)
+    kg = _scoped_cache(
+        wh.select("doc_id", kgram_hash_seq(F.col("h"), kgram_words).alias("g")),
+        _WINNOW_SCOPE,
+    )
+    return kg.select(
         "doc_id",
-        F.explode(
-            winnow_select(kgram_hash_seq(F.col("h"), kgram_words), window)
-        ).alias("fp"),
+        F.explode(winnow_select(F.col("g"), window)).alias("fp"),
     )
 
 

@@ -97,4 +97,14 @@ def similarity_join(
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
-    return search(model, queries, topk=k, nprobe=nprobe, overfetch=overfetch)
+    # a full-table query side makes the probe table |left| × nprobe rows —
+    # too big to broadcast past max_query_block; shuffle both sides by
+    # cluster_id instead (pass left_count to enable the check)
+    return search(
+        model,
+        queries,
+        topk=k,
+        nprobe=nprobe,
+        overfetch=overfetch,
+        broadcast_probes=left_count is None or left_count <= max_query_block,
+    )

@@ -629,6 +629,26 @@ def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_band_union_sql(n_bands: int, rows_per_band: int) -> str:
+    """Per-band key selects mirroring banded_minhash_key: the shift-xor
+    combination of rows_per_band xor-minhashes, masked to 60 bits."""
+    from rabitq_spark.functions.text import _MASK60, band_xor_constant
+
+    parts = []
+    for b in range(n_bands):
+        mins = [
+            f"list_min(list_transform(hs, h -> xor(h, {band_xor_constant(b * rows_per_band + j)})))"
+            for j in range(rows_per_band)
+        ]
+        key = f"({mins[0]} << {rows_per_band - 1})"
+        for j, m in enumerate(mins[1:], start=1):
+            key = f"xor({key}, ({m} << {rows_per_band - 1 - j}))"
+        parts.append(
+            f"SELECT doc_id, {b} AS b, ({key}) & {_MASK60} AS key FROM nonempty"
+        )
+    return "\n  UNION ALL\n  ".join(parts)
+
+
 _SQL_NEARDUP_NGRAM = f"""
 WITH ng AS (
   SELECT doc_id,
@@ -644,9 +664,7 @@ WITH ng AS (
 ), nonempty AS (
   SELECT doc_id, hs FROM hashed WHERE len(hs) > 0
 ), bands AS (
-  SELECT doc_id, b,
-         list_min(list_transform(hs, h -> xor(h, c))) AS key
-  FROM nonempty, {_band_constants_sql(8)}
+  {_ngram_band_union_sql(8, 4)}
 ), cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM bands l JOIN bands r

@@ -97,6 +97,19 @@ def test_save_load_roundtrip(spark, model_and_data, tmp_path):
     pd.testing.assert_frame_equal(before, after, check_exact=True)
 
 
+def test_shuffled_probe_join_equals_broadcast(spark, model_and_data):
+    """broadcast_probes=False (the huge-query-batch plan: both sides shuffle
+    by cluster_id) must return identical results to the broadcast plan."""
+    model, base, queries = model_and_data
+    a = search(model, queries, topk=K).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    b = search(model, queries, topk=K, broadcast_probes=False).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
 def test_cold_index_partition_pruning(spark, model_and_data, tmp_path):
     """The saved index is Parquet partitioned by cluster_id; a low-nprobe
     search against the LOADED model must prune to only the probed partitions
