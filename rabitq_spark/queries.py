@@ -618,6 +618,43 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the minhash pair graph —
+    the step that turns pairs into droppable duplicates. Iterative min-label
+    propagation in Spark; the oracle computes exact reachability with a
+    recursive CTE, so the whole iterative algorithm is hash-checked."""
+    from rabitq_spark.operators.dedup import neardup_minhash_pairs
+    from rabitq_spark.operators.graph import neardup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_minhash_pairs(
+        docs, shingle_words=3, n_bands=8, threshold=0.8
+    )
+    return neardup_groups(docs, pairs)
+
+
+def _sql_neardup_groups() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_SQL_NEARDUP_MINHASH}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, reach.r FROM sym s JOIN reach ON reach.node = s.src
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS group_id FROM reach GROUP BY node
+)
+SELECT doc_id, group_id,
+       COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+       CAST(doc_id <> group_id AS INT) AS is_dup
+FROM comp
+"""
+
+
 def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.dedup import neardup_ngram_pairs
 
@@ -1487,6 +1524,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "neardup_minhash": q_neardup_minhash,
     "neardup_ngram": q_neardup_ngram,
+    "neardup_groups": q_neardup_groups,
     "winnow_fingerprints": q_winnow_fingerprints,
     "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
@@ -1553,6 +1591,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "neardup_minhash": _SQL_NEARDUP_MINHASH,
     "neardup_ngram": _SQL_NEARDUP_NGRAM,
+    "neardup_groups": _sql_neardup_groups(),
     "winnow_fingerprints": _SQL_WINNOW,
     "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,

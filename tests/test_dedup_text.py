@@ -246,6 +246,33 @@ def test_similarity_join_blocked_exhaustive_equals_single_block(spark, sf_dir):
     pd.testing.assert_frame_equal(blocked, single, check_exact=True)
 
 
+def test_connected_components_chain_triangle_isolated(spark):
+    """Min-label propagation must produce exact components: a 5-node chain
+    (diameter > 1 round — exercises iteration), a triangle, an isolated
+    node."""
+    from rabitq_spark.operators.graph import connected_components, neardup_groups
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a bigint, id_b bigint",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 99]], "doc_id bigint"
+    )
+    comp = {
+        r.node: r.comp
+        for r in connected_components(edges, nodes, node="doc_id").collect()
+    }
+    assert all(comp[i] == 1 for i in [1, 2, 3, 4, 5])
+    assert all(comp[i] == 10 for i in [10, 11, 12])
+    assert comp[99] == 99
+
+    groups = {r.doc_id: r for r in neardup_groups(nodes, edges).collect()}
+    assert groups[5].group_id == 1 and groups[5].is_dup == 1
+    assert groups[1].is_dup == 0 and groups[1].group_size == 5
+    assert groups[99].group_size == 1
+
+
 def test_quality_and_lang_are_deterministic(spark):
     df = _docs(spark, ["the cat sat on the mat", "der hund und die katze nicht"])
     rows = df.select(
