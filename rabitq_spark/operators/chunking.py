@@ -82,3 +82,46 @@ def hash_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: row kept iff its md5 bucket (of
+    salt|id, 0..9999) falls below rate(stratum)·10000. The training-data
+    rebalancing staple (e.g. downsample dominant languages): reproducible
+    across runs, partitionings, and engines — unlike df.sample, whose
+    output depends on partitioning. One scan, no shuffle; the filter is
+    pure codegen and pushes column pruning through.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    cutoff = None
+    for stratum, rate in rates.items():
+        clause = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(rate * 10000)))
+        )
+        cutoff = clause if cutoff is None else cutoff.when(
+            F.col(strata_col) == stratum, F.lit(int(round(rate * 10000)))
+        )
+    cutoff = (
+        cutoff.otherwise(F.lit(int(round(default_rate * 10000))))
+        if cutoff is not None
+        else F.lit(int(round(default_rate * 10000)))
+    )
+    return df.filter(bucket < cutoff)

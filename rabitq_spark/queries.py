@@ -1141,6 +1141,32 @@ FROM ranked GROUP BY event_type
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language document sampling (rebalancing staple):
+    en halved, de at 30%, everything else 10% — md5-bucket filter, one
+    scan, engine-portable."""
+    from rabitq_spark.operators.chunking import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"),
+        strata_col="lang",
+        id_col="doc_id",
+        rates={"en": 0.5, "de": 0.3},
+        default_rate=0.1,
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(md5(concat('strat-v1|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+) t
+WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 1000 END
+"""
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: daily event counts spread across event-type columns."""
     ev = load_table(spark, sf_dir, "events")
@@ -1551,6 +1577,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brp_lsh_mllib": q_brp_lsh_mllib,
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
     "pivot_events": q_pivot_events,
     "value_percentiles": q_value_percentiles,
 }
@@ -1559,6 +1586,7 @@ ORACLE_SQL: dict[str, str] = {
     "knn_cosine": _SQL_KNN_COSINE,
     "chunk_documents": _SQL_CHUNKS,
     "hash_split": _SQL_HASH_SPLIT,
+    "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "pivot_events": _SQL_PIVOT_EVENTS,
     "value_percentiles": _SQL_VALUE_PERCENTILES,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,

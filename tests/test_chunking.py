@@ -36,3 +36,17 @@ def test_hash_split_deterministic_and_proportional(spark, sf_dir):
     # different salt -> different assignment (not a constant function)
     c = {r.doc_id: r.split for r in hash_split(docs, "doc_id", salt="other").collect()}
     assert c != a
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
+    from rabitq_spark.operators.chunking import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    kw = dict(strata_col="lang", id_col="doc_id", rates={"en": 0.5}, default_rate=0.1)
+    a = {r.doc_id for r in stratified_sample(docs, **kw).collect()}
+    b = {r.doc_id for r in stratified_sample(docs.repartition(7), **kw).collect()}
+    assert a == b, "sample must be partitioning-independent"
+    n_en = docs.filter("lang = 'en'").count()
+    k_en = stratified_sample(docs, **kw).filter("lang = 'en'").count()
+    # md5 buckets are uniform: expect ~0.5 within a generous band
+    assert 0.3 * n_en <= k_en <= 0.7 * n_en, (k_en, n_en)
