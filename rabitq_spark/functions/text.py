@@ -201,6 +201,14 @@ def winnow_select(g: Column | str, w: int = 4) -> Column:
 # GPT-2-style piece classes, restricted to constructs with identical
 # semantics in Java regex (Spark) and RE2 (DuckDB): letter runs, single
 # digits, single punctuation. The corpus delimiter is a literal space.
+#
+# Unicode caveat (advisor, round 2): Java regex walks UTF-16 code units, so
+# a non-BMP character (emoji, rare CJK) hits [^A-Za-z0-9 ] TWICE (one per
+# surrogate) where RE2 counts it once. Counts are therefore only
+# oracle-identical on BMP text — which the testdata corpus is. For astral
+# input, treat bpe_token_count as Spark-definitive (a surrogate-aware
+# pattern would need \x{10000}-\x{10FFFF} classes that RE2 spells
+# differently, breaking the shared-pattern contract this module keeps).
 BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 

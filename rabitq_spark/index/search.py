@@ -280,6 +280,7 @@ def search(
     metrics: "SearchMetrics | None" = None,
     impl: str = "jvm",
     broadcast_probes: bool = True,
+    fused_max_probe_rows: int = 1_000_000,
 ) -> DataFrame:
     """Batch top-k ANN: returns (query_id, neighbor_id, dist, rank).
 
@@ -297,6 +298,16 @@ def search(
 
     index = model.index_df
     r = max(topk * overfetch, topk)
+    probes_materialized = False
+    if impl == "fused":
+        # Gate (round-2 verdict): the fused path materializes the whole
+        # probe table on the driver. Checkpoint once (executor blocks), then
+        # a near-free count over the blocks decides: past the cap, fall back
+        # to the jvm join path — never an unbounded toPandas.
+        probes = probes.localCheckpoint(eager=True)
+        probes_materialized = True
+        if probes.count() > fused_max_probe_rows:
+            impl = "jvm"
     if impl == "fused":
         # Stages 5-6 fused in one Arrow pass (see _fused_shortlist); it
         # collects the probe table itself and derives partition pruning
@@ -322,7 +333,8 @@ def search(
             # both the pruning collect and the broadcast join below read the
             # blocks — previously the whole rotate/argpartition/quantize
             # stage ran twice per search.
-            probes = probes.localCheckpoint(eager=True)
+            if not probes_materialized:
+                probes = probes.localCheckpoint(eager=True)
             probed = [
                 row.cluster_id
                 for row in probes.select("cluster_id").distinct().collect()

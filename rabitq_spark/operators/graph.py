@@ -15,7 +15,7 @@ bound — the blocks are retired by the next round's checkpoint).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -31,6 +31,13 @@ def connected_components(
 
     `edges` is undirected (each pair once); isolated nodes keep their own
     id as component. Deterministic: exact components, not approximate.
+
+    Each round is ONE Spark action: the per-node neighbor-min join/agg is
+    materialized by localCheckpoint, and the convergence signal (how many
+    nodes improved their label) rides the same job as an `observe` metric —
+    no separate convergence count job (round-2 verdict). Raises RuntimeError
+    if max_iter rounds pass without convergence (advisor: a silent cap would
+    return wrong components for graphs of diameter > max_iter).
     """
     sym = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
@@ -43,25 +50,33 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        neighbor = (
+        nbr_min = (
             sym.join(labels, sym.dst == labels.node)
-            .select(F.col("src").alias("node"), "comp")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
         )
+        obs = Observation()
         new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .count()
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp"))
+                .cast("int")
+                .alias("__improved"),
+            )
+            .observe(obs, F.sum("__improved").alias("changed"))
+            .select("node", "comp")
+            .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        if not (obs.get["changed"] or 0):
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "the pair graph has a component of diameter > max_iter; raise "
+        "max_iter (labels would otherwise be silently wrong)"
+    )
 
 
 def neardup_groups(

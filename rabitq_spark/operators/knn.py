@@ -72,6 +72,7 @@ def knn_exact_refined(
     query_vec: str = "qvec",
     base_id: str = "id",
     base_vec: str = "vec",
+    bc_registry: list | None = None,
 ) -> DataFrame:
     """Exact top-k with bit-exact fold distances at GEMM speed.
 
@@ -83,7 +84,8 @@ def knn_exact_refined(
     refine step touches only nq × (k+margin) rows.
     """
     short = knn_exact_fast(
-        queries, base, k + margin, query_id, query_vec, base_id, base_vec
+        queries, base, k + margin, query_id, query_vec, base_id, base_vec,
+        bc_registry=bc_registry,
     ).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
@@ -111,10 +113,16 @@ def knn_exact_fast(
     query_vec: str = "qvec",
     base_id: str = "id",
     base_vec: str = "vec",
+    bc_registry: list | None = None,
 ) -> DataFrame:
     """BLAS-backed exact top-k: per-partition matmul + local top-k, then a
     global top-k per query. Map-side combine keeps the shuffle at
-    O(|queries| * k * n_partitions) rows regardless of base size."""
+    O(|queries| * k * n_partitions) rows regardless of base size.
+
+    `bc_registry` (when given) receives the query-matrix Broadcast handle so
+    a blocked caller can destroy it as soon as the block's result is
+    materialized — at most one block's broadcast live at a time.
+    """
     spark = queries.sparkSession
     ensure_package_on_executors(spark)
     qpd = queries.select(query_id, query_vec).toPandas()
@@ -122,6 +130,8 @@ def knn_exact_fast(
     q_mat = np.ascontiguousarray(np.vstack(qpd[query_vec].values).astype(np.float64))
     q_sq = (q_mat * q_mat).sum(axis=1)
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_sq))
+    if bc_registry is not None:
+        bc_registry.append(bc)
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, mat_b, sq_b = bc.value

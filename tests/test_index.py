@@ -167,3 +167,24 @@ def test_index_schema_and_codes(spark, model_and_data):
     counts = model.index_df.groupBy("cluster_id").count().toPandas()
     assert counts["count"].sum() == model.base_df.count()
     assert set(counts["cluster_id"]) <= set(range(model.n_clusters))
+
+
+def test_fused_gate_falls_back_to_jvm(spark, model_and_data, monkeypatch):
+    """Past fused_max_probe_rows the fused impl must NOT collect the probe
+    table (round-2 verdict: ungated toPandas): it falls back to the jvm join
+    path and still returns identical results."""
+    import rabitq_spark.index.search as search_mod
+
+    model, base, queries = model_and_data
+
+    def boom(*args, **kwargs):
+        raise AssertionError("fused shortlist must not run past the probe cap")
+
+    monkeypatch.setattr(search_mod, "_fused_shortlist", boom)
+    gated = search_mod.search(
+        model, queries, topk=K, impl="fused", fused_max_probe_rows=1
+    ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    jvm = search_mod.search(model, queries, topk=K).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(gated, jvm, check_exact=True)
