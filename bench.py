@@ -28,6 +28,16 @@ from rabitq_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_QUERIES = 1000
 TOPK = 10
+# round-2 verdict: single-run timings made regressions indistinguishable
+# from session noise; every sf0.1 query now runs REPEATS times and the JSON
+# reports the median plus [min, max] spread
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
 def time_df(fn, *args, **kwargs) -> float:
@@ -35,6 +45,10 @@ def time_df(fn, *args, **kwargs) -> float:
     df = fn(*args, **kwargs)
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def time_df_n(fn, *args, n: int = REPEATS, **kwargs) -> list[float]:
+    return [time_df(fn, *args, **kwargs) for _ in range(n)]
 
 
 def main() -> None:
@@ -56,6 +70,11 @@ def main() -> None:
     nq = queries.count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+
+    def record(name: str, runs: list[float]) -> None:
+        timings[name] = _median(runs)
+        spread[name] = [min(runs), max(runs)]
 
     # --- index build (timed separately; search assumes a built index)
     # nprobe/overfetch tuned on this dataset (64-dim Gaussian-cluster
@@ -80,11 +99,31 @@ def main() -> None:
     from rabitq_spark.metrics import SearchMetrics
 
     metrics = SearchMetrics()
+    ann_runs = []
     t0 = time.perf_counter()
     approx = search(model, queries, metrics=metrics)
     approx_pdf = approx.toPandas()
-    ann_batch_sec = time.perf_counter() - t0
-    timings["ann_batch_1k"] = ann_batch_sec
+    ann_runs.append(time.perf_counter() - t0)
+    for _ in range(REPEATS - 1):
+        t0 = time.perf_counter()
+        search(model, queries).toPandas()
+        ann_runs.append(time.perf_counter() - t0)
+    record("ann_batch_1k", ann_runs)
+    ann_batch_sec = timings["ann_batch_1k"]
+
+    # --- same batch against a BUCKETED model (index by cluster_id, base by
+    # orig_id): the rerank join stops shuffling the base side entirely —
+    # the 100 TB-side win, measured here as the repeated-batch delta
+    bucketed = model.persist_bucketed(n_buckets=32, name="bench_model")
+    search(bucketed, queries.limit(10)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    bucketed_runs = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        search(bucketed, queries).toPandas()
+        bucketed_runs.append(time.perf_counter() - t0)
+    record("ann_batch_1k_bucketed", bucketed_runs)
 
     # recall vs exact (not part of the timing)
     exact_pdf = knn_exact_fast(queries, base, TOPK).toPandas()
@@ -101,13 +140,11 @@ def main() -> None:
     ann_search(queries.limit(10), base, TOPK).write.format("noop").mode(
         "overwrite"
     ).save()
-    t0 = time.perf_counter()
-    ann_search(queries, base, TOPK).write.format("noop").mode("overwrite").save()
-    engine_sec = time.perf_counter() - t0
-    timings["ann_search_engine_1k"] = engine_sec
+    record("ann_search_engine_1k", time_df_n(ann_search, queries, base, TOPK))
+    engine_sec = timings["ann_search_engine_1k"]
 
     # --- brute-force batch for comparison
-    timings["knn_exact_fast_1k"] = time_df(knn_exact_fast, queries, base, TOPK)
+    record("knn_exact_fast_1k", time_df_n(knn_exact_fast, queries, base, TOPK))
 
     # --- registered relational/extension queries at bench SF
     from rabitq_spark.queries import SPARK_QUERIES
@@ -145,9 +182,20 @@ def main() -> None:
                 pass
     for name, fn in bench_queries:
         try:
-            timings[name] = time_df(fn, spark, SF_DIR)
+            record(name, time_df_n(fn, spark, SF_DIR))
         except Exception:  # noqa: BLE001
             timings[name] = -1.0
+
+    from rabitq_spark.operators.dedup import release_caches
+
+    release_caches()  # drain the last dedup generation before the next phase
+
+    # --- sf1.0 section (round-3 verdict): the full query sweep one SF up,
+    # on a locally generated 10x replica of sf0.1 (scripts/make_benchdata.py
+    # — key-offset star-schema replicas; docs/embeddings perturbed so the
+    # corpus doesn't degenerate into one duplicate cluster). Single run per
+    # query to bound harness time; the sf0.1 section carries the variance.
+    sf1 = _sf1_section(spark, bench_queries)
 
     # --- scale probe: IVF vs brute PAST the cost-rule switch. The driver
     # testdata tops out at 2k vectors (brute wins there, and the engine
@@ -163,6 +211,10 @@ def main() -> None:
         "value": round(engine_sec, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries_spread": {
+            k: [round(v[0], 3), round(v[1], 3)] for k, v in spread.items()
+        },
+        "bench_repeats": REPEATS,
         "sf": sf,
         "n_queries": nq,
         "topk": TOPK,
@@ -176,9 +228,84 @@ def main() -> None:
         "rough_candidates_per_query": round(metrics.rough_count / max(nq, 1), 1),
         "precise_rerank_per_query": round(metrics.precise_count / max(nq, 1), 1),
         "scale_probe": scale_probe,
+        "sf1": sf1,
     }
     spark.stop()
     print(json.dumps(result))
+
+
+def _sf1_section(spark, bench_queries) -> dict:
+    """Every registered query + the ANN headline at sf1.0 (10x sf0.1).
+
+    Generates .benchdata/sf1.0 on first use (~1 min, reused afterwards).
+    Returns {} if generation fails so the sf0.1 bench contract is never
+    blocked by this section.
+    """
+    import subprocess
+
+    import numpy as np
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.path.join(repo, ".benchdata", "sf1.0")
+    if not os.path.isdir(sf1_dir):
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(repo, "scripts", "make_benchdata.py")],
+                check=True,
+                capture_output=True,
+                timeout=600,
+            )
+        except Exception:  # noqa: BLE001
+            return {}
+
+    out: dict = {"sf": 1.0, "n_repeats": 1, "queries": {}}
+    for name, fn in bench_queries:
+        try:
+            out["queries"][name] = round(time_df(fn, spark, sf1_dir), 3)
+        except Exception:  # noqa: BLE001
+            out["queries"][name] = -1.0
+    from rabitq_spark.operators.dedup import release_caches
+
+    release_caches()
+
+    # ANN headline at sf1.0: 20k base, sqrt-sized clusters, auto overfetch
+    emb = spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
+    n1 = emb.count()
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = (
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .limit(N_QUERIES)
+        .cache()
+    )
+    nq = queries.count()
+    k1 = int(np.sqrt(n1))
+    cfg = RaBitQConfig(n_clusters=k1, nprobe=max(8, k1 // 3), topk=TOPK)
+    t0 = time.perf_counter()
+    model = build_index(base, cfg, n_rows=n1)
+    model.index_df = model.index_df.cache()
+    model.index_df.count()
+    model.base_df = model.base_df.cache()
+    model.base_df.count()
+    out["index_build"] = round(time.perf_counter() - t0, 3)
+
+    search(model, queries.limit(10)).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    approx = search(model, queries).toPandas()
+    out["ann_batch_1k"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    exact = knn_exact_fast(queries, base, TOPK).toPandas()
+    out["knn_exact_fast_1k"] = round(time.perf_counter() - t0, 3)
+    hits = approx.merge(
+        exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
+    )
+    out["ivf_recall_at_k"] = round(len(hits) / max(len(exact), 1), 4)
+    out["ivf_nprobe"] = cfg.nprobe
+    from rabitq_spark.index.search import auto_overfetch
+
+    out["effective_overfetch"] = auto_overfetch(model, cfg.nprobe, TOPK)
+    for df in (queries, model.index_df, model.base_df):
+        df.unpersist()
+    return out
 
 
 def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
@@ -224,7 +351,9 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         n_clusters=k_clusters, nprobe=k_clusters // 32, topk=TOPK, overfetch=16
     )
     t0 = time.perf_counter()
-    model = build_index(base, cfg, kmeans_sample_fraction=50_000 / n_base)
+    model = build_index(
+        base, cfg, kmeans_sample_fraction=50_000 / n_base, n_rows=n_base
+    )
     model.index_df = model.index_df.cache()
     model.index_df.count()
     model.base_df = model.base_df.cache()
@@ -243,13 +372,20 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
     )
     for df in (base, queries, model.index_df, model.base_df):
         df.unpersist()
+    from rabitq_spark.index.search import auto_overfetch
+
+    recall = len(hits) / max(len(exact), 1)
     return {
         "n_base": n_base,
         "n_queries": nq,
         "build_sec": round(build_s, 2),
         "ivf_sec": round(ivf_s, 2),
         "brute_sec": round(brute_s, 2),
-        "ivf_recall_at_k": round(len(hits) / max(len(exact), 1), 4),
+        "ivf_recall_at_k": round(recall, 4),
+        # the scale-aware rerank width picked by auto_overfetch (round-3
+        # verdict: the fixed default degraded to 0.83 recall at 1M rows)
+        "effective_overfetch": auto_overfetch(model, cfg.nprobe, TOPK),
+        "recall_gate_0.9": recall >= 0.9,
     }
 
 

@@ -251,9 +251,14 @@ def build_index(
     centroids: np.ndarray | None = None,
     kmeans_sample_fraction: float | None = None,
     debug_deterministic: bool = False,
+    n_rows: int | None = None,
     _frozen_state: tuple | None = None,
 ) -> RaBitQModel:
-    """Train the IVF+RaBitQ index over `base` (id_col BIGINT, vec_col ARRAY<FLOAT>)."""
+    """Train the IVF+RaBitQ index over `base` (id_col BIGINT, vec_col ARRAY<FLOAT>).
+
+    `n_rows`, when the caller already knows it, is carried on the model so
+    search() can size its rerank width from the exact average cluster size;
+    it is never computed here (the build stays a single lazy plan)."""
     spark = base.sparkSession
     ensure_package_on_executors(spark)
     if dim is None:
@@ -355,4 +360,5 @@ def build_index(
         centroids_proj=centroids_proj,
         index_df=index_df,
         base_df=base,
+        n_rows=n_rows,
     )

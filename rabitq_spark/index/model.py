@@ -33,6 +33,10 @@ class RaBitQModel:
     centroids_proj: np.ndarray  # (k, dim_pad) — projected centroids C·P
     index_df: DataFrame  # cluster_id, orig_id, code[], factor_ip, factor_ppc, error_bound, center_dist_sq
     base_df: DataFrame   # orig_id, vec (original values, padded to dim_pad)
+    n_rows: int | None = None  # indexed row count when the builder knows it
+    # (never computed with an extra job); lets search() size the rerank
+    # width from the exact average cluster size instead of the sqrt(n)
+    # approximation
 
     @property
     def n_clusters(self) -> int:
@@ -81,10 +85,44 @@ class RaBitQModel:
                     "dim": self.dim,
                     "dim_pad": self.dim_pad,
                     "config": self.config.__dict__,
+                    "n_rows": self.n_rows,
                     "format_version": 1,
                 },
                 f,
             )
+
+    def persist_bucketed(
+        self, n_buckets: int = 32, name: str = "rabitq_model"
+    ) -> RaBitQModel:
+        """Re-persist the big state as BUCKETED tables: index by cluster_id
+        (the J2 probes⋈index key), base by orig_id (the J3 rerank key).
+
+        A bucketed scan carries its HashPartitioning into the plan, so the
+        rerank join shuffles ONLY the (small) shortlist side into the bucket
+        layout — the base table, the 100 TB side, never moves again across
+        repeated query batches. Same for a shuffle-mode probe join against
+        the index. Returns a model whose DataFrames read from the bucketed
+        tables; the numpy sidecar state is shared, not copied.
+        """
+        from rabitq_spark.sources.tables import write_bucketed
+
+        index = write_bucketed(
+            self.index_df, f"{name}_index", "cluster_id", n_buckets
+        )
+        base = write_bucketed(
+            self.base_df, f"{name}_base", "orig_id", n_buckets, sort_col="orig_id"
+        )
+        return RaBitQModel(
+            config=self.config,
+            dim=self.dim,
+            dim_pad=self.dim_pad,
+            rotation=self.rotation,
+            rand_bias=self.rand_bias,
+            centroids_proj=self.centroids_proj,
+            index_df=index,
+            base_df=base,
+            n_rows=self.n_rows,
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> RaBitQModel:
@@ -109,4 +147,5 @@ class RaBitQModel:
             centroids_proj=arrays["centroids_proj"],
             index_df=spark.read.parquet(f"{path}/index"),
             base_df=spark.read.parquet(f"{path}/base"),
+            n_rows=meta.get("n_rows"),
         )

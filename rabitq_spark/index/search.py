@@ -268,6 +268,19 @@ def _fused_shortlist(
     )
 
 
+def auto_overfetch(model: RaBitQModel, nprobe: int, topk: int) -> int:
+    """Scale-aware rerank width: overfetch such that R = overfetch × topk is
+    ~2% of the rough-candidate pool, floored at config.overfetch. See
+    search() docstring for the 1M-row measurement behind the rule."""
+    import math
+
+    avg_cluster = (
+        model.n_rows / model.n_clusters if model.n_rows else model.n_clusters
+    )
+    pool = min(nprobe, model.n_clusters) * avg_cluster
+    return max(model.config.overfetch, math.ceil(0.02 * pool / topk))
+
+
 def search(
     model: RaBitQModel,
     queries: DataFrame,
@@ -288,11 +301,22 @@ def search(
     unrotated base columns — src/rerank.rs:85-90) computed as a deterministic
     double-precision fold, so an exhaustive configuration (nprobe ≥ k,
     overfetch ≥ n/topk) reproduces exact brute-force results bit-for-bit.
+
+    When `overfetch` is not given, the rerank width R = overfetch × topk
+    auto-scales with the rough-candidate pool (never below cfg.overfetch).
+    Measured at 1M × 256 (scripts/tune_scale_recall.py): recall@10 there is
+    ESTIMATOR-bound, not coverage-bound — widening nprobe 31→100 left
+    recall at 0.8299 while widening overfetch 16→64 lifted it to 0.9729 at
+    equal wall time — so the knob that must grow with data is R, at ~2% of
+    the pool. Pool ≈ nprobe × average cluster size, where the average uses
+    model.n_rows when the builder recorded it and otherwise n_clusters
+    itself (exact under the standard n_clusters ≈ √n sizing).
     """
     cfg = model.config
     topk = topk or cfg.topk
     nprobe = nprobe or cfg.nprobe
-    overfetch = overfetch or cfg.overfetch
+    if overfetch is None:
+        overfetch = auto_overfetch(model, nprobe, topk)
 
     probes = _prepare_probes(model, queries, query_id, query_vec, nprobe)
 

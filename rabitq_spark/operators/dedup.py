@@ -416,7 +416,7 @@ def embedding_neardup_pairs(
     if row_count > broadcast_max_rows:
         return _embedding_neardup_blocked(
             embeddings, id_col, vec_col, threshold, k_per_row, config,
-            nprobe, overfetch,
+            nprobe, overfetch, row_count=row_count,
         )
     from collections.abc import Iterator
 
@@ -492,6 +492,7 @@ def _embedding_neardup_blocked(
     config,
     nprobe: int | None,
     overfetch: int | None,
+    row_count: int | None = None,
 ) -> DataFrame:
     """IVF-blocked near-dup pairs: the 100 TB path.
 
@@ -518,15 +519,27 @@ def _embedding_neardup_blocked(
         F.transform(F.col(vec_col), lambda x: x / unit_norm)
     )
     unit = embeddings.select(F.col(id_col).alias("id"), unit_vec.alias("vec"))
-    model = build_index(unit, config or RaBitQConfig())
+    if config is None:
+        # √n cluster sizing: the config default (16 clusters) makes every
+        # probe scan most of the table once rows reach the tens of
+        # thousands — the quantized path degenerates to N² (measured: the
+        # 20k-row bench dataset never finished under the default)
+        n_clusters = (
+            max(16, int(row_count**0.5)) if row_count else RaBitQConfig.n_clusters
+        )
+        config = RaBitQConfig(n_clusters=n_clusters)
+    model = build_index(unit, config, n_rows=row_count)
     # registered in the scope registry so release_caches() (or the next
     # invocation) drains it — round-2 verdict: this cache was never retired
     model.index_df = _scoped_cache(model.index_df, _begin_scope("embedding_blocked"))
     queries = unit.select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec")
     )
+    # the probe table is |table| × nprobe rows — broadcastable only for
+    # moderate tables; past that both join sides shuffle by cluster_id
     nn = search(
-        model, queries, topk=k_per_row + 1, nprobe=nprobe, overfetch=overfetch
+        model, queries, topk=k_per_row + 1, nprobe=nprobe, overfetch=overfetch,
+        broadcast_probes=row_count is None or row_count <= 500_000,
     )
     cand = (
         nn.filter(F.col("query_id") != F.col("neighbor_id"))

@@ -9,6 +9,9 @@ reads, crates/disk/src/cache.rs:105-145).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -62,6 +65,17 @@ def write_bucketed(
     re-joining ANN results to the base table across query batches).
     Returns the re-read table handle.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a previous SESSION may have left the managed location behind without a
+    # catalog entry (fresh in-memory catalog + surviving warehouse dir);
+    # saveAsTable refuses to create over it, so clear the orphan
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    orphan = os.path.join(warehouse, name.lower())
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
     w = (
         df.write.format("parquet")
         .mode("overwrite")
@@ -70,7 +84,7 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(name)
-    return df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

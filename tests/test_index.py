@@ -173,8 +173,9 @@ def test_fused_gate_falls_back_to_jvm(spark, model_and_data, monkeypatch):
     """Past fused_max_probe_rows the fused impl must NOT collect the probe
     table (round-2 verdict: ungated toPandas): it falls back to the jvm join
     path and still returns identical results."""
-    import rabitq_spark.index.search as search_mod
+    import importlib
 
+    search_mod = importlib.import_module("rabitq_spark.index.search")
     model, base, queries = model_and_data
 
     def boom(*args, **kwargs):

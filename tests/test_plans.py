@@ -95,3 +95,47 @@ def test_ann_search_plan_shape(spark, sf_dir):
     plan = _fmt(search(model, queries, topk=5, nprobe=2))
     assert "BroadcastHashJoin" in plan   # probe side broadcast into J2
     assert "WindowGroupLimit" in plan    # top-R shortlist is partial
+
+
+def test_bucketed_model_rerank_join_no_base_exchange(spark, sf_dir):
+    """persist_bucketed: the J3 rerank join against a bucketed base must not
+    shuffle the base side — only the shortlist moves (round-3 verdict item:
+    at 100 TB the base table is the side that must never move). Also checks
+    the bucketed model returns bit-identical search results."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.index import build_index, search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    model = build_index(base, RaBitQConfig(n_clusters=8, nprobe=8, overfetch=8))
+    try:
+        bucketed = model.persist_bucketed(n_buckets=4, name="t_plan_model")
+        shortlist = bucketed.index_df.select("orig_id").limit(50)
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plain = _fmt(shortlist.join(model.base_df, "orig_id"))
+            buck = _fmt(shortlist.join(bucketed.base_df, "orig_id"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        # unbucketed: both sides exchange; bucketed: only the shortlist side
+        # (formatted plans print every node twice — tree + detail section —
+        # so one fewer Exchange NODE is two fewer string occurrences)
+        assert plain.count("Exchange") == buck.count("Exchange") + 2
+        # and the bucketed model's search is bit-identical
+        a = search(model, queries, topk=5).toPandas().sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        b = search(bucketed, queries, topk=5).toPandas().sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_plan_model_index")
+        spark.sql("DROP TABLE IF EXISTS t_plan_model_base")
