@@ -38,8 +38,20 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
     Guarded so short documents yield an empty array (Spark's sequence()
     counts DOWN when start > stop, so the bound must be checked first).
+
+    NOTE: inlines the token split inside the shingle lambda — fine for a
+    single projection, but when chaining, materialize the token array first
+    and use shingles_from_tokens (Catalyst pitfall #4: no CSE across lambda
+    boundaries).
     """
-    w = tokens(text)
+    return shingles_from_tokens(tokens(text), n)
+
+
+def shingles_from_tokens(w: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams from a token ARRAY column (pre-materialize the
+    array behind a cache barrier when the same tokens feed several
+    consumers)."""
+    w = _c(w)
     make = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(

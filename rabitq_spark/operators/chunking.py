@@ -125,3 +125,53 @@ def stratified_sample(
         else F.lit(int(round(default_rate * 10000)))
     )
     return df.filter(bucket < cutoff)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy next-fit sequence packing: assign documents to token-budget
+    bins for training-batch assembly. Documents are sharded by `id % n_shards`
+    and packed INDEPENDENTLY per shard in ascending id order: a doc joins
+    the current bin if its tokens fit, else opens the next bin (a doc longer
+    than the budget occupies a bin alone, overflowing it).
+
+    Output: (doc_id, shard, bin_id, n_tok).
+
+    Scale design: global greedy packing is inherently sequential, so the
+    unit of sequentiality is the SHARD — shards pack in parallel
+    (applyInPandas, one shuffle keyed by shard) and the result is
+    deterministic and partitioning-independent because the within-shard
+    order is total (doc id). Only (id, count) columns enter the Python
+    stage; text never leaves the JVM. At 100 TB pick n_shards ~ cores so
+    each shard's (id, n_tok) slice fits an Arrow batch.
+    """
+    import pandas as pd
+
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(tokens(F.col(text_col))).alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        bins, fill, cur = [], 0, 0
+        for t in pdf["n_tok"]:
+            t = int(t)
+            if bins and fill + t > budget:
+                cur += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(cur)
+        pdf["bin_id"] = pd.array(bins, dtype="int32")
+        return pdf[["doc_id", "shard", "bin_id", "n_tok"]]
+
+    return per_doc.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, bin_id int, n_tok int"
+    )

@@ -1535,6 +1535,225 @@ SELECT token, cnt, CAST(rank AS INT) AS rank FROM (
 
 
 # --------------------------------------------------------------------------
+# Corpus-quality / retrieval family (Gopher repetition filters, n-gram
+# contamination, BM25, TF-IDF, sequence packing)
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_tok,
+         CAST(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS INT) AS tot2,
+         CAST(CASE WHEN len(w) >= 2
+              THEN len(list_distinct(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i+1])))
+              ELSE 0 END AS INT) AS d2,
+         CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS INT) AS tot3,
+         CAST(CASE WHEN len(w) >= 3
+              THEN len(list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+              ELSE 0 END AS INT) AS d3
+  FROM t
+), c AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+    FROM documents
+  ) u GROUP BY doc_id, token
+), top AS (
+  SELECT doc_id, token AS top_token, cnt FROM (
+    SELECT doc_id, token, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn
+    FROM c
+  ) r WHERE rn = 1
+), j AS (
+  SELECT m.doc_id, m.n_tok,
+         COALESCE(top.top_token, '') AS top_token,
+         CASE WHEN m.n_tok = 0 THEN 0.0
+              ELSE CAST(top.cnt AS DOUBLE) / CAST(m.n_tok AS DOUBLE) END AS top_token_frac,
+         CASE WHEN m.tot2 = 0 THEN 0.0
+              ELSE CAST(m.tot2 - m.d2 AS DOUBLE) / CAST(m.tot2 AS DOUBLE) END AS dup_2gram_frac,
+         CASE WHEN m.tot3 = 0 THEN 0.0
+              ELSE CAST(m.tot3 - m.d3 AS DOUBLE) / CAST(m.tot3 AS DOUBLE) END AS dup_3gram_frac
+  FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+)
+SELECT doc_id, n_tok, top_token, top_token_frac, dup_2gram_frac, dup_3gram_frac,
+       CAST(top_token_frac <= 0.12 AND dup_2gram_frac <= 0.12
+            AND dup_3gram_frac <= 0.05 AS INT) AS keep
+FROM j
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.corpus import contamination_check
+
+    return contamination_check(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_CONTAMINATION = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(concat('contam-v1|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS bucket,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, bucket,
+         CASE WHEN len(w) >= 8
+              THEN list_distinct(list_transform(range(1, len(w) - 6),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM d
+), train_g AS (
+  SELECT DISTINCT unnest(grams) AS gr FROM g WHERE bucket < 90
+), test_docs AS (
+  SELECT doc_id, grams FROM g WHERE bucket >= 90
+), test_g AS (
+  SELECT doc_id, unnest(grams) AS gr FROM test_docs
+), hits AS (
+  SELECT t.doc_id, CASE WHEN tr.gr IS NULL THEN 0 ELSE 1 END AS hit
+  FROM test_g t LEFT JOIN train_g tr ON t.gr = tr.gr
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(hit) AS BIGINT) AS n_contaminated
+  FROM hits GROUP BY doc_id
+)
+SELECT td.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+            ELSE CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS contamination_frac
+FROM test_docs td LEFT JOIN agg ON td.doc_id = agg.doc_id
+"""
+
+
+_BM25_TERMS = ["spark", "vector", "stream", "join"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.corpus import bm25_scores
+
+    return bm25_scores(
+        load_table(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        k=10,
+    )
+
+
+def _sql_bm25() -> str:
+    # float literals injected via repr() so both engines parse the IDENTICAL
+    # double (k1+1 computed in Python once, not re-derived in SQL)
+    k1, b, k1p1 = repr(_BM25_K1), repr(_BM25_B), repr(_BM25_K1 + 1.0)
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    term_sum = " + ".join(
+        f"COALESCE(SUM(CASE WHEN token = '{t}' THEN s END), 0.0)"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_dl
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token IN ({terms_in}) GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         * ((CAST(tf AS DOUBLE) * {k1p1})
+            / (CAST(tf AS DOUBLE)
+               + {k1} * (1.0 - {b} + ({b} * CAST(dl AS DOUBLE))
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
+  FROM tf
+  JOIN dfreq ON tf.token = dfreq.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+), per_doc AS (
+  SELECT doc_id, {term_sum} AS score FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM per_doc
+) r WHERE rank <= 10
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), "lang", k=5)
+
+
+_SQL_TFIDF = """
+WITH toks AS (
+  SELECT lang, doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT lang, token, COUNT(*) AS tf FROM toks GROUP BY lang, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM (
+    SELECT DISTINCT doc_id, token FROM toks
+  ) u GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.lang, tf.token, tf.tf,
+         CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+)
+SELECT lang, token, tf, score, CAST(rank AS INT) AS rank FROM (
+  SELECT lang, token, tf, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, token) AS rank
+  FROM scored
+) r WHERE rank <= 5
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabitq_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512, n_shards=8)
+
+
+_SQL_PACK = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+), p AS (
+  SELECT doc_id, shard, n_tok, rn, 0 AS bin_id, n_tok AS fill FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.shard, t.n_tok, t.rn,
+         CASE WHEN p.fill + t.n_tok > 512 THEN p.bin_id + 1 ELSE p.bin_id END AS bin_id,
+         CASE WHEN p.fill + t.n_tok > 512 THEN t.n_tok ELSE p.fill + t.n_tok END AS fill
+  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, shard, CAST(bin_id AS INT) AS bin_id, n_tok FROM p
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1580,6 +1799,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "pivot_events": q_pivot_events,
     "value_percentiles": q_value_percentiles,
+    "repetition_stats": q_repetition_stats,
+    "contamination_check": q_contamination_check,
+    "bm25_search": q_bm25_search,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1628,4 +1852,9 @@ ORACLE_SQL: dict[str, str] = {
     "quality_scores": _SQL_QUALITY,
     "lang_guess": _SQL_LANG_GUESS,
     "top_tokens": _SQL_TOP_TOKENS,
+    "repetition_stats": _SQL_REPETITION,
+    "contamination_check": _SQL_CONTAMINATION,
+    "bm25_search": _sql_bm25(),
+    "tfidf_top_terms": _SQL_TFIDF,
+    "pack_sequences": _SQL_PACK,
 }
