@@ -34,6 +34,10 @@ INDEX_SCHEMA = (
     "factor_ip float, factor_ppc float, error_bound float, center_dist_sq float"
 )
 
+# columns every index row has; anything beyond these is a carried attribute
+# (build_index(attr_cols=...)) and must survive append/delete/upsert
+_STD_INDEX_COLS = frozenset(p.split()[0] for p in INDEX_SCHEMA.split(", "))
+
 
 MAX_DENSE_ROT_DIM = 2048
 
@@ -162,7 +166,17 @@ def append_to_index(model: RaBitQModel, new_base: DataFrame,
     append of new Parquet files into the cluster_id partitions; no existing
     data is rewritten. Recall degrades only if the data distribution drifts
     from the trained centroids — the standard IVF contract.
+
+    Carried attribute columns (build_index(attr_cols=...)) survive the
+    append: attrs present in `new_base` ride along; attrs the batch lacks
+    are NULL (so metadata predicates exclude them — standard semantics).
     """
+    attr_cols = [c for c in model.index_df.columns if c not in _STD_INDEX_COLS]
+    for c in attr_cols:
+        if c not in new_base.columns:
+            new_base = new_base.withColumn(
+                c, F.lit(None).cast(model.index_df.schema[c].dataType)
+            )
     appended = build_index(
         new_base,
         model.config,
@@ -171,6 +185,7 @@ def append_to_index(model: RaBitQModel, new_base: DataFrame,
         dim=model.dim,
         centroids=apply_rot_T(model.centroids_proj, model.rotation),  # undo projection
         debug_deterministic=False,
+        attr_cols=attr_cols,
         _frozen_state=(model.rotation, model.rand_bias, model.centroids_proj),
     )
     return RaBitQModel(
@@ -183,6 +198,46 @@ def append_to_index(model: RaBitQModel, new_base: DataFrame,
         index_df=model.index_df.unionByName(appended.index_df),
         base_df=model.base_df.unionByName(appended.base_df),
     )
+
+
+def delete_from_index(model: RaBitQModel, ids: DataFrame) -> RaBitQModel:
+    """Delete vectors by id (README.md:18's unchecked 'delete').
+
+    `ids` is a one-column DataFrame of ids to drop. Pure anti-join over both
+    big tables — no driver materialization, no rewrite of surviving rows; on
+    a partitioned index the join prunes nothing but touches only metadata
+    columns (codes are never deserialized for the anti side). Returns a new
+    model; the input model is untouched (DataFrames are immutable plans).
+
+    Deletes do NOT retrain centroids — the standard IVF tombstone contract;
+    recall is unaffected because surviving codes are unchanged.
+    """
+    key = ids.columns[0]
+    victims = ids.select(F.col(key).alias("orig_id")).distinct()
+    return RaBitQModel(
+        config=model.config,
+        dim=model.dim,
+        dim_pad=model.dim_pad,
+        rotation=model.rotation,
+        rand_bias=model.rand_bias,
+        centroids_proj=model.centroids_proj,
+        index_df=model.index_df.join(victims, "orig_id", "left_anti"),
+        base_df=model.base_df.join(victims, "orig_id", "left_anti"),
+    )
+
+
+def upsert_into_index(
+    model: RaBitQModel,
+    new_base: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> RaBitQModel:
+    """Upsert = delete-then-append (README.md:18's unchecked
+    'insert/update'): rows whose id already exists are replaced, new ids are
+    inserted. One anti-join plus the frozen-transform append — the existing
+    index rows for untouched ids are never recomputed."""
+    replaced = delete_from_index(model, new_base.select(id_col))
+    return append_to_index(replaced, new_base, id_col=id_col, vec_col=vec_col)
 
 
 def hierarchical_kmeans_centroids(
@@ -252,20 +307,34 @@ def build_index(
     kmeans_sample_fraction: float | None = None,
     debug_deterministic: bool = False,
     n_rows: int | None = None,
+    attr_cols: list[str] | None = None,
     _frozen_state: tuple | None = None,
 ) -> RaBitQModel:
     """Train the IVF+RaBitQ index over `base` (id_col BIGINT, vec_col ARRAY<FLOAT>).
 
     `n_rows`, when the caller already knows it, is carried on the model so
     search() can size its rerank width from the exact average cluster size;
-    it is never computed here (the build stays a single lazy plan)."""
+    it is never computed here (the build stays a single lazy plan).
+
+    `attr_cols` names metadata columns of `base` to CARRY INTO the index
+    rows (and the stored base). This is the scale path for filtered search:
+    a predicate over carried attrs filters the index scan itself —
+    predicate pushdown into the cluster_id-partitioned Parquet, zero extra
+    shuffles and zero joins — instead of semi-joining an id set against the
+    candidate stream (see search(index_predicate=...))."""
     spark = base.sparkSession
     ensure_package_on_executors(spark)
     if dim is None:
         dim = len(base.select(vec_col).first()[0])
     dim_pad = ((dim + 63) // 64) * 64
 
-    base = base.select(F.col(id_col).alias("orig_id"), F.col(vec_col).alias("vec"))
+    attr_cols = list(attr_cols or [])
+    attr_ddl = "".join(
+        f", {c} {base.schema[c].dataType.simpleString()}" for c in attr_cols
+    )
+    base = base.select(
+        F.col(id_col).alias("orig_id"), F.col(vec_col).alias("vec"), *attr_cols
+    )
     if dim_pad != dim:
         # P5 zero-padding (src/rabitq.rs:167-179)
         base = base.withColumn(
@@ -338,19 +407,20 @@ def build_index(
             n_pos = (resid > 0).sum(axis=1)
             sign_sum = (2 * n_pos - resid.shape[1]).astype(np.float32)
             factor_ppc = factor_ip * sign_sum
-            yield pd.DataFrame(
-                {
-                    "cluster_id": labels.astype(np.int32),
-                    "orig_id": pdf["orig_id"].values,
-                    "code": list(codes),
-                    "factor_ip": factor_ip.astype(np.float32),
-                    "factor_ppc": factor_ppc.astype(np.float32),
-                    "error_bound": error_bound.astype(np.float32),
-                    "center_dist_sq": center_dist_sq.astype(np.float32),
-                }
-            )
+            out = {
+                "cluster_id": labels.astype(np.int32),
+                "orig_id": pdf["orig_id"].values,
+                "code": list(codes),
+                "factor_ip": factor_ip.astype(np.float32),
+                "factor_ppc": factor_ppc.astype(np.float32),
+                "error_bound": error_bound.astype(np.float32),
+                "center_dist_sq": center_dist_sq.astype(np.float32),
+            }
+            for c in attr_cols:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
-    index_df = base.mapInPandas(transform, INDEX_SCHEMA)
+    index_df = base.mapInPandas(transform, INDEX_SCHEMA + attr_ddl)
     return RaBitQModel(
         config=config,
         dim=dim,

@@ -294,8 +294,22 @@ def search(
     impl: str = "jvm",
     broadcast_probes: bool = True,
     fused_max_probe_rows: int = 1_000_000,
+    index_predicate=None,
+    allowed: "DataFrame | None" = None,
 ) -> DataFrame:
     """Batch top-k ANN: returns (query_id, neighbor_id, dist, rank).
+
+    Filtered search (two forms, both applied BEFORE the top-R shortlist so
+    filtered-out rows never consume rerank slots — post-filtering the final
+    top-k would silently shrink result sets):
+
+    * `index_predicate` — a Column/SQL predicate over metadata columns the
+      index carries (build_index(attr_cols=...)). The scale path: the
+      predicate filters the index SCAN itself (Parquet predicate pushdown,
+      zero extra shuffles/joins).
+    * `allowed` — a one-column DataFrame of permitted ids, semi-joined
+      against the candidate stream. For ad-hoc id sets not materialized in
+      the index; costs a join keyed by orig_id (broadcast when small / AQE).
 
     dist is exact squared L2 in the original space (the reference reranks on
     unrotated base columns — src/rerank.rs:85-90) computed as a deterministic
@@ -321,6 +335,12 @@ def search(
     probes = _prepare_probes(model, queries, query_id, query_vec, nprobe)
 
     index = model.index_df
+    if index_predicate is not None:
+        index = index.filter(index_predicate)
+    if impl == "fused" and (index_predicate is not None or allowed is not None):
+        # the fused Arrow path reads the unfiltered model tables; filtering
+        # is a jvm-plan feature
+        impl = "jvm"
     r = max(topk * overfetch, topk)
     probes_materialized = False
     if impl == "fused":
@@ -377,6 +397,11 @@ def search(
             "orig_id",
             rough_distance_expr(cfg.theta_log_dim, model.n_words).alias("rough"),
         )
+        if allowed is not None:
+            ok = allowed.select(
+                F.col(allowed.columns[0]).alias("orig_id")
+            ).distinct()
+            cand = cand.join(ok, "orig_id", "left_semi")
         if metrics is not None:
             # A10 rough-candidate counter (src/metrics.rs analogue, no extra pass)
             cand = cand.observe(
@@ -411,3 +436,67 @@ def search(
     return topk_per_group(
         exact, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], topk
     ).select("query_id", "neighbor_id", "dist", "rank")
+
+
+def range_search(
+    model: RaBitQModel,
+    queries: DataFrame,
+    radius_sq: float,
+    nprobe: int | None = None,
+    rough_cutoff: bool = True,
+    rough_margin: float = 0.0,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    prune_partitions: bool = True,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Radius query: all (query_id, neighbor_id, dist) with exact squared-L2
+    dist ≤ `radius_sq` among the probed clusters — the range-query sibling
+    of top-k search (not in the reference; standard vector-store surface).
+
+    Same J1→J2→D5→J3 pipeline as search(), but the shortlist step is a
+    FILTER, not a top-R window — no per-query state, no window shuffle; the
+    exact rerank is bounded by the rough survivors. With `rough_cutoff`
+    the estimator screens candidates at `radius_sq + rough_margin`; the
+    estimator is a probabilistic lower bound (error-bound slack,
+    src/rabitq.rs:352-363), so a nonzero margin trades rerank volume
+    against the residual false-negative rate. `rough_cutoff=False` +
+    nprobe=n_clusters is the exhaustive configuration: provably equal to
+    the brute-force range scan (every candidate reranked exactly).
+    """
+    cfg = model.config
+    nprobe = nprobe or cfg.nprobe
+    probes = _prepare_probes(model, queries, query_id, query_vec, nprobe)
+
+    index = model.index_df
+    if prune_partitions and nprobe * 2 <= model.n_clusters:
+        probes = probes.localCheckpoint(eager=True)
+        probed = [
+            row.cluster_id
+            for row in probes.select("cluster_id").distinct().collect()
+        ]
+        index = index.filter(F.col("cluster_id").isin(probed))
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
+    cand = index.join(probe_side, "cluster_id").select(
+        "query_id",
+        "orig_id",
+        rough_distance_expr(cfg.theta_log_dim, model.n_words).alias("rough"),
+    )
+    if rough_cutoff:
+        cand = cand.filter(F.col("rough") <= F.lit(radius_sq + rough_margin))
+
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        pad_to_multiple(F.col(query_vec), 64, model.dim).alias("__qvec"),
+    )
+    exact = (
+        cand.select("query_id", "orig_id")
+        .join(model.base_df, "orig_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("orig_id").alias("neighbor_id"),
+            l2_squared(F.col("__qvec"), F.col("vec")).alias("dist"),
+        )
+    )
+    return exact.filter(F.col("dist") <= F.lit(radius_sq))

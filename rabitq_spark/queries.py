@@ -423,6 +423,188 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def _get_attr_model(spark: SparkSession, sf_dir: str):
+    """Index carrying a metadata column (label) for filtered search — the
+    attrs ride the index rows so predicates push into the Parquet scan."""
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.index import build_index
+
+    key = ("attr", sf_dir)
+    if key not in _MODEL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+        )
+        model = build_index(base, RaBitQConfig(), attr_cols=["label"])
+        model.index_df = model.index_df.cache()
+        _MODEL_CACHE[key] = model
+    return _MODEL_CACHE[key]
+
+
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (metadata predicate, label < 5): the predicate filters
+    the index scan BEFORE the shortlist — exhaustive config therefore equals
+    brute force over the filtered base, bit-for-bit. Standard vector-store
+    surface the reference lacks (its README has no filtering either)."""
+    from rabitq_spark.index import search
+
+    model = _get_attr_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model,
+        queries,
+        topk=_KNN_K,
+        nprobe=model.n_clusters,
+        overfetch=10**6,
+        index_predicate=F.col("label") < 5,
+    )
+
+
+_SQL_KNN_FILTERED = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {_KNN_NQ}
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, len(b.embedding)+1),
+             i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM embeddings b, q WHERE b.label < 5
+)
+SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {_KNN_K}
+"""
+
+
+_RANGE_RADIUS_SQ = 1.6
+
+
+def q_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query (all neighbors with squared L2 ≤ r²), exhaustive
+    configuration == brute-force range scan bit-for-bit."""
+    from rabitq_spark.index import range_search
+
+    model = _get_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return range_search(
+        model,
+        queries,
+        radius_sq=_RANGE_RADIUS_SQ,
+        nprobe=model.n_clusters,
+        rough_cutoff=False,
+    )
+
+
+_SQL_RANGE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {_KNN_NQ}
+)
+SELECT query_id, neighbor_id, dist FROM (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, len(b.embedding)+1),
+             i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM embeddings b, q
+) s WHERE dist <= {_RANGE_RADIUS_SQ!r}
+"""
+
+
+def q_ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-then-search (README.md:18's unchecked 'delete'): drop every
+    vec_id % 7 == 0 from the trained index via anti-join, exhaustive search
+    over the survivors == brute force over the filtered table."""
+    from rabitq_spark.index import search
+    from rabitq_spark.index.build import delete_from_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    victims = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    model = delete_from_index(_get_model(spark, sf_dir), victims)
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
+_SQL_KNN_DELETE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {_KNN_NQ}
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, len(b.embedding)+1),
+             i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM embeddings b, q WHERE b.vec_id % 7 <> 0
+)
+SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {_KNN_K}
+"""
+
+
+_UPSERT_N = 25
+
+
+def q_ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-then-search (README.md:18's unchecked 'insert/update'):
+    replace the first 25 vectors with their reversed arrays
+    (delete + frozen-transform append), exhaustive search == brute force
+    over the post-upsert table."""
+    from rabitq_spark.index import search
+    from rabitq_spark.index.build import upsert_into_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    replacement = emb.filter(F.col("vec_id") < _UPSERT_N).select(
+        F.col("vec_id").alias("id"), F.reverse(F.col("embedding")).alias("vec")
+    )
+    model = upsert_into_index(_get_model(spark, sf_dir), replacement)
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
+_SQL_KNN_UPSERT = f"""
+WITH post AS (
+  SELECT vec_id,
+         CASE WHEN vec_id < {_UPSERT_N} THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {_KNN_NQ}
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, len(b.embedding)+1),
+             i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM post b, q
+)
+SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {_KNN_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # Additional relational shapes (free from Spark SQL per SURVEY §2.5, but
 # registered so the judge can see Catalyst handling them: multi-way joins
@@ -1763,6 +1945,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_ivf_cold_index": q_ann_ivf_cold_index,
     "ann_ivf_cosine": q_ann_ivf_cosine,
+    "ann_ivf_filtered": q_ann_ivf_filtered,
+    "ann_range": q_ann_range,
+    "ann_ivf_delete": q_ann_ivf_delete,
+    "ann_ivf_upsert": q_ann_ivf_upsert,
     "ann_stream_index": q_ann_stream_index,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
@@ -1837,6 +2023,14 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_cosine": _SQL_KNN_COSINE,
     # half bootstrapped + half streamed in, exhaustive == exact brute force
     "ann_stream_index": _SQL_KNN_EXACT,
+    # metadata-filtered exhaustive == brute force over the filtered base
+    "ann_ivf_filtered": _SQL_KNN_FILTERED,
+    # exhaustive radius query == brute-force range scan
+    "ann_range": _SQL_RANGE,
+    # anti-join delete then exhaustive == brute force over survivors
+    "ann_ivf_delete": _SQL_KNN_DELETE,
+    # delete+frozen-append upsert then exhaustive == brute force post-upsert
+    "ann_ivf_upsert": _SQL_KNN_UPSERT,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
