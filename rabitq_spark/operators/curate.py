@@ -1,0 +1,235 @@
+"""Corpus curation operators — the composition layer of the training-data
+pipeline (north-star extension, SURVEY.md §7 phase 6): boilerplate-token
+pruning by global document frequency, train-vs-eval decontamination, and
+an end-to-end keep/drop verdict that chains the quality family.
+
+All deterministic and DuckDB-mirrorable (integers, strings, and +,-,*,/
+over bit-identical operands only — the same bit-exactness contract as
+operators/corpus.py).
+
+Scale notes (100 TB):
+
+* token_df_prune shuffles twice, both keyed (token for the DF table,
+  doc_id for reassembly) — no all-pairs step; the vocabulary table is tiny
+  relative to the corpus and broadcast-eligible (AQE decides).
+* decontaminate's eval side is the small side by construction (an eval
+  set, not a corpus): its distinct gram set broadcasts; the train side is
+  one exploded projection, one semi-join keyed by gram, one anti-join
+  keyed by doc id.
+* curate_corpus is a union of per-doc flag tables each produced by ONE
+  keyed shuffle, joined back on doc_id — flags compute independently (no
+  sequential barrier between filters) and the final join is AQE-planned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rabitq_spark.functions.text import (
+    fingerprint,
+    quality_score,
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def token_df_prune(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Drop tokens whose corpus-wide document frequency falls outside
+    [min_df, max_df_frac x n_docs] and rebuild each document's text in the
+    original token order — the CCNet-style boilerplate/noise vocabulary
+    prune (too-common tokens are boilerplate, singletons are noise).
+
+    Output: (doc_id, text_pruned, n_tok_orig, n_tok_kept); docs whose
+    every token is pruned survive with text_pruned = ''.
+
+    Plan shape: posexplode -> distinct(token, doc) -> count per token (the
+    DF table, one token-keyed shuffle); kept tokens join back to the
+    exploded stream (vocab side is small -> broadcast/AQE); reassembly is
+    one doc_id-keyed aggregation sorting (pos, token) structs — collect_list
+    order is partition-dependent, array_sort makes it deterministic. The
+    corpus row count rides a broadcast 1-row aggregate, never a driver
+    action.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    df_tab = (
+        tok.select("token", "doc_id")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    keep_tok = (
+        df_tab.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("df") >= F.lit(min_df))
+            & (
+                F.col("df").cast("double")
+                <= F.lit(max_df_frac) * F.col("n_docs").cast("double")
+            )
+        )
+        .select("token")
+    )
+    pruned = (
+        tok.join(keep_tok, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("text_pruned"),
+            F.count(F.lit(1)).cast("int").alias("n_tok_kept"),
+        )
+    )
+    orig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("n_tok_orig"),
+    )
+    return orig.join(pruned, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text_pruned"), F.lit("")).alias("text_pruned"),
+        "n_tok_orig",
+        F.coalesce(F.col("n_tok_kept"), F.lit(0)).cast("int").alias("n_tok_kept"),
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 4,
+) -> DataFrame:
+    """Train doc ids sharing at least one word-`ngram`-gram with the eval
+    set (the GPT-3-style decontamination predicate, appendix-C analogue).
+
+    One column out: (doc_id). The eval side is exploded to a DISTINCT gram
+    set (small — it is an eval set); the train side explodes and
+    semi-joins it keyed by gram. No all-pairs step.
+    """
+    eg = (
+        eval_docs.select(
+            F.explode(
+                shingles_from_tokens(tokens(F.col(text_col)), ngram)
+            ).alias("gr")
+        )
+        .distinct()
+    )
+    tg = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_from_tokens(tokens(F.col(text_col)), ngram)).alias(
+            "gr"
+        ),
+    )
+    return tg.join(eg, "gr", "left_semi").select("doc_id").distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 4,
+) -> DataFrame:
+    """The filtering form of decontamination: train rows that share NO
+    word-`ngram`-gram with the eval set, all original columns intact.
+    contaminated_ids + one anti-join keyed by doc id."""
+    bad = contaminated_ids(train, eval_docs, id_col, text_col, ngram).select(
+        F.col("doc_id").alias("__contaminated_id")
+    )
+    return train.join(
+        bad, F.col(id_col) == F.col("__contaminated_id"), "left_anti"
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.73,
+    contam_ngram: int = 4,
+    max_top_token_frac: float = 0.12,
+    max_dup_2gram_frac: float = 0.12,
+    max_dup_3gram_frac: float = 0.05,
+) -> DataFrame:
+    """End-to-end keep/drop verdict per document, chaining the pipeline's
+    quality family in the standard curation order:
+
+      duplicate > contaminated > repetitive > low_quality > kept
+
+    (first matching reason wins — a doc that is both a duplicate and low
+    quality reports 'duplicate', matching how curation pipelines attribute
+    drops). Output: (doc_id, keep, reason), keep = 1 iff reason = 'kept'.
+
+    * duplicate    — exact-fingerprint dup that is not its group's min id
+                     (the canonical survivor is NOT a duplicate).
+    * contaminated — shares a word-`contam_ngram`-gram with `eval_docs`.
+    * repetitive   — fails the Gopher-style repetition thresholds
+                     (operators/corpus.py::repetition_stats).
+    * low_quality  — quality_score < quality_min.
+
+    Each flag is ONE keyed shuffle over its own projection; flags compute
+    independently (no barrier) and meet in a doc_id-keyed left-join fan-in.
+    """
+    from rabitq_spark.operators.corpus import repetition_stats
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    dup = (
+        fp.join(canon, "fp")
+        .filter(F.col("doc_id") != F.col("canon_id"))
+        .select("doc_id", F.lit(1).alias("is_dup"))
+    )
+
+    rep = repetition_stats(
+        d,
+        max_top_token_frac=max_top_token_frac,
+        max_dup_2gram_frac=max_dup_2gram_frac,
+        max_dup_3gram_frac=max_dup_3gram_frac,
+    ).select("doc_id", (F.col("keep") == 0).cast("int").alias("is_rep"))
+
+    lowq = d.select(
+        "doc_id",
+        (quality_score(F.col("text")) < F.lit(quality_min)).cast("int").alias(
+            "is_lowq"
+        ),
+    )
+
+    out = d.select("doc_id").join(dup, "doc_id", "left")
+    if eval_docs is not None:
+        contam = contaminated_ids(
+            d, eval_docs, "doc_id", "text", contam_ngram
+        ).select("doc_id", F.lit(1).alias("is_contam"))
+        out = out.join(contam, "doc_id", "left")
+    else:
+        out = out.withColumn("is_contam", F.lit(None).cast("int"))
+    out = out.join(rep, "doc_id", "left").join(lowq, "doc_id", "left")
+
+    reason = (
+        F.when(F.col("is_dup") == 1, F.lit("duplicate"))
+        .when(F.col("is_contam") == 1, F.lit("contaminated"))
+        .when(F.col("is_rep") == 1, F.lit("repetitive"))
+        .when(F.col("is_lowq") == 1, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        "doc_id",
+        reason.alias("reason"),
+    ).withColumn("keep", (F.col("reason") == "kept").cast("int"))

@@ -258,6 +258,95 @@ def _banded_jaccard_pairs(
     )
 
 
+def neardup_minhash_pairs_cross(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    n_bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs: (id_a from docs_a, id_b from
+    docs_b, jaccard >= threshold) — the dedup-new-crawl-against-existing-
+    corpus / train-vs-eval shape, where the self-join's id_a < id_b ordering
+    does not apply.
+
+    Same scale plan as the self-join family: per-side banded minhash keys,
+    ONE (band, key)-keyed equi-join across the corpora for candidates,
+    exact Jaccard verify on candidates only. When one corpus is small (an
+    eval set), its exploded key table broadcasts and the big side never
+    shuffles at all (AQE decides).
+    """
+    from rabitq_spark.functions.text import (
+        banded_minhash_key,
+        combine_word_hashes,
+        jaccard,
+        word_hashes,
+    )
+
+    scope = _begin_scope("minhash_cross")
+
+    def hashed(docs: DataFrame) -> DataFrame:
+        wh = _scoped_cache(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                word_hashes(F.col(text_col)).alias("h"),
+            ),
+            scope,
+        )
+        return _scoped_cache(
+            wh.select(
+                "doc_id", combine_word_hashes("h", shingle_words).alias("hs")
+            ).filter(F.size("hs") > 0),
+            scope,
+        )
+
+    ha, hb = hashed(docs_a), hashed(docs_b)
+
+    def keyed(h: DataFrame, side: str) -> DataFrame:
+        keys = _scoped_cache(
+            h.select(
+                "doc_id",
+                *[
+                    banded_minhash_key("hs", b).alias(f"k{b}")
+                    for b in range(n_bands)
+                ],
+            ),
+            scope,
+        )
+        return keys.select(
+            F.col("doc_id").alias(f"id_{side}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"), F.col(f"k{b}").alias("k")
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            f"id_{side}", F.col("bk.b").alias("b"), F.col("bk.k").alias("k")
+        )
+
+    cand = (
+        keyed(ha, "a")
+        .join(keyed(hb, "b"), ["b", "k"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = ha.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    sb = hb.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard("hs_a", "hs_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def neardup_ngram_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1936,6 +1936,248 @@ SELECT doc_id, shard, CAST(bin_id AS INT) AS bin_id, n_tok FROM p
 
 
 # --------------------------------------------------------------------------
+# curation family (operators/curate.py): vocabulary pruning by global DF,
+# decontamination filtering, cross-corpus near-dup, end-to-end keep/drop
+
+
+def _srcn(col: str = "source"):
+    """Numeric suffix of the synthetic source id ('src13' -> 13) — the
+    deterministic corpus splitter used by the curation queries."""
+    return F.substring(F.col(col), 4, 10).cast("int")
+
+
+def q_token_df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/noise vocabulary prune: drop tokens outside the global
+    document-frequency window, rebuild texts in original token order."""
+    from rabitq_spark.operators.curate import token_df_prune
+
+    return token_df_prune(
+        load_table(spark, sf_dir, "documents"), min_df=2, max_df_frac=0.8
+    )
+
+
+# shared SQL fragment: word 4-gram sets per doc (matches
+# shingles_from_tokens(tokens(text), 4))
+_GRAMS4 = """
+         CASE WHEN len(w) >= 4
+              THEN list_distinct(list_transform(range(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+              ELSE CAST([] AS VARCHAR[]) END
+"""
+
+_SQL_TOKEN_DF_PRUNE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS token, unnest(range(1, len(w) + 1)) AS pos FROM t
+), dft AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), tot AS (
+  SELECT count(*) AS n_docs FROM documents
+), keep AS (
+  SELECT token FROM dft, tot
+  WHERE df >= 2 AND CAST(df AS DOUBLE) <= 0.8 * CAST(n_docs AS DOUBLE)
+), pruned AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text_pruned,
+         CAST(count(*) AS INT) AS n_tok_kept
+  FROM tok JOIN keep USING (token) GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(p.text_pruned, '') AS text_pruned,
+       CAST(len(t.w) AS INT) AS n_tok_orig,
+       coalesce(p.n_tok_kept, 0) AS n_tok_kept
+FROM t LEFT JOIN pruned p USING (doc_id)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination filter: train split (src0..17) minus every doc
+    sharing a word-4-gram with the held-out eval split (src18..19)."""
+    from rabitq_spark.operators.curate import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(_srcn() < 18), docs.filter(_srcn() >= 18), ngram=4
+    )
+
+
+_SQL_DECONTAMINATE = f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(substring(source, 4) AS INT) AS sn,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), tg AS (
+  SELECT doc_id, unnest({_GRAMS4}) AS gr FROM base WHERE sn < 18
+), eg AS (
+  SELECT DISTINCT unnest({_GRAMS4}) AS gr FROM base WHERE sn >= 18
+), contam AS (
+  SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gr)
+)
+SELECT doc_id, text, lang, source, n_chars FROM base
+WHERE sn < 18 AND doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
+def q_neardup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup: new-crawl (src10..19) against existing corpus
+    (src0..9) — the asymmetric dedup shape where self-join ordering does
+    not apply."""
+    from rabitq_spark.operators.dedup import neardup_minhash_pairs_cross
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup_minhash_pairs_cross(
+        docs.filter(_srcn() < 10),
+        docs.filter(_srcn() >= 10),
+        shingle_words=3,
+        n_bands=8,
+        threshold=0.8,
+    )
+
+
+def _sql_neardup_cross() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(substring(source, 4) AS INT) AS sn,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), wh AS (
+  SELECT doc_id, sn,
+         list_transform(w, t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS h
+  FROM toks
+), hashed AS (
+  SELECT doc_id, sn,
+         list_distinct(CASE WHEN len(h) >= 3 THEN
+           list_transform(range(1, len(h) - 1),
+             i -> xor(xor(h[i] << 2, h[i+1] << 1), h[i+2]) & 1152921504606846975)
+         ELSE [] END) AS hs
+  FROM wh
+), nonempty AS (
+  SELECT doc_id, sn, hs FROM hashed WHERE len(hs) > 0
+), bands AS (
+  SELECT doc_id, sn, b,
+         list_min(list_transform(hs, h -> xor(h, c))) AS key
+  FROM nonempty, {_band_constants_sql(8)}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.key = r.key AND l.sn < 10 AND r.sn >= 10
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(s1.hs, s2.hs))) = 0
+              THEN 0.0
+              ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(s1.hs, s2.hs))) AS DOUBLE)
+         END AS jaccard
+  FROM cand JOIN nonempty s1 ON cand.id_a = s1.doc_id JOIN nonempty s2 ON cand.id_b = s2.doc_id
+) t WHERE jaccard >= 0.8
+"""
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict on the train split (src0..17) against
+    the held-out eval split (src18..19): duplicate > contaminated >
+    repetitive > low_quality > kept, first reason wins."""
+    from rabitq_spark.operators.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs.filter(_srcn() < 18),
+        docs.filter(_srcn() >= 18),
+        quality_min=0.73,
+        contam_ngram=4,
+    )
+
+
+_SQL_CURATE = f"""
+WITH base AS (
+  SELECT doc_id, text, CAST(substring(source, 4) AS INT) AS sn,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), train AS (
+  SELECT * FROM base WHERE sn < 18
+), fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS f
+  FROM train
+), dup AS (
+  SELECT doc_id,
+         CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY f) AS INT) AS is_dup
+  FROM fp
+), tg AS (
+  SELECT doc_id, unnest({_GRAMS4}) AS gr FROM train
+), eg AS (
+  SELECT DISTINCT unnest({_GRAMS4}) AS gr FROM base WHERE sn >= 18
+), contam AS (
+  SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gr)
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_tok,
+         CAST(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS INT) AS tot2,
+         CAST(CASE WHEN len(w) >= 2
+              THEN len(list_distinct(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i+1])))
+              ELSE 0 END AS INT) AS d2,
+         CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS INT) AS tot3,
+         CAST(CASE WHEN len(w) >= 3
+              THEN len(list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+              ELSE 0 END AS INT) AS d3,
+         len(list_distinct(w)) AS nd,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE) END AS mlen
+  FROM train
+), c AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(w) AS token FROM train
+  ) u GROUP BY doc_id, token
+), top AS (
+  SELECT doc_id, cnt FROM (
+    SELECT doc_id, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn
+    FROM c
+  ) r WHERE rn = 1
+), rep AS (
+  SELECT m.doc_id,
+         CAST(NOT (
+           (CASE WHEN m.n_tok = 0 THEN 0.0
+                 ELSE CAST(top.cnt AS DOUBLE) / CAST(m.n_tok AS DOUBLE) END) <= 0.12
+           AND (CASE WHEN m.tot2 = 0 THEN 0.0
+                ELSE CAST(m.tot2 - m.d2 AS DOUBLE) / CAST(m.tot2 AS DOUBLE) END) <= 0.12
+           AND (CASE WHEN m.tot3 = 0 THEN 0.0
+                ELSE CAST(m.tot3 - m.d3 AS DOUBLE) / CAST(m.tot3 AS DOUBLE) END) <= 0.05
+         ) AS INT) AS is_rep
+  FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+), lowq AS (
+  SELECT doc_id,
+         CAST((least(CAST(n_tok AS DOUBLE) / 30.0, 1.0) * 0.4
+           + (CASE WHEN n_tok = 0 THEN 0.0
+                   ELSE CAST(nd AS DOUBLE) / CAST(n_tok AS DOUBLE) END) * 0.4
+           + (CASE WHEN mlen >= 3.0 AND mlen <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2)
+           < 0.73 AS INT) AS is_lowq
+  FROM m
+)
+SELECT t.doc_id,
+       CASE WHEN dup.is_dup = 1 THEN 'duplicate'
+            WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+            WHEN rep.is_rep = 1 THEN 'repetitive'
+            WHEN lowq.is_lowq = 1 THEN 'low_quality'
+            ELSE 'kept' END AS reason,
+       CAST(CASE WHEN dup.is_dup = 1 THEN 0
+            WHEN contam.doc_id IS NOT NULL THEN 0
+            WHEN rep.is_rep = 1 THEN 0
+            WHEN lowq.is_lowq = 1 THEN 0
+            ELSE 1 END AS INT) AS keep
+FROM train t
+LEFT JOIN dup ON t.doc_id = dup.doc_id
+LEFT JOIN contam ON t.doc_id = contam.doc_id
+LEFT JOIN rep ON t.doc_id = rep.doc_id
+LEFT JOIN lowq ON t.doc_id = lowq.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1990,6 +2232,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pack_sequences": q_pack_sequences,
+    "token_df_prune": q_token_df_prune,
+    "decontaminate": q_decontaminate,
+    "neardup_cross": q_neardup_cross,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2051,4 +2297,8 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_search": _sql_bm25(),
     "tfidf_top_terms": _SQL_TFIDF,
     "pack_sequences": _SQL_PACK,
+    "token_df_prune": _SQL_TOKEN_DF_PRUNE,
+    "decontaminate": _SQL_DECONTAMINATE,
+    "neardup_cross": _sql_neardup_cross(),
+    "curate_corpus": _SQL_CURATE,
 }

@@ -1,0 +1,122 @@
+"""Curation operator semantics: DF-window vocabulary pruning with order
+preservation, decontamination filtering, cross-corpus near-dup equivalence
+to the self-join restricted across the split, and the keep/drop verdict's
+reason priority."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabitq_spark.operators.curate import (
+    curate_corpus,
+    decontaminate,
+    token_df_prune,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_df_prune_window_and_order(spark):
+    # 'common' in all 4 docs (df=4 > 0.75*4 = 3), 'rare' in 1 (df=1 < 2):
+    # both pruned; alpha/beta (df=3) survive in original order
+    docs = _docs(
+        spark,
+        [
+            (0, "common alpha beta rare"),
+            (1, "common beta alpha"),
+            (2, "common alpha"),
+            (3, "common beta"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in token_df_prune(docs, min_df=2, max_df_frac=0.75).collect()
+    }
+    assert got[0]["text_pruned"] == "alpha beta"
+    assert got[1]["text_pruned"] == "beta alpha"  # original order, not sorted
+    assert got[0]["n_tok_orig"] == 4 and got[0]["n_tok_kept"] == 2
+    # doc whose every token is pruned survives with empty text
+    solo = _docs(spark, [(7, "xyzzy")])
+    all_docs = docs.unionByName(solo)
+    got7 = {
+        r["doc_id"]: r
+        for r in token_df_prune(all_docs, min_df=2, max_df_frac=0.75).collect()
+    }[7]
+    assert got7["text_pruned"] == "" and got7["n_tok_kept"] == 0
+    assert got7["n_tok_orig"] == 1
+
+
+def test_decontaminate_drops_exactly_overlapping_docs(spark):
+    ev = _docs(spark, [(100, "one two three four tail")])
+    train = _docs(
+        spark,
+        [
+            (0, "one two three four something"),  # shares a 4-gram -> dropped
+            (1, "two three four five six"),  # no shared 4-gram window
+            (2, "totally different words here now"),
+        ],
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(train, ev, ngram=4).collect()
+    )
+    assert kept == [1, 2]
+    # all original columns survive
+    assert decontaminate(train, ev, ngram=4).columns == ["doc_id", "text"]
+
+
+def test_curate_reason_priority(spark):
+    rep_text = "spam " * 40  # top_token_frac 1.0 -> repetitive
+    docs = _docs(
+        spark,
+        [
+            (0, "quick brown foxes jump over lazy sleeping dogs near riverside banks while curious children watch quietly from wooden bridges above"),
+            (1, rep_text.strip()),  # repetitive
+            (2, "tiny"),  # low quality (short, but not repetitive-flagged?)
+            (3, rep_text.strip()),  # exact dup of 1 -> duplicate wins over repetitive
+            (4, "held out gram match here padded with more distinct tokens"),
+        ],
+    )
+    ev = _docs(spark, [(9, "held out gram match elsewhere")])
+    got = {r["doc_id"]: r["reason"] for r in curate_corpus(docs, ev).collect()}
+    assert got[3] == "duplicate"  # dup of doc 1, not canonical
+    assert got[1] == "repetitive"  # canonical survivor, flagged repetitive
+    assert got[4] == "contaminated"  # shares 'held out gram match'
+    assert got[0] == "kept"
+    # doc 2: single token -> top_token_frac 1.0 -> repetitive outranks low_quality
+    assert got[2] == "repetitive"
+    keeps = {r["doc_id"]: r["keep"] for r in curate_corpus(docs, ev).collect()}
+    assert keeps == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_curate_without_eval_set_skips_contamination(spark):
+    docs = _docs(spark, [(0, "a perfectly ordinary document with many distinct tokens here")])
+    got = curate_corpus(docs, None).collect()
+    assert got[0]["reason"] in ("kept", "low_quality")  # no contaminated path
+
+
+def test_cross_pairs_equal_selfjoin_across_split(spark, sf_dir):
+    from rabitq_spark.operators.dedup import (
+        neardup_minhash_pairs,
+        neardup_minhash_pairs_cross,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srcn = F.substring(F.col("source"), 4, 10).cast("int")
+    a, b = docs.filter(srcn < 10), docs.filter(srcn >= 10)
+    cross = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_minhash_pairs_cross(a, b).collect()
+    }
+    # oracle: self-join over the full corpus, restricted to pairs that
+    # straddle the split (self-join orders by id; re-orient to (a-side, b-side))
+    side = {
+        r["doc_id"]: r["sn"]
+        for r in docs.select("doc_id", srcn.alias("sn")).collect()
+    }
+    want = set()
+    for r in neardup_minhash_pairs(docs).collect():
+        x, y = r["id_a"], r["id_b"]
+        if (side[x] < 10) != (side[y] < 10):
+            want.add((x, y) if side[x] < 10 else (y, x))
+    assert cross == want
