@@ -269,6 +269,53 @@ def bm25_scores(
     ).select("doc_id", "score", "rank")
 
 
+def hybrid_rrf(
+    text_ranked: DataFrame,
+    vector_ranked: DataFrame,
+    k_rrf: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Hybrid-retrieval fusion: Reciprocal Rank Fusion (Cormack et al.
+    2009) of a lexical ranking and a vector ranking —
+
+        rrf(d) = 1/(k + rank_text(d)) + 1/(k + rank_vec(d))
+
+    with a missing system contributing 0. Inputs are (doc_id, rank)
+    top-k lists. Output: (doc_id, rrf_score, rank), topn rows, ties broken
+    by doc_id.
+
+    The two contributions are explicit columns added in fixed order (not a
+    SUM over a union), so the double result is partitioning-independent —
+    the same determinism discipline as bm25_scores' per-term fold. The
+    global rank window runs over at most |text list| + |vector list| rows
+    (both already top-k-bounded upstream), so the single-partition window
+    is over k-dozens of rows, never the corpus.
+    """
+    t = text_ranked.select("doc_id", F.col("rank").alias("r_text"))
+    v = vector_ranked.select("doc_id", F.col("rank").alias("r_vec"))
+    fused = t.join(v, "doc_id", "full_outer")
+    kk = F.lit(float(k_rrf))
+    c_text = F.when(
+        F.col("r_text").isNotNull(),
+        F.lit(1.0) / (kk + F.col("r_text").cast("double")),
+    ).otherwise(F.lit(0.0))
+    c_vec = F.when(
+        F.col("r_vec").isNotNull(),
+        F.lit(1.0) / (kk + F.col("r_vec").cast("double")),
+    ).otherwise(F.lit(0.0))
+    scored = fused.select("doc_id", (c_text + c_vec).alias("rrf_score"))
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= topn)
+        .select("doc_id", "rrf_score", "rank")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     group_col: str = "lang",

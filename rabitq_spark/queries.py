@@ -1832,7 +1832,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bm25() -> str:
+def _bm25_ctes() -> str:
+    """The WITH-body CTE chain ending in per_doc(doc_id, score) — shared by
+    the bm25_search oracle and the hybrid_search oracle."""
     # float literals injected via repr() so both engines parse the IDENTICAL
     # double (k1+1 computed in Python once, not re-derived in SQL)
     k1, b, k1p1 = repr(_BM25_K1), repr(_BM25_B), repr(_BM25_K1 + 1.0)
@@ -1841,8 +1843,7 @@ def _sql_bm25() -> str:
         f"COALESCE(SUM(CASE WHEN token = '{t}' THEN s END), 0.0)"
         for t in _BM25_TERMS
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
   FROM documents
 ), dl AS (
@@ -1870,12 +1871,109 @@ WITH toks AS (
   CROSS JOIN stats
 ), per_doc AS (
   SELECT doc_id, {term_sum} AS score FROM scored GROUP BY doc_id
-)
+)"""
+
+
+def _sql_bm25() -> str:
+    return f"""
+WITH {_bm25_ctes()}
 SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
   FROM per_doc
 ) r WHERE rank <= 10
+"""
+
+
+_HYBRID_TOPK_PER_SYSTEM = 20
+_HYBRID_RRF_K = 60
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 over the documents table fused with cosine
+    similarity over the aligned embeddings table (vec_id == doc_id) via
+    Reciprocal Rank Fusion — the standard lexical+vector serving shape.
+    Each system contributes its top-20; RRF(k=60) picks the final top-10."""
+    from pyspark.sql import Window
+
+    from rabitq_spark.functions.vector import dot, l2_norm
+    from rabitq_spark.operators.corpus import bm25_scores, hybrid_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text_ranked = bm25_scores(
+        docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=_HYBRID_TOPK_PER_SYSTEM
+    ).select("doc_id", "rank")
+
+    normed = emb.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("norm")
+    )
+    qv = normed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    denom = F.col("qnorm") * F.col("norm")
+    cos = F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(
+        dot("qvec", "embedding") / denom
+    )
+    order = [F.col("cosine").desc(), F.col("doc_id").asc()]
+    vec_ranked = (
+        normed.crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(*order)
+        .limit(_HYBRID_TOPK_PER_SYSTEM)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("doc_id", "rank")
+    )
+    return hybrid_rrf(
+        text_ranked, vec_ranked, k_rrf=_HYBRID_RRF_K, topn=10
+    )
+
+
+def _sql_hybrid() -> str:
+    n = _HYBRID_TOPK_PER_SYSTEM
+    return f"""
+WITH {_bm25_ctes()}, bmr AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM per_doc
+  ) r WHERE rank <= {n}
+), normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(
+           list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+           (a, x) -> a + x)) AS norm
+  FROM embeddings
+), qv AS (
+  SELECT embedding AS qvec, norm AS qnorm FROM normed WHERE vec_id = 0
+), cs AS (
+  SELECT n.vec_id AS doc_id,
+         CASE WHEN qv.qnorm * n.norm = 0.0 THEN 0.0
+              ELSE list_reduce(
+                     list_transform(range(1, len(qv.qvec) + 1),
+                       i -> CAST(qv.qvec[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)),
+                     (a, x) -> a + x) / (qv.qnorm * n.norm)
+         END AS cosine
+  FROM normed n, qv
+), vr AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+    FROM cs
+  ) r WHERE rank <= {n}
+), fused AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         (CASE WHEN b.rank IS NULL THEN 0.0
+               ELSE 1.0 / ({_HYBRID_RRF_K}.0 + CAST(b.rank AS DOUBLE)) END)
+         + (CASE WHEN v.rank IS NULL THEN 0.0
+                 ELSE 1.0 / ({_HYBRID_RRF_K}.0 + CAST(v.rank AS DOUBLE)) END)
+         AS rrf_score
+  FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, rrf_score, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) t WHERE rank <= 10
 """
 
 
@@ -2236,6 +2334,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "neardup_cross": q_neardup_cross,
     "curate_corpus": q_curate_corpus,
+    "hybrid_search": q_hybrid_search,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2301,4 +2400,5 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminate": _SQL_DECONTAMINATE,
     "neardup_cross": _sql_neardup_cross(),
     "curate_corpus": _SQL_CURATE,
+    "hybrid_search": _sql_hybrid(),
 }

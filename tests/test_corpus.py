@@ -176,3 +176,26 @@ def test_pack_sequences_next_fit_hand_case(spark):
     # 300 -> bin0 (fill 300); 200 -> fits (500); 100 -> overflow -> bin1;
     # 500 -> overflow -> bin2
     assert out == {0: 0, 8: 0, 16: 1, 24: 2}
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    from rabitq_spark.operators.corpus import hybrid_rrf
+
+    text = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(3, 1), (4, 2)], "doc_id long, rank int"
+    )
+    got = {r["doc_id"]: r for r in hybrid_rrf(text, vec, k_rrf=60, topn=10).collect()}
+    # doc 3 appears in both lists: 1/63 + 1/61 — must outrank everything
+    assert got[3]["rank"] == 1
+    assert abs(got[3]["rrf_score"] - (1 / 63 + 1 / 61)) < 1e-15
+    # single-list docs score only their own contribution
+    assert abs(got[1]["rrf_score"] - 1 / 61) < 1e-15
+    assert abs(got[4]["rrf_score"] - 1 / 62) < 1e-15
+    # deterministic ordering: 3 (both), then 1 (1/61), 4 (1/62), 2 (1/62)?
+    # 1/62 tie between 4 and... no: doc 2 is 1/62, doc 4 is 1/62 -> tie
+    # broken by doc_id ascending
+    ranks = {d: r["rank"] for d, r in got.items()}
+    assert ranks == {3: 1, 1: 2, 2: 3, 4: 4}
