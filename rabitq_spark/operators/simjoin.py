@@ -122,3 +122,60 @@ def similarity_join(
         overfetch=overfetch,
         broadcast_probes=left_count is None or left_count <= max_query_block,
     )
+
+
+def grouped_similarity_join(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    k: int = 10,
+) -> DataFrame:
+    """Namespace-scoped exact k-NN: for every row, the top-k nearest rows
+    (squared L2, self excluded) sharing its `group_col` value — the
+    partitioned / multi-tenant vector-search shape (per-namespace search,
+    per-language near-neighbor graphs).
+
+    Returns (group_col, query_id, neighbor_id, dist, rank).
+
+    Plan shape: ONE equi-join keyed by the group column (groups never mix,
+    so cross-group pairs are never materialized), the deterministic
+    l2_squared codegen fold per surviving pair, and a WindowGroupLimit
+    top-k partitioned by (group, query). Zero Python; work is quadratic
+    only WITHIN a group — the correct contract for namespace-sized groups.
+    For corpus-sized groups, index each group instead (similarity_join per
+    group), which trades the in-group quadratic for the IVF screen.
+    """
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.functions.vector import l2_squared
+    from rabitq_spark.operators.topk import topk_per_group
+
+    left = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    )
+    right = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+    )
+    pairs = (
+        left.join(right, "__g")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "__g",
+            "query_id",
+            "neighbor_id",
+            l2_squared(F.col("__qv"), F.col("__nv")).alias("dist"),
+        )
+    )
+    return topk_per_group(
+        pairs,
+        ["__g", "query_id"],
+        [F.col("dist").asc(), F.col("neighbor_id").asc()],
+        k,
+    ).select(
+        F.col("__g").alias(group_col), "query_id", "neighbor_id", "dist", "rank"
+    )

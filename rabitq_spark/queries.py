@@ -1977,6 +1977,37 @@ SELECT doc_id, rrf_score, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_grouped_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-namespace exact k-NN: top-5 neighbors within the same label —
+    the multi-tenant / partitioned vector-search shape. Group-keyed join,
+    no cross-group pairs ever materialized."""
+    from rabitq_spark.operators.simjoin import grouped_similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return grouped_similarity_join(
+        emb, "label", id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+_SQL_GROUPED_SIMJOIN = """
+WITH scored AS (
+  SELECT l.label, l.vec_id AS query_id, r.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, len(l.embedding) + 1),
+             i -> (CAST(l.embedding[i] AS DOUBLE) - CAST(r.embedding[i] AS DOUBLE))
+                  * (CAST(l.embedding[i] AS DOUBLE) - CAST(r.embedding[i] AS DOUBLE))),
+           (a, x) -> a + x) AS dist
+  FROM embeddings l JOIN embeddings r
+    ON l.label = r.label AND l.vec_id <> r.vec_id
+)
+SELECT label, query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY label, query_id
+                               ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.corpus import tfidf_top_terms
 
@@ -2335,6 +2366,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_cross": q_neardup_cross,
     "curate_corpus": q_curate_corpus,
     "hybrid_search": q_hybrid_search,
+    "grouped_simjoin": q_grouped_simjoin,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2401,4 +2433,5 @@ ORACLE_SQL: dict[str, str] = {
     "neardup_cross": _sql_neardup_cross(),
     "curate_corpus": _SQL_CURATE,
     "hybrid_search": _sql_hybrid(),
+    "grouped_simjoin": _SQL_GROUPED_SIMJOIN,
 }

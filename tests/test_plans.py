@@ -139,3 +139,17 @@ def test_bucketed_model_rerank_join_no_base_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_plan_model_index")
         spark.sql("DROP TABLE IF EXISTS t_plan_model_base")
+
+
+def test_grouped_simjoin_is_group_keyed_not_cartesian(spark, sf_dir):
+    from rabitq_spark.operators.simjoin import grouped_similarity_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = grouped_similarity_join(
+        emb, "label", id_col="vec_id", vec_col="embedding", k=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the pair join must be keyed by the group column — never a cartesian
+    # or nested-loop expansion across groups
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
