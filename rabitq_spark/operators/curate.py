@@ -233,3 +233,129 @@ def curate_corpus(
         "doc_id",
         reason.alias("reason"),
     ).withColumn("keep", (F.col("reason") == "kept").cast("int"))
+
+
+def quality_filter_quantile(
+    docs: DataFrame,
+    keep_frac: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quantile-calibrated quality filter: drop (about) the worst
+    `1 - keep_frac` of the corpus by quality_score, with the threshold
+    LEARNED from the corpus instead of hard-coded.
+
+    Cut rule: v_cut = the largest quality value whose cumulative doc count
+    is <= floor((1-keep_frac) * N); docs with quality > v_cut are kept.
+    Ties at the cut never straddle (a value is wholly kept or dropped), so
+    the result is partitioning-independent. Output: (doc_id, quality).
+
+    Plan shape: quality is one codegen projection; the histogram is one
+    groupBy(quality) shuffle; the cumulative window runs over DISTINCT
+    quality values only (bounded by the score's value domain, not the
+    corpus — the same trick as value_percentiles); the scalar cut
+    broadcasts back. No global row-number over the corpus.
+    """
+    from pyspark.sql import Window
+
+    drop_frac = 1.0 - keep_frac  # compute ONCE; the oracle injects repr()
+    q = docs.select(
+        F.col(id_col).alias("doc_id"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    tot = q.agg(F.count(F.lit(1)).alias("n"))
+    hist = q.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("quality", F.sum("c").over(w).alias("cum"))
+    cut = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cum")
+            <= F.floor(F.lit(drop_frac) * F.col("n").cast("double"))
+        )
+        .agg(F.max("quality").alias("v_cut"))
+    )
+    return (
+        q.crossJoin(F.broadcast(cut))
+        .filter(F.col("v_cut").isNull() | (F.col("quality") > F.col("v_cut")))
+        .select("doc_id", "quality")
+    )
+
+
+def source_mix_sample(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_frac: float = 0.5,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Sqrt-weighted source mixing (temperature-sampled data mixing at
+    alpha = 0.5, the GPT-3 appendix-A shape): sample the corpus down to
+    ~`target_frac` of its rows with per-source rates proportional to
+    sqrt(n_s)/n_s — upweighting small sources, flattening large ones.
+
+        rate_s = least(1, target_frac * N * (sqrt(n_s)/W) / n_s),
+        W = sum over sources (in source order) of sqrt(n_s)
+
+    alpha is FIXED at 0.5 because sqrt is IEEE-correctly-rounded (pow is
+    not), keeping every rate bit-identical across engines. W folds in
+    source order via a running-sum window (deterministic order, unlike a
+    plain SUM of doubles); membership is the md5-bucket coin every sampler
+    in this repo uses (partitioning-independent, reproducible by salt).
+
+    Output: the kept (doc_id, source) rows. Plan shape: one
+    groupBy(source) aggregate (tiny, broadcast back), the cumulative
+    window over |sources| rows, one scan with a codegen filter — the
+    corpus itself never shuffles.
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    weights = counts.select(
+        "source",
+        "n_s",
+        F.sqrt(F.col("n_s").cast("double")).alias("w_s"),
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).over(w).alias("cum_w"),
+    )
+    tot = weights.agg(
+        F.sum("n_s").alias("n_total"), F.max("cum_w").alias("w_total")
+    )
+    rates = weights.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.col("n_total").cast("double")
+            * (F.col("w_s") / F.col("w_total"))
+            / F.col("n_s").cast("double"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source")
+    )

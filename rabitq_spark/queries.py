@@ -1977,6 +1977,100 @@ SELECT doc_id, rrf_score, CAST(rank AS INT) AS rank FROM (
 """
 
 
+_QFILTER_KEEP_FRAC = 0.9
+# computed ONCE in Python and injected by repr(): 1.0 - 0.9 is NOT 0.1 in
+# binary floating point, and both engines must floor the identical product
+_QFILTER_DROP_FRAC = 1.0 - _QFILTER_KEEP_FRAC
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-calibrated quality filter: drop the worst ~10% by
+    quality_score with a corpus-learned threshold (distinct-value
+    cumulative histogram, no global row-number)."""
+    from rabitq_spark.operators.curate import quality_filter_quantile
+
+    return quality_filter_quantile(
+        load_table(spark, sf_dir, "documents"), keep_frac=_QFILTER_KEEP_FRAC
+    )
+
+
+_SQL_QUALITY_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n,
+         len(list_distinct(w)) AS nd,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE) END AS mlen
+  FROM t
+), q AS (
+  SELECT doc_id,
+         least(CAST(n AS DOUBLE) / 30.0, 1.0) * 0.4
+         + (CASE WHEN n = 0 THEN 0.0
+                 ELSE CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) END) * 0.4
+         + (CASE WHEN mlen >= 3.0 AND mlen <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         AS quality
+  FROM m
+), tot AS (
+  SELECT count(*) AS n FROM q
+), hist AS (
+  SELECT quality, count(*) AS c FROM q GROUP BY quality
+), cum AS (
+  SELECT quality,
+         sum(c) OVER (ORDER BY quality
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), cut AS (
+  SELECT max(quality) AS v_cut FROM cum, tot
+  WHERE cum <= CAST(floor({_QFILTER_DROP_FRAC!r} * CAST(n AS DOUBLE)) AS BIGINT)
+)
+SELECT q.doc_id, q.quality FROM q, cut
+WHERE cut.v_cut IS NULL OR q.quality > cut.v_cut
+"""
+
+
+_MIX_TARGET_FRAC = 0.5
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-weighted source mixing (temperature sampling at alpha=0.5):
+    downsample to ~half the corpus, upweighting small sources."""
+    from rabitq_spark.operators.curate import source_mix_sample
+
+    return source_mix_sample(
+        load_table(spark, sf_dir, "documents"), target_frac=_MIX_TARGET_FRAC
+    )
+
+
+_SQL_SOURCE_MIX = f"""
+WITH d AS (
+  SELECT doc_id, source FROM documents
+), counts AS (
+  SELECT source, count(*) AS n_s FROM d GROUP BY source
+), weights AS (
+  SELECT source, n_s, sqrt(CAST(n_s AS DOUBLE)) AS w_s,
+         sum(sqrt(CAST(n_s AS DOUBLE)))
+           OVER (ORDER BY source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+  FROM counts
+), tot AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n_total, max(cum_w) AS w_total
+  FROM weights
+), rates AS (
+  SELECT source,
+         least(1.0, {_MIX_TARGET_FRAC!r} * CAST(n_total AS DOUBLE)
+                    * (w_s / w_total) / CAST(n_s AS DOUBLE)) AS rate
+  FROM weights, tot
+)
+SELECT d.doc_id, d.source FROM d JOIN rates USING (source)
+WHERE CAST(concat('0x', substring(md5(concat('mix-v1|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+      / 4294967296.0 < rate
+"""
+
+
 def q_grouped_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-namespace exact k-NN: top-5 neighbors within the same label —
     the multi-tenant / partitioned vector-search shape. Group-keyed join,
@@ -2367,6 +2461,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "hybrid_search": q_hybrid_search,
     "grouped_simjoin": q_grouped_simjoin,
+    "quality_filter": q_quality_filter,
+    "source_mix": q_source_mix,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2434,4 +2530,6 @@ ORACLE_SQL: dict[str, str] = {
     "curate_corpus": _SQL_CURATE,
     "hybrid_search": _sql_hybrid(),
     "grouped_simjoin": _SQL_GROUPED_SIMJOIN,
+    "quality_filter": _SQL_QUALITY_FILTER,
+    "source_mix": _SQL_SOURCE_MIX,
 }

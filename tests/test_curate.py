@@ -120,3 +120,41 @@ def test_cross_pairs_equal_selfjoin_across_split(spark, sf_dir):
         if (side[x] < 10) != (side[y] < 10):
             want.add((x, y) if side[x] < 10 else (y, x))
     assert cross == want
+
+
+def test_quality_filter_drops_bottom_decile_partition_independent(spark, sf_dir):
+    from rabitq_spark.operators.curate import quality_filter_quantile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = quality_filter_quantile(docs, keep_frac=0.9)
+    n = docs.count()
+    k = kept.count()
+    # drops AT MOST floor(0.1*n) (ties at the cut value are kept)
+    assert n - k <= int(0.1 * n) + 1 and k < n or n < 10
+    # partitioning-independent: same kept set from a different layout
+    k2 = quality_filter_quantile(docs.repartition(13), keep_frac=0.9)
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in k2.collect()
+    }
+
+
+def test_source_mix_upweights_small_sources(spark):
+    from rabitq_spark.operators.curate import source_mix_sample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = source_mix_sample(docs, target_frac=0.5).groupBy("source").count()
+    by = {r["source"]: r["count"] for r in kept.collect()}
+    # sqrt weighting: rate_small/rate_big = sqrt(100)/sqrt(900) * 900/100 = 3
+    # so the small source keeps ~3x the FRACTION the big one does
+    frac_small = by.get("small", 0) / 100
+    frac_big = by.get("big", 0) / 900
+    assert frac_small > 1.5 * frac_big
+    # deterministic across partitioning
+    again = source_mix_sample(docs.repartition(7), target_frac=0.5)
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"]
+        for r in source_mix_sample(docs, target_frac=0.5).collect()
+    }
