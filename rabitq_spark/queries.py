@@ -1443,7 +1443,9 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream_window query did not finish in 180s")
     return spark.sql(f"SELECT * FROM {name}").select(
         F.unix_micros("window_start").alias("window_start_us"),
         "event_type",

@@ -28,24 +28,45 @@ TABLES = (
 )
 
 
+def events_with_micros(df: DataFrame) -> DataFrame:
+    """Normalize an events frame to (ts_us BIGINT epoch-micros, ts TIMESTAMP).
+
+    Handles every layout the driver has shipped: TIMESTAMP(NANOS) read as
+    raw nanos (legacy conf → BIGINT), TIMESTAMP_NTZ (parquet timestamp[us]
+    without tz, the current testdata), and UTC-adjusted TIMESTAMP. All
+    conversions are integer-exact and timezone-free: integer DIV for ns→µs
+    (double division loses precision at 2024-era epoch-nanos magnitudes),
+    timestampdiff from the epoch for NTZ (a cast would apply the session tz).
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # legacy nanos-as-long read
+        df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn(
+            "ts_us",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ),
+        )
+    else:  # timestamp (UTC-adjusted instant)
+        df = df.withColumn("ts_us", F.unix_micros("ts"))
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md layout).
 
-    The events table carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    default; read it as raw nanos (legacy conf, session-settable) and expose
-    both an exact epoch-micros BIGINT and a TIMESTAMP column. Integer DIV
-    keeps the ns→µs conversion exact (a double division would lose precision
-    at 2024-era epoch-nanos magnitudes).
+    The events table's raw ts column has changed type across driver
+    generations (TIMESTAMP(NANOS), then timestamp[us]); normalize it to an
+    exact epoch-micros BIGINT `ts_us` plus a TIMESTAMP `ts` so every
+    downstream operator and oracle sees one layout.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return (
-            df.withColumn("ts_us", F.expr("ts DIV 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        )
+        return events_with_micros(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

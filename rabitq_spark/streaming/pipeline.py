@@ -24,16 +24,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos (nanosAsLong read)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(
@@ -42,23 +43,29 @@ def read_events_stream(
     """File-source stream over events parquet.
 
     `events_path` must be a directory (file-source requirement); pass a
-    single file as (parent_dir, glob="file.parquet"). Same ns→µs conversion
-    as the batch loader; maxFilesPerTrigger bounds per-microbatch work.
+    single file as (parent_dir, glob="file.parquet"). A file source needs an
+    explicit schema, and the driver's events ts column has changed physical
+    type across generations (TIMESTAMP(NANOS) → timestamp[us]); peek at the
+    batch-read footer schema (metadata-only) and mirror whatever type the
+    batch loader would see, then apply the same exact ts normalization.
+    maxFilesPerTrigger bounds per-microbatch work.
     """
     import os
+
+    from rabitq_spark.sources.tables import events_with_micros
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if glob is None and events_path.endswith(".parquet"):
         events_path, glob = os.path.dirname(events_path), os.path.basename(events_path)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+    probe_path = events_path if glob is None else os.path.join(events_path, glob)
+    ts_type = spark.read.parquet(probe_path).schema["ts"].dataType
+    reader = spark.readStream.schema(_events_raw_schema(ts_type)).option(
         "maxFilesPerTrigger", "4"
     )
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.parquet(events_path)
-    return raw.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
-        "ts", F.timestamp_micros(F.col("ts_us"))
-    )
+    return events_with_micros(raw)
 
 
 def windowed_counts_stream(
@@ -98,5 +105,10 @@ def run_complete_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not finish in {timeout_sec}s; "
+            "a partial memory-sink read would be silently incomplete"
+        )
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
