@@ -937,6 +937,114 @@ SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (Lee et al., arXiv:2107.06499): every
+    maximal run of >= k tokens appearing in >= 2 documents, as merged
+    [start, end) token ranges — the exact-substring dedup signal."""
+    from rabitq_spark.operators.spans import duplicate_spans
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"), k=8, min_docs=2)
+
+
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-coverage fractions from the merged spans."""
+    from rabitq_spark.operators.spans import dup_span_profile
+
+    return dup_span_profile(load_table(spark, sf_dir, "documents"), k=8, min_docs=2)
+
+
+def _kgram_mix_sql(k: int, h: str = "h", i: str = "i") -> str:
+    """DuckDB expression for the shift-xor k-gram hash mix at width k.
+
+    Spark's shiftleft wraps in 64-bit and the mix then masks to 60 bits;
+    DuckDB raises on BIGINT shift overflow instead of wrapping, so each
+    term pre-masks to the low bits that survive the final 60-bit mask —
+    bit-identical to Spark's wrap-then-mask."""
+    from rabitq_spark.functions.text import _MASK60
+
+    terms = []
+    for j in range(k):
+        s = k - 1 - j
+        if s == 0:
+            terms.append(f"{h}[{i}+{j}]")
+        else:
+            keep = (1 << (60 - s)) - 1
+            terms.append(f"(({h}[{i}+{j}] & {keep}) << {s})")
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"xor({expr}, {t})"
+    return f"(({expr}) & {_MASK60})"
+
+
+def _sql_dup_span_islands(k: int = 8, min_docs: int = 2) -> str:
+    """Shared CTE chain ending in `isl`: per-doc duplicate k-gram positions
+    labeled with their merged-interval island id (gaps-and-islands via the
+    running max of prior span ends)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), wh AS (
+  SELECT doc_id,
+         list_transform(w, t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS h
+  FROM toks
+), kg AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {k} THEN
+           list_transform(range(1, len(h) - {k - 2}), i -> {_kgram_mix_sql(k)})
+         ELSE [] END AS g
+  FROM wh
+), grams AS (
+  SELECT doc_id, unnest(range(1, len(g) + 1)) - 1 AS pos, unnest(g) AS g
+  FROM kg
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= {min_docs}
+), pos AS (
+  SELECT grams.doc_id, grams.pos FROM grams JOIN dup USING (g)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM pos
+), isl AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)"""
+
+
+def _sql_duplicate_spans(k: int = 8, min_docs: int = 2) -> str:
+    return f"""{_sql_dup_span_islands(k, min_docs)}
+SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def _sql_dup_span_profile(k: int = 8, min_docs: int = 2) -> str:
+    return f"""{_sql_dup_span_islands(k, min_docs)}
+, spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end
+  FROM isl GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+), base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT base.doc_id, n_tokens,
+       coalesce(dup_tokens, 0) AS dup_tokens,
+       CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens AS dup_fraction
+FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per document (training-data token
     accounting; the regex piece classes are Java/RE2-portable)."""
@@ -2424,6 +2532,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_ngram": q_neardup_ngram,
     "neardup_groups": q_neardup_groups,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "duplicate_spans": q_duplicate_spans,
+    "dup_span_profile": q_dup_span_profile,
     "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -2514,6 +2624,8 @@ ORACLE_SQL: dict[str, str] = {
     "neardup_ngram": _SQL_NEARDUP_NGRAM,
     "neardup_groups": _sql_neardup_groups(),
     "winnow_fingerprints": _SQL_WINNOW,
+    "duplicate_spans": _sql_duplicate_spans(),
+    "dup_span_profile": _sql_dup_span_profile(),
     "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,
     "embedding_neardup": _SQL_EMB_NEARDUP,
