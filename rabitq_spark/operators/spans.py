@@ -100,6 +100,58 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans cut out — the
+    exact-substring dedup transform of Lee et al. (arXiv:2107.06499 §4:
+    remove each duplicated substring occurrence, keep the remainder).
+
+    Returns (doc_id, clean_text, n_tokens_kept, n_tokens_removed).
+    clean_text is the kept tokens re-joined by single spaces (the corpus
+    delimiter), so a document with no duplicated span round-trips
+    unchanged. The span side of the join is tiny (only documents with
+    duplicates); the token filter is a pure codegen higher-order
+    expression — per-doc cost O(tokens × spans), spans per doc being the
+    handful of merged islands, never a per-token join."""
+    from rabitq_spark.functions.text import tokens
+
+    spans = (
+        duplicate_spans(docs, id_col, text_col, k, min_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    joined = base.join(spans, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce(
+            F.col("spans"),
+            F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+        ),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_tokens_kept"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+    )
+
+
 def dup_span_profile(
     docs: DataFrame,
     id_col: str = "doc_id",

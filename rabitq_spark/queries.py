@@ -1045,6 +1045,44 @@ FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id
 """
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring dedup TRANSFORM: documents rewritten with
+    duplicated spans removed (Lee et al. §4)."""
+    from rabitq_spark.operators.spans import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), k=8, min_docs=2
+    )
+
+
+def _sql_remove_dup_spans(k: int = 8, min_docs: int = 2) -> str:
+    return f"""{_sql_dup_span_islands(k, min_docs)}
+, spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end
+  FROM isl GROUP BY doc_id, island
+), tk AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) - 1 AS pos, unnest(w) AS tok
+  FROM toks
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tk.doc_id AND tk.pos >= s.span_start AND tk.pos < s.span_end
+  )
+), agg AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_tokens_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(agg.clean_text, '') AS clean_text,
+       coalesce(agg.n_tokens_kept, 0) AS n_tokens_kept,
+       CAST(len(toks.w) AS BIGINT) - coalesce(agg.n_tokens_kept, 0) AS n_tokens_removed
+FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per document (training-data token
     accounting; the regex piece classes are Java/RE2-portable)."""
@@ -2534,6 +2572,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "duplicate_spans": q_duplicate_spans,
     "dup_span_profile": q_dup_span_profile,
+    "remove_dup_spans": q_remove_dup_spans,
     "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -2626,6 +2665,7 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_fingerprints": _SQL_WINNOW,
     "duplicate_spans": _sql_duplicate_spans(),
     "dup_span_profile": _sql_dup_span_profile(),
+    "remove_dup_spans": _sql_remove_dup_spans(),
     "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,
     "embedding_neardup": _SQL_EMB_NEARDUP,

@@ -62,6 +62,25 @@ def test_profile_zeros_for_unique_docs(spark):
     assert rows[2].dup_tokens == 0 and rows[2].dup_fraction == 0.0
 
 
+def test_remove_spans_cuts_shared_run_and_roundtrips_unique(spark):
+    from rabitq_spark.operators.spans import remove_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(12))
+    tail = " ".join(f"a{i}" for i in range(6))
+    docs = _docs(spark, [f"{shared} {tail}", shared, uniq])
+    rows = {
+        r.doc_id: r for r in remove_duplicate_spans(docs, k=8, min_docs=2).collect()
+    }
+    # doc0: the 10 shared tokens cut, the unique tail kept verbatim
+    assert rows[0].clean_text == tail
+    assert (rows[0].n_tokens_kept, rows[0].n_tokens_removed) == (6, 10)
+    # doc1 is entirely duplicated -> empty
+    assert rows[1].clean_text == "" and rows[1].n_tokens_kept == 0
+    # doc2 has no duplicate span -> byte-identical round trip
+    assert rows[2].clean_text == uniq and rows[2].n_tokens_removed == 0
+
+
 def test_spans_match_duckdb_oracle(spark, sf_dir):
     """Bit-exact parity with the registered DuckDB oracle at test SF."""
     import duckdb
