@@ -359,3 +359,51 @@ def source_mix_sample(
         .filter(u < F.col("rate"))
         .select("doc_id", "source")
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-representative selection per near-dup group: instead of
+    keeping the minimum doc id (neardup_groups' is_dup contract), keep the
+    HIGHEST-QUALITY member of each connected component — the policy real
+    dedup pipelines want (drop the truncated/boilerplate copy, keep the
+    clean one).
+
+    Returns (doc_id, group_id, group_size, quality, keep). Ties break on
+    ascending doc id, so the verdict is deterministic. One extra window
+    over the already-grouped table; quality is the oracle-checked
+    quality_score expression, so comparisons see bit-identical doubles in
+    both engines.
+
+    Scale: the component labels come from neardup_groups (min-label
+    propagation, O(diameter) keyed rounds); the argmax is one window over
+    group_id — groups are tiny (near-dup clusters), so no skew concern.
+    """
+    from pyspark.sql import Window
+
+    from rabitq_spark.functions.text import quality_score
+    from rabitq_spark.operators.graph import neardup_groups
+
+    groups = neardup_groups(docs, pairs, id_col=id_col)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        groups.join(scored, "doc_id")
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "group_id",
+            "group_size",
+            "quality",
+            (F.col("__rk") == 1).cast("int").alias("keep"),
+        )
+    )

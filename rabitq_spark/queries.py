@@ -837,6 +837,60 @@ FROM comp
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups resolved to a keep/drop verdict by QUALITY (keep the
+    best member of each component, not the minimum id)."""
+    from rabitq_spark.operators.curate import dedup_keep_best
+    from rabitq_spark.operators.dedup import neardup_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_minhash_pairs(docs, shingle_words=3, n_bands=8, threshold=0.8)
+    return dedup_keep_best(docs, pairs)
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_SQL_NEARDUP_MINHASH}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, reach.r FROM sym s JOIN reach ON reach.node = s.src
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS group_id FROM reach GROUP BY node
+), qt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), qm AS (
+  SELECT doc_id,
+         len(w) AS n,
+         len(list_distinct(w)) AS nd,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE) END AS mlen
+  FROM qt
+), q AS (
+  SELECT doc_id,
+         least(CAST(n AS DOUBLE) / 30.0, 1.0) * 0.4
+         + (CASE WHEN n = 0 THEN 0.0
+                 ELSE CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) END) * 0.4
+         + (CASE WHEN mlen >= 3.0 AND mlen <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         AS quality
+  FROM qm
+)
+SELECT comp.doc_id, comp.group_id,
+       COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+       q.quality,
+       CAST(row_number() OVER (PARTITION BY group_id
+              ORDER BY q.quality DESC, comp.doc_id) = 1 AS INT) AS keep
+FROM comp JOIN q ON comp.doc_id = q.doc_id
+"""
+
+
 def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.dedup import neardup_ngram_pairs
 
@@ -2569,6 +2623,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_minhash": q_neardup_minhash,
     "neardup_ngram": q_neardup_ngram,
     "neardup_groups": q_neardup_groups,
+    "dedup_keep_best": q_dedup_keep_best,
     "winnow_fingerprints": q_winnow_fingerprints,
     "duplicate_spans": q_duplicate_spans,
     "dup_span_profile": q_dup_span_profile,
@@ -2662,6 +2717,7 @@ ORACLE_SQL: dict[str, str] = {
     "neardup_minhash": _SQL_NEARDUP_MINHASH,
     "neardup_ngram": _SQL_NEARDUP_NGRAM,
     "neardup_groups": _sql_neardup_groups(),
+    "dedup_keep_best": _sql_dedup_keep_best(),
     "winnow_fingerprints": _SQL_WINNOW,
     "duplicate_spans": _sql_duplicate_spans(),
     "dup_span_profile": _sql_dup_span_profile(),

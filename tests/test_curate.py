@@ -158,3 +158,31 @@ def test_source_mix_upweights_small_sources(spark):
         r["doc_id"]
         for r in source_mix_sample(docs, target_frac=0.5).collect()
     }
+
+
+def test_dedup_keep_best_keeps_highest_quality_member(spark):
+    """The kept member of each group is the argmax-quality doc (tie: min
+    id); singleton groups always keep themselves."""
+    from rabitq_spark.functions.text import quality_score
+    from rabitq_spark.operators.curate import dedup_keep_best
+
+    # quality rises with length saturation: doc 1 (longer) beats doc 0
+    docs = _docs(
+        spark,
+        [
+            (0, "shared words here okay fine"),
+            (1, "shared words here okay fine plus extra richer vocabulary"),
+            (2, "completely unrelated standalone document"),
+        ],
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert rows[0].group_id == 0 and rows[1].group_id == 0
+    assert (rows[0].keep, rows[1].keep) == (0, 1)  # best member wins, not min id
+    assert rows[2].keep == 1 and rows[2].group_size == 1
+    q = {
+        r.doc_id: r.q
+        for r in docs.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    assert q[1] > q[0]
+    assert rows[1].quality == q[1]
