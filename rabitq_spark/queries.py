@@ -1137,6 +1137,51 @@ FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
 """
 
 
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-bucketed diversity sample over the embedding table: at most
+    per_bucket vectors from each region of embedding space."""
+    from rabitq_spark.operators.diversity import embedding_diversity_sample
+
+    return embedding_diversity_sample(
+        load_table(spark, sf_dir, "embeddings"), n_planes=6, per_bucket=4
+    )
+
+
+def _sql_diversity_sample(
+    n_planes: int = 6, per_bucket: int = 4, dim: int = 64, salt: str = "hp"
+) -> str:
+    """Mirrors embedding_diversity_sample with the SAME md5-derived sign
+    matrix inlined as list literals (shared generator: hyperplane_signs).
+    dim is pinned to the testdata contract (64); the Spark side infers it."""
+    from rabitq_spark.operators.diversity import hyperplane_signs
+
+    signs = hyperplane_signs(n_planes, dim, salt)
+    bucket_terms = []
+    for p, row in enumerate(signs):
+        lits = ", ".join(str(v) for v in row)
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]), (a, x) -> a + x)"
+        )
+        bucket_terms.append(
+            f"(CASE WHEN {dot} >= 0.0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id,
+         CAST({bucket} AS BIGINT) AS bucket,
+         md5(concat('{salt}|', CAST(vec_id AS VARCHAR))) AS pick_key
+  FROM embeddings
+)
+SELECT vec_id, bucket,
+       COUNT(*) OVER (PARTITION BY bucket) AS bucket_size,
+       CAST(row_number() OVER (PARTITION BY bucket ORDER BY pick_key, vec_id)
+            <= {per_bucket} AS INT) AS pick
+FROM b
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per document (training-data token
     accounting; the regex piece classes are Java/RE2-portable)."""
@@ -2628,6 +2673,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": q_duplicate_spans,
     "dup_span_profile": q_dup_span_profile,
     "remove_dup_spans": q_remove_dup_spans,
+    "diversity_sample": q_diversity_sample,
     "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -2722,6 +2768,7 @@ ORACLE_SQL: dict[str, str] = {
     "duplicate_spans": _sql_duplicate_spans(),
     "dup_span_profile": _sql_dup_span_profile(),
     "remove_dup_spans": _sql_remove_dup_spans(),
+    "diversity_sample": _sql_diversity_sample(),
     "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,
     "embedding_neardup": _SQL_EMB_NEARDUP,
