@@ -366,3 +366,79 @@ def tfidf_top_terms(
     return ranked.filter(F.col("rank") <= k).select(
         group_col, "token", "tf", "score", "rank"
     )
+
+
+def bigram_coherence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Self-trained bigram-LM predictability score per document — a
+    perplexity-style fluency signal with no external model: how well the
+    CORPUS's own bigram statistics predict each document's token
+    transitions. Low scores flag shuffled/garbled text whose unigrams look
+    fine (the failure mode length/ratio heuristics miss).
+
+    Per document: pair_support = Σ_i c(w_{i-1}, w_i) and prev_support =
+    Σ_i c(w_{i-1}), summed over token positions, where c(·) are corpus
+    occurrence counts. coherence = pair_support / prev_support — a single
+    IEEE division of two bigints, so the score is bit-exact across engines
+    (deliberately NOT a mean of per-position float ratios, whose sum order
+    would be partial-aggregation-dependent; see module docstring). Each
+    per-position ratio is ≤ 1, so coherence ∈ (0, 1]; docs with < 2 tokens
+    emit zeros.
+
+    Scale: count tables are vocabulary-sized — usually small enough that
+    AQE broadcasts them, but bigram types can reach billions at 100 TB, so
+    the joins are left UNHINTED (keyed shuffle joins when AQE measures the
+    count side as large); the per-position table shuffles keyed by token
+    then by doc id — no all-pairs step.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).localCheckpoint(eager=False)
+    pairs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("w") >= 2,
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("pos", "bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c_pair").alias("pair_support"),
+            F.sum("c_tok").alias("prev_support"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("pair_support", F.lit(0)).cast("bigint").alias("pair_support"),
+        F.coalesce("prev_support", F.lit(0)).cast("bigint").alias("prev_support"),
+        F.when(
+            F.coalesce("prev_support", F.lit(0)) > 0,
+            F.col("pair_support").cast("double")
+            / F.col("prev_support").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coherence"),
+    )

@@ -1137,6 +1137,47 @@ FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
 """
 
 
+def q_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram predictability per document (garbled-text
+    signal; integer supports + one division keep it bit-exact)."""
+    from rabitq_spark.operators.corpus import bigram_coherence
+
+    return bigram_coherence(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_BIGRAM_COHERENCE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks) t
+), uni AS (
+  SELECT tok, count(*) AS c_tok
+  FROM (SELECT unnest(w) AS tok FROM toks) u GROUP BY tok
+), bi AS (
+  SELECT w1, w2, count(*) AS c_pair FROM pairs GROUP BY w1, w2
+), scored AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bi.c_pair) AS BIGINT) AS pair_support,
+         CAST(sum(uni.c_tok) AS BIGINT) AS prev_support
+  FROM pairs p
+  JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+  JOIN uni ON p.w1 = uni.tok
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.pair_support, 0) AS pair_support,
+       coalesce(s.prev_support, 0) AS prev_support,
+       CASE WHEN coalesce(s.prev_support, 0) > 0
+            THEN CAST(s.pair_support AS DOUBLE) / CAST(s.prev_support AS DOUBLE)
+            ELSE 0.0 END AS coherence
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-bucketed diversity sample over the embedding table: at most
     per_bucket vectors from each region of embedding space."""
@@ -2674,6 +2715,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_profile": q_dup_span_profile,
     "remove_dup_spans": q_remove_dup_spans,
     "diversity_sample": q_diversity_sample,
+    "bigram_coherence": q_bigram_coherence,
     "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -2769,6 +2811,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_span_profile": _sql_dup_span_profile(),
     "remove_dup_spans": _sql_remove_dup_spans(),
     "diversity_sample": _sql_diversity_sample(),
+    "bigram_coherence": _SQL_BIGRAM_COHERENCE,
     "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,
     "embedding_neardup": _SQL_EMB_NEARDUP,

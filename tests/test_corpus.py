@@ -199,3 +199,21 @@ def test_hybrid_rrf_fusion_semantics(spark):
     # broken by doc_id ascending
     ranks = {d: r["rank"] for d, r in got.items()}
     assert ranks == {3: 1, 1: 2, 2: 3, 4: 4}
+
+
+def test_bigram_coherence_flags_shuffled_text(spark):
+    """A document following the corpus's dominant transitions scores
+    higher than a token-shuffled document over the same vocabulary."""
+    from rabitq_spark.operators.corpus import bigram_coherence
+
+    corpus = [(i, "alpha beta gamma delta") for i in range(10)]
+    corpus.append((10, "alpha beta gamma delta"))  # fluent doc
+    corpus.append((11, "delta beta alpha gamma"))  # shuffled doc
+    corpus.append((12, "solo"))  # < 2 tokens -> zeros
+    rows = {r.doc_id: r for r in bigram_coherence(_docs(spark, corpus)).collect()}
+    assert rows[10].coherence > rows[11].coherence
+    assert rows[12].n_bigrams == 0 and rows[12].coherence == 0.0
+    # fluent doc: every transition is the corpus majority -> near 1
+    assert rows[10].coherence > 0.9
+    # hand check: pair_support sums per-position corpus bigram counts
+    assert rows[10].pair_support >= 3 * 11  # 3 transitions, each seen 12x... >= lower bound
