@@ -167,3 +167,71 @@ def knn_exact_fast(
         )
         .select("query_id", "neighbor_id", "dist", "rank")
     )
+
+
+def maxsim_search(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_query_vecs: int = 4,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval over multi-vector
+    documents: score(q, d) = Σ_i max_j  q_i · d_j, where q_i are the query
+    document's vectors and d_j the candidate document's vectors.
+
+    Inputs carry (group_col, slot, vec_col): one row per vector, `slot`
+    the vector's index within its document, slot < n_query_vecs on the
+    query side. Returns (query_id, doc_id, score, rank) — top-k documents
+    per query, ties broken by ascending doc id.
+
+    Bit-exactness: each dot product is a left-to-right F.aggregate fold;
+    the per-slot max is a comparison of identical doubles; the final sum
+    over slots is a FIXED-ORDER column expression (s0 + s1 + ... per the
+    conditional-aggregation pivot), never a float groupBy-sum whose
+    partial-aggregation order could differ between engines.
+
+    Scale: this is the exact/brute path — cost |Q|·n_query_vecs × |D|·m
+    dots, the MaxSim analogue of knn_exact. Fan out the candidate side
+    with an ANN shortlist (index/search.py) before scoring when |D| is
+    corpus-sized; the scoring plan here only ever shuffles keyed by
+    (query, doc), no all-pairs materialization beyond the scored pairs.
+    """
+    q = queries.select(
+        F.col(group_col).alias("query_id"),
+        F.col("slot").alias("qslot"),
+        F.col(vec_col).alias("qvec"),
+    )
+    d = base.select(
+        F.col(group_col).alias("doc_id"),
+        F.col(vec_col).alias("dvec"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "dvec", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_slot = (
+        q.crossJoin(d)
+        .select("query_id", "doc_id", "qslot", dot.alias("dot"))
+        .groupBy("query_id", "doc_id", "qslot")
+        .agg(F.max("dot").alias("best"))
+    )
+    # fixed-order sum over slots: conditional-aggregation pivot, then an
+    # explicit left-to-right + chain (slot count is a small constant)
+    slot_cols = [
+        F.max(F.when(F.col("qslot") == i, F.col("best"))).alias(f"s{i}")
+        for i in range(n_query_vecs)
+    ]
+    pivoted = per_slot.groupBy("query_id", "doc_id").agg(*slot_cols)
+    score = F.coalesce(F.col("s0"), F.lit(0.0))
+    for i in range(1, n_query_vecs):
+        score = score + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    scored = pivoted.select("query_id", "doc_id", score.alias("score"))
+    return topk_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_by=[F.desc("score"), F.asc("doc_id")],
+        k=k,
+    ).select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))

@@ -1137,6 +1137,67 @@ FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
 """
 
 
+_MAXSIM_M = 4
+_MAXSIM_NQ = 5
+
+
+def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT MaxSim) retrieval: embeddings grouped into
+    multi-vector documents (doc_id = vec_id // 4, slot = vec_id % 4), the
+    first 5 documents querying the rest."""
+    from rabitq_spark.operators.knn import maxsim_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mv = emb.select(
+        F.floor(F.col("vec_id") / _MAXSIM_M).cast("bigint").alias("doc_id"),
+        (F.col("vec_id") % _MAXSIM_M).cast("int").alias("slot"),
+        "embedding",
+    )
+    return maxsim_search(
+        mv.filter(F.col("doc_id") < _MAXSIM_NQ),
+        mv,
+        k=10,
+        n_query_vecs=_MAXSIM_M,
+    )
+
+
+def _sql_maxsim() -> str:
+    slots = ",\n         ".join(
+        f"max(CASE WHEN qslot = {i} THEN best END) AS s{i}"
+        for i in range(_MAXSIM_M)
+    )
+    score = " + ".join(f"coalesce(s{i}, 0.0)" for i in range(_MAXSIM_M))
+    return f"""
+WITH mv AS (
+  SELECT vec_id // {_MAXSIM_M} AS doc_id, vec_id % {_MAXSIM_M} AS qslot, embedding
+  FROM embeddings
+), q AS (
+  SELECT doc_id AS query_id, qslot, embedding AS qvec
+  FROM mv WHERE doc_id < {_MAXSIM_NQ}
+), dots AS (
+  SELECT q.query_id, d.doc_id, q.qslot,
+         list_reduce(list_transform(range(1, len(q.qvec) + 1),
+           i -> CAST(q.qvec[i] AS DOUBLE) * CAST(d.embedding[i] AS DOUBLE)),
+           (a, x) -> a + x) AS dot
+  FROM q, mv d
+), best AS (
+  SELECT query_id, doc_id, qslot, max(dot) AS best
+  FROM dots GROUP BY query_id, doc_id, qslot
+), piv AS (
+  SELECT query_id, doc_id,
+         {slots}
+  FROM best GROUP BY query_id, doc_id
+), scored AS (
+  SELECT query_id, doc_id, {score} AS score FROM piv
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) t WHERE rank <= 10
+"""
+
+
 def q_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self-trained bigram predictability per document (garbled-text
     signal; integer supports + one division keep it bit-exact)."""
@@ -2716,6 +2777,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_dup_spans": q_remove_dup_spans,
     "diversity_sample": q_diversity_sample,
     "bigram_coherence": q_bigram_coherence,
+    "maxsim_search": q_maxsim_search,
     "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -2812,6 +2874,7 @@ ORACLE_SQL: dict[str, str] = {
     "remove_dup_spans": _sql_remove_dup_spans(),
     "diversity_sample": _sql_diversity_sample(),
     "bigram_coherence": _SQL_BIGRAM_COHERENCE,
+    "maxsim_search": _sql_maxsim(),
     "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,
     "embedding_neardup": _SQL_EMB_NEARDUP,

@@ -42,3 +42,25 @@ def test_fast_path_equals_slow_path(spark, sf_dir):
     np.testing.assert_allclose(
         slow["dist"].values, fast["dist"].values, rtol=1e-9, atol=1e-12
     )
+
+
+def test_maxsim_hand_computed_and_self_retrieval(spark):
+    from rabitq_spark.operators.knn import maxsim_search
+
+    # doc 0 (query): q0=[1,0], q1=[0,1]; doc 1 = identical; doc 2 = orthogonal-ish
+    rows = [
+        (0, 0, [1.0, 0.0]), (0, 1, [0.0, 1.0]),
+        (1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),
+        (2, 0, [-1.0, 0.0]), (2, 1, [0.5, -0.5]),
+    ]
+    mv = spark.createDataFrame(
+        rows, "doc_id long, slot int, embedding array<float>"
+    )
+    out = maxsim_search(
+        mv.filter("doc_id = 0"), mv, k=3, n_query_vecs=2
+    ).collect()
+    by_rank = {r.rank: r for r in out}
+    # score(0,0)=score(0,1)=1+1=2 (tie -> doc 0 first); score(0,2)=max(-1,.5)+max(0,-.5)=0.5
+    assert (by_rank[1].doc_id, by_rank[1].score) == (0, 2.0)
+    assert (by_rank[2].doc_id, by_rank[2].score) == (1, 2.0)
+    assert (by_rank[3].doc_id, by_rank[3].score) == (2, 0.5)
