@@ -133,6 +133,7 @@ def pack_sequences(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Greedy next-fit sequence packing: assign documents to token-budget
     bins for training-batch assembly. Documents are sharded by `id % n_shards`
@@ -152,10 +153,17 @@ def pack_sequences(
     """
     import pandas as pd
 
+    # count_col: pack by a PRECOMPUTED token count (e.g. the post-span-
+    # removal count from dup_span_profile) instead of tokenizing text_col
+    n_tok = (
+        F.col(count_col).cast("int")
+        if count_col
+        else F.size(tokens(F.col(text_col)))
+    )
     per_doc = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_shards).alias("shard"),
-        F.size(tokens(F.col(text_col))).alias("n_tok"),
+        n_tok.alias("n_tok"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1030,14 +1030,17 @@ def _kgram_mix_sql(k: int, h: str = "h", i: str = "i") -> str:
     return f"(({expr}) & {_MASK60})"
 
 
-def _sql_dup_span_islands(k: int = 8, min_docs: int = 2) -> str:
+def _sql_dup_span_islands(
+    k: int = 8, min_docs: int = 2, table: str = "documents"
+) -> str:
     """Shared CTE chain ending in `isl`: per-doc duplicate k-gram positions
     labeled with their merged-interval island id (gaps-and-islands via the
-    running max of prior span ends)."""
-    return f"""
-WITH toks AS (
+    running max of prior span ends). `table` lets pipeline oracles run the
+    chain over an upstream CTE instead of the base corpus. Emitted WITHOUT
+    a leading WITH so callers can splice it into a larger CTE list."""
+    return f"""toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-  FROM documents
+  FROM {table}
 ), wh AS (
   SELECT doc_id,
          list_transform(w, t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS h
@@ -1072,7 +1075,7 @@ WITH toks AS (
 
 
 def _sql_duplicate_spans(k: int = 8, min_docs: int = 2) -> str:
-    return f"""{_sql_dup_span_islands(k, min_docs)}
+    return f"""WITH {_sql_dup_span_islands(k, min_docs)}
 SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end,
        CAST(count(*) AS BIGINT) AS n_grams
 FROM isl GROUP BY doc_id, island
@@ -1080,7 +1083,7 @@ FROM isl GROUP BY doc_id, island
 
 
 def _sql_dup_span_profile(k: int = 8, min_docs: int = 2) -> str:
-    return f"""{_sql_dup_span_islands(k, min_docs)}
+    return f"""WITH {_sql_dup_span_islands(k, min_docs)}
 , spans AS (
   SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end
   FROM isl GROUP BY doc_id, island
@@ -1110,7 +1113,7 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_remove_dup_spans(k: int = 8, min_docs: int = 2) -> str:
-    return f"""{_sql_dup_span_islands(k, min_docs)}
+    return f"""WITH {_sql_dup_span_islands(k, min_docs)}
 , spans AS (
   SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end
   FROM isl GROUP BY doc_id, island
@@ -1134,6 +1137,70 @@ SELECT toks.doc_id,
        coalesce(agg.n_tokens_kept, 0) AS n_tokens_kept,
        CAST(len(toks.w) AS BIGINT) - coalesce(agg.n_tokens_kept, 0) AS n_tokens_removed
 FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+"""
+
+
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build: exact dedup → decontamination → span
+    accounting → length floor → packed training manifest, composed as one
+    lazy DataFrame program."""
+    from rabitq_spark.operators.pipeline import training_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    return training_pipeline(
+        docs.filter(_srcn() < 18), docs.filter(_srcn() >= 18)
+    )
+
+
+def _sql_training_pipeline(
+    k: int = 8, min_docs: int = 2, min_clean: int = 8, budget: int = 512
+) -> str:
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, CAST(substring(source, 4) AS INT) AS sn,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+  FROM documents
+), ded AS (
+  SELECT doc_id, text, w FROM (
+    SELECT doc_id, text, w,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM base WHERE sn < 18
+  ) d WHERE rn = 1
+), tg AS (
+  SELECT doc_id, unnest({_GRAMS4}) AS gr FROM ded
+), eg AS (
+  SELECT DISTINCT unnest({_GRAMS4}) AS gr FROM base WHERE sn >= 18
+), contam AS (
+  SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gr)
+), dc AS (
+  SELECT doc_id, text, w FROM ded
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+), {_sql_dup_span_islands(k, min_docs, table="dc")}
+, per_doc AS (
+  SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+  FROM (
+    SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end
+    FROM isl GROUP BY doc_id, island
+  ) sp GROUP BY doc_id
+), final AS (
+  SELECT dc.doc_id,
+         CAST(len(dc.w) AS BIGINT) - coalesce(p.dup_tokens, 0) AS n_tok_clean
+  FROM dc LEFT JOIN per_doc p ON dc.doc_id = p.doc_id
+  WHERE CAST(len(dc.w) AS BIGINT) - coalesce(p.dup_tokens, 0) >= {min_clean}
+), t AS (
+  SELECT doc_id, doc_id % 8 AS shard, CAST(n_tok_clean AS INT) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM final
+), pk AS (
+  SELECT doc_id, shard, n_tok, rn, 0 AS bin_id, n_tok AS fill FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.shard, t.n_tok, t.rn,
+         CASE WHEN pk.fill + t.n_tok > {budget} THEN pk.bin_id + 1 ELSE pk.bin_id END AS bin_id,
+         CASE WHEN pk.fill + t.n_tok > {budget} THEN t.n_tok ELSE pk.fill + t.n_tok END AS fill
+  FROM pk JOIN t ON t.shard = pk.shard AND t.rn = pk.rn + 1
+)
+SELECT doc_id, shard, CAST(bin_id AS INT) AS bin_id, n_tok FROM pk
 """
 
 
@@ -2778,6 +2845,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diversity_sample": q_diversity_sample,
     "bigram_coherence": q_bigram_coherence,
     "maxsim_search": q_maxsim_search,
+    "training_pipeline": q_training_pipeline,
     "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -2875,6 +2943,7 @@ ORACLE_SQL: dict[str, str] = {
     "diversity_sample": _sql_diversity_sample(),
     "bigram_coherence": _SQL_BIGRAM_COHERENCE,
     "maxsim_search": _sql_maxsim(),
+    "training_pipeline": _sql_training_pipeline(),
     "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,
     "embedding_neardup": _SQL_EMB_NEARDUP,
