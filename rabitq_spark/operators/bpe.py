@@ -1,0 +1,150 @@
+"""BPE tokenizer training (Sennrich et al., arXiv:1508.07909) on Spark.
+
+The classic scaling trick makes this cluster-friendly: training iterates
+on the distinct-WORD vocabulary (with corpus frequencies), not on the
+corpus. A 100 TB corpus costs ONE word-count shuffle; every merge round
+then runs on the vocabulary table (millions of rows at web scale, a
+handful of MB), so the iterative part is cheap and the expensive part is
+embarrassingly parallel.
+
+Each round:
+  1. adjacent-symbol-pair counts weighted by word freq — one keyed shuffle
+     over the exploded vocabulary,
+  2. argmax pair (deterministic tie-break: count desc, then pair lexical)
+     — a single collected row,
+  3. merge application — a pure-codegen F.aggregate fold (carry/emit state
+     machine, greedy left-to-right non-overlapping like the reference BPE),
+     no Python in the loop,
+  4. localCheckpoint to cut the iterative lineage.
+
+The merge SEQUENCE is deterministic, so the pytest gate compares it
+symbol-for-symbol against an independent pure-Python reference
+implementation; an SQL oracle is genuinely impossible (per-round argmax
+feedback), so the registered query is rows-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _chars(col):
+    """Word → array of single characters (no end-of-word marker; the
+    whitespace tokenizer already delimits words — documented deviation
+    from Sennrich's '</w>' convention, which only matters for detokenizing)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.substr(col, i, F.lit(1)),
+    )
+
+
+def _merge_pair(sym_col, a: str, b: str):
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b) into
+    a+b — the reference BPE merge — as one aggregate fold: carry the
+    previous unmerged symbol; emit merged when (carry, s) == (a, b)."""
+    merged = a + b
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc, s):
+        return (
+            F.when(
+                acc["carry"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("carry")),
+            )
+            .when(
+                (acc["carry"] == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["carry"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["carry"]))
+        )
+
+    return F.aggregate(sym_col, init, step, finish)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> list[tuple[str, str, int]]:
+    """Learn the first n_merges BPE merges from the corpus. Returns the
+    ordered merge list [(left, right, weighted_count), ...] — the
+    tokenizer artifact. Stops early if no adjacent pair remains."""
+    spark = docs.sparkSession
+    w = F.explode(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ).alias("w")
+    words = docs.select(w)
+    if lowercase:
+        words = words.select(F.lower("w").alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", _chars(F.col("w")).alias("sym"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("sym") >= 2,
+                    F.zip_with(
+                        F.slice("sym", 1, F.size("sym") - 1),
+                        F.slice("sym", 2, F.size("sym") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((a, b, c))
+        nxt = vocab.select("freq", _merge_pair(F.col("sym"), a, b).alias("sym"))
+        nxt = nxt.localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+def bpe_merges_df(
+    docs: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """bpe_train as a DataFrame (step, left, right, pair_count) — the
+    registerable query form of the tokenizer artifact."""
+    spark = docs.sparkSession
+    merges = bpe_train(docs, n_merges, text_col, lowercase)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "step int, left string, right string, pair_count bigint",
+    )

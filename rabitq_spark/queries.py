@@ -1140,6 +1140,17 @@ FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 20 learned BPE merges over the corpus vocabulary (tokenizer
+    training artifact). Rows-only by design: each round's argmax feeds the
+    next round's counts, which no single SQL statement can express; the
+    pytest gate instead matches the merge sequence symbol-for-symbol
+    against an independent pure-Python reference (tests/test_bpe.py)."""
+    from rabitq_spark.operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(load_table(spark, sf_dir, "documents"), n_merges=20)
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build: exact dedup → decontamination → span
     accounting → length floor → packed training manifest, composed as one
@@ -2846,6 +2857,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_coherence": q_bigram_coherence,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
+    "bpe_merges": q_bpe_merges,
     "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
