@@ -149,3 +149,18 @@ def test_search_metrics_observed(spark, sf_dir):
     assert m.rough_count > 0
     assert 0 < m.precise_count <= m.rough_count
     assert 0 < m.ratio <= 1.0
+
+
+def test_grouped_simjoin_refined_equals_pairs(spark, sf_dir):
+    """The BLAS-shortlist default must emit exactly what the all-pairs
+    reference plan emits (bit-identical fold distances, same ranking)."""
+    from rabitq_spark.operators.simjoin import grouped_similarity_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = grouped_similarity_join(
+        emb, "label", id_col="vec_id", vec_col="embedding", k=4
+    ).collect()
+    b = grouped_similarity_join(
+        emb, "label", id_col="vec_id", vec_col="embedding", k=4, impl="pairs"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
