@@ -59,9 +59,16 @@ def repetition_stats(
     single join back. Ties on the top token break to the lexicographically
     smallest token so the result is partitioning-independent.
     """
-    w = tokens(F.col(text_col))
-    per_doc = docs.select(
-        F.col(id_col).alias("doc_id"),
+    # materialize the token array ONCE behind a barrier: inlined, every
+    # element_at inside the shingle lambdas re-evaluates the split+filter
+    # (no CSE across lambda boundaries — PLAN.md Catalyst pitfall #2;
+    # measured 11.7 -> 1.6 s at sf0.1), and both branches below share it
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__w")
+    ).localCheckpoint(eager=False)
+    w = F.col("__w")
+    per_doc = toks.select(
+        "doc_id",
         F.size(w).alias("n_tok"),
         # total n-gram counts are sizes, not arrays: no allocation
         F.greatest(F.size(w) - 1, F.lit(0)).alias("tot2"),
@@ -70,10 +77,7 @@ def repetition_stats(
         F.size(shingles_from_tokens(w, 3)).alias("d3"),
     )
 
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("token"),
-    )
+    ex = toks.select("doc_id", F.explode(w).alias("token"))
     counts = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     top = (
         counts.withColumn(
@@ -153,10 +157,21 @@ def contamination_check(
         ).cast("bigint")
         % 100
     )
-    g = docs.select(
-        F.col(id_col).alias("doc_id"),
-        bucket.alias("bucket"),
-        shingles_from_tokens(tokens(F.col(text_col)), ngram).alias("grams"),
+    # token array materialized behind a barrier before the shingle lambda
+    # (inlined tokens() re-evaluates the split per element_at — pitfall #2;
+    # measured 35 -> 2.2 s at sf0.1 with ngram=8)
+    g = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            bucket.alias("bucket"),
+            tokens(F.col(text_col)).alias("__w"),
+        )
+        .localCheckpoint(eager=False)
+        .select(
+            "doc_id",
+            "bucket",
+            shingles_from_tokens(F.col("__w"), ngram).alias("grams"),
+        )
     )
     train_g = (
         g.filter(F.col("bucket") < 100 - test_pct)

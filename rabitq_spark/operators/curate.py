@@ -119,19 +119,23 @@ def contaminated_ids(
     set (small — it is an eval set); the train side explodes and
     semi-joins it keyed by gram. No all-pairs step.
     """
+    # both sides: token array behind a barrier before the shingle lambda
+    # (inlined tokens() re-splits per element_at — PLAN.md pitfall #2)
     eg = (
-        eval_docs.select(
-            F.explode(
-                shingles_from_tokens(tokens(F.col(text_col)), ngram)
-            ).alias("gr")
-        )
+        eval_docs.select(tokens(F.col(text_col)).alias("__w"))
+        .localCheckpoint(eager=False)
+        .select(F.explode(shingles_from_tokens(F.col("__w"), ngram)).alias("gr"))
         .distinct()
     )
-    tg = train.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_from_tokens(tokens(F.col(text_col)), ngram)).alias(
-            "gr"
-        ),
+    tg = (
+        train.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__w")
+        )
+        .localCheckpoint(eager=False)
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("__w"), ngram)).alias("gr"),
+        )
     )
     return tg.join(eg, "gr", "left_semi").select("doc_id").distinct()
 
