@@ -534,22 +534,38 @@ def embedding_neardup_pairs(
     def find_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, mat_b, norms_b = bc.value
         safe_norms = np.where(norms_b == 0.0, 1.0, norms_b)
+        nb = len(ids_b)
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = np.asarray(pdf[id_col].values, dtype=np.int64)
             mat = np.ascontiguousarray(np.vstack(pdf[vec_col].values).astype(np.float64))
             norms = np.linalg.norm(mat, axis=1)
-            cos = (mat @ mat_b.T) / np.where(norms == 0, 1.0, norms)[:, None] / safe_norms[None, :]
-            li, ri = np.nonzero(cos >= threshold - margin)
-            keep = ids[li] < ids_b[ri]
-            yield pd.DataFrame(
-                {"id_a": ids[li][keep], "id_b": ids_b[ri][keep]}
-            )
+            inv = np.where(norms == 0, 1.0, norms)
+            # block the local side so the cosine matrix stays ≤ ~256 MB per
+            # slice no matter how Arrow batches the partition
+            block = max(1, 33_554_432 // max(nb, 1))
+            for lo in range(0, len(ids), block):
+                hi = min(lo + block, len(ids))
+                cos = (
+                    (mat[lo:hi] @ mat_b.T)
+                    / inv[lo:hi, None]
+                    / safe_norms[None, :]
+                )
+                li, ri = np.nonzero(cos >= threshold - margin)
+                keep = ids[lo + li] < ids_b[ri]
+                yield pd.DataFrame(
+                    {"id_a": ids[lo + li][keep], "id_b": ids_b[ri][keep]}
+                )
 
-    cand = embeddings.select(id_col, vec_col).mapInPandas(
-        find_candidates, "id_a bigint, id_b bigint"
-    )
+    # spread the GEMM to cluster width: a 2-file parquet table would
+    # otherwise run phase 1 on 2 cores (same fix as knn_exact_fast —
+    # measured 46 -> 11 s at 20k rows; no-op on already-wide tables)
+    slim = embeddings.select(id_col, vec_col)
+    par = spark.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    cand = slim.mapInPandas(find_candidates, "id_a bigint, id_b bigint")
 
     # Phase 2 — exact verify: deterministic double fold on candidates only
     # (bit-identical to the all-pairs oracle formulation).
@@ -564,7 +580,11 @@ def embedding_neardup_pairs(
     b = normed.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
     )
-    pairs = cand.join(a, "id_a").join(b, "id_b")
+    # AQE coalesces the (byte-small) join output to a couple of partitions,
+    # but the fold verify is CPU-bound per ROW — force it back to cluster
+    # width so a low threshold's large candidate set scores on every core
+    # (measured 32 -> ~13 s at 180k candidates, local[32])
+    pairs = cand.join(a, "id_a").join(b, "id_b").repartition(par)
     denom = F.col("na") * F.col("nb")
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("va", "vb") / denom)
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
