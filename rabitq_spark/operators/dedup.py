@@ -103,6 +103,18 @@ def _scoped_cache(df: DataFrame, scope: list) -> DataFrame:
     return df
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Spread a narrow input (e.g. a 2-file parquet table) to cluster
+    width so the hash/shingle projections that follow parallelize — the
+    md5/char-n-gram work is CPU-bound per row and otherwise runs on as
+    many cores as the table has files. No-op on already-wide inputs, so
+    the at-scale path never pays an extra shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _banded_candidates(keys_df, n_bands: int, carry: list[str]):
     """Candidate pairs from banded keys, each pair exactly once.
 
@@ -210,7 +222,7 @@ def neardup_minhash_pairs(
     # combiner cannot inline (and re-evaluate) the md5 transform per element.
     scope = _begin_scope("minhash")
     wh = _scoped_cache(
-        docs.select(
+        _widen(docs).select(
             F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("h")
         ),
         scope,
@@ -368,7 +380,7 @@ def neardup_ngram_pairs(
     scope = _begin_scope("ngram")
     # lower() must be materialized BEFORE the n-gram lambda (see char_ngrams)
     lowered = _scoped_cache(
-        docs.select(
+        _widen(docs).select(
             F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("lt")
         ),
         scope,
@@ -446,7 +458,7 @@ def simhash_pairs(
     n_bands = max_hamming + 1
     band_bits = 60 // n_bands
     scope = _begin_scope("simhash")
-    sh = _scoped_cache(simhash_table(docs, id_col, text_col), scope)
+    sh = _scoped_cache(simhash_table(_widen(docs), id_col, text_col), scope)
     mask = (1 << band_bits) - 1
     keys = sh.select(
         "doc_id",

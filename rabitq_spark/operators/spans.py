@@ -45,8 +45,9 @@ def _duplicate_gram_positions(
     does not apply — each gram is built once per row by posexplode.
     """
     from rabitq_spark.functions.text import kgram_hash_seq, word_hashes
+    from rabitq_spark.operators.dedup import _widen
 
-    wh = docs.select(
+    wh = _widen(docs).select(
         F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("h")
     ).localCheckpoint(eager=False)
     grams = wh.select(
