@@ -420,7 +420,14 @@ def build_index(
                 out[c] = pdf[c].values
             yield pd.DataFrame(out)
 
-    index_df = base.mapInPandas(transform, INDEX_SCHEMA + attr_ddl)
+    # quantization is CPU-bound per row (rotation matmul + packbits): spread
+    # a narrow base (few parquet files) to cluster width first — no-op on
+    # already-wide tables, so at 100 TB this never adds a shuffle
+    wide = base
+    par = spark.sparkContext.defaultParallelism
+    if wide.rdd.getNumPartitions() < par:
+        wide = wide.repartition(par)
+    index_df = wide.mapInPandas(transform, INDEX_SCHEMA + attr_ddl)
     return RaBitQModel(
         config=config,
         dim=dim,

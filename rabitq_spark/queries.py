@@ -359,9 +359,20 @@ def _get_cosine_model(spark: SparkSession, sf_dir: str):
         from rabitq_spark.index import build_index
 
         emb = load_table(spark, sf_dir, "embeddings")
-        unit = emb.select(
-            F.col("vec_id").alias("id"),
-            _unit_vec(F.col("embedding"), l2_norm("embedding")).alias("vec"),
+        # norm behind a barrier: inlined, the l2_norm FOLD re-evaluates per
+        # element inside the division lambda (64x per row — pitfall #2;
+        # measured 23.6 -> 3.9 s of build at 20k rows), and the checkpoint
+        # lets build_index's several consumers share one normalization pass
+        unit = (
+            emb.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding"),
+                l2_norm("embedding").alias("__n"),
+            )
+            .localCheckpoint(eager=False)
+            .select(
+                "id", _unit_vec(F.col("embedding"), F.col("__n")).alias("vec")
+            )
         )
         model = build_index(unit, RaBitQConfig())
         model.index_df = model.index_df.cache()
