@@ -1152,14 +1152,14 @@ FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 20 learned BPE merges over the corpus vocabulary (tokenizer
+    """First 10 learned BPE merges over the corpus vocabulary (tokenizer
     training artifact). Rows-only by design: each round's argmax feeds the
     next round's counts, which no single SQL statement can express; the
     pytest gate instead matches the merge sequence symbol-for-symbol
     against an independent pure-Python reference (tests/test_bpe.py)."""
     from rabitq_spark.operators.bpe import bpe_merges_df
 
-    return bpe_merges_df(load_table(spark, sf_dir, "documents"), n_merges=20)
+    return bpe_merges_df(load_table(spark, sf_dir, "documents"), n_merges=10)
 
 
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
