@@ -148,3 +148,48 @@ def bpe_merges_df(
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "step int, left string, right string, pair_count bigint",
     )
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply a learned merge list: per document, the BPE token array and
+    its length. Returns (doc_id, bpe_tokens array<string>, n_bpe).
+
+    The application is a fixed chain of len(merges) codegen merge folds
+    over each word's character array — no Python, no per-row loop; Spark
+    pipelines the chain inside one projection. Word boundaries are the
+    whitespace tokenizer's, matching bpe_train. At 100 TB this is a
+    map-only stage (zero shuffles): tokenization cost rides the scan.
+
+    For long merge lists (real tokenizers: 32k+) chain depth would blow
+    the codegen budget — segment the merges across a handful of
+    localCheckpoint barriers, or apply them in an Arrow UDF with the same
+    greedy semantics; this surface targets the analysis-sized lists
+    bpe_train produces.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    words = F.transform(w, lambda x: F.lower(x)) if lowercase else w
+
+    def apply_all(sym):
+        for m in merges:
+            a, b = m[0], m[1]
+            sym = _merge_pair(sym, a, b)
+        return sym
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), words.alias("__words")
+    ).localCheckpoint(eager=False)
+    out = toks.select(
+        "doc_id",
+        F.flatten(
+            F.transform(F.col("__words"), lambda x: apply_all(_chars(x)))
+        ).alias("bpe_tokens"),
+    )
+    return out.select(
+        "doc_id", "bpe_tokens", F.size("bpe_tokens").alias("n_bpe")
+    )

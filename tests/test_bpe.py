@@ -60,3 +60,42 @@ def test_bpe_early_stop_when_fully_merged(spark):
     got = bpe_train(docs, n_merges=10)
     # one merge exhausts every pair: ('a','b') then nothing remains
     assert got == [("a", "b", 3)]
+
+
+def _ref_tokenize(text, merges, lowercase=True):
+    out = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        s = list(w.lower() if lowercase else w)
+        for a, b, *_ in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        out.extend(s)
+    return out
+
+
+def test_bpe_tokenize_matches_reference(spark):
+    from rabitq_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    texts = [
+        "the theater there then the the",
+        "banana bandana ban banana",
+        "low lower lowest low slow",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=8)
+    rows = {r.doc_id: r for r in bpe_tokenize(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        want = _ref_tokenize(t, merges)
+        assert list(rows[i].bpe_tokens) == want
+        assert rows[i].n_bpe == len(want)
