@@ -150,10 +150,19 @@ def banded_minhash_key(
     single-min collisions at 5k docs → 1.3M candidate pairs per band;
     r=4 measured 622). rows_per_band=1 degrades to xor_minhash_key."""
     h = _c(hashes)
+
+    def xor_with(const):
+        # closure factory, NOT `lambda x, c=c:` — a two-parameter lambda is
+        # treated by PySpark as an (element, index) lambda, silently binding
+        # the "captured" constant to the ARRAY INDEX. That degenerated every
+        # band to the same key (recall bug caught by the streaming near-dup
+        # twin; see tests/test_text_banding.py).
+        return lambda x: x.bitwiseXOR(const)
+
     mins = []
     for j in range(rows_per_band):
         c = F.lit(band_xor_constant(band * rows_per_band + j)).cast("bigint")
-        mins.append(F.array_min(F.transform(h, lambda x, c=c: x.bitwiseXOR(c))))
+        mins.append(F.array_min(F.transform(h, xor_with(c))))
     if rows_per_band == 1:
         return mins[0]
     return _combine_hashes(mins)

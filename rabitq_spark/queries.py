@@ -848,6 +848,76 @@ FROM comp
 """
 
 
+def _get_neardup_stream_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the documents table through online near-dup admission in
+    id-ordered micro-batches; return the decision log. Files are staged in
+    ascending doc_id ranges (FileStreamSource processes oldest-first), so
+    each group's minimum id arrives first and the greedy admit order
+    reproduces the batch canonicalization on clique-shaped groups."""
+    key = ("neardup_stream", sf_dir)
+    if key not in _MODEL_CACHE:
+        import tempfile
+
+        from rabitq_spark.streaming.neardup_stream import (
+            neardup_maintenance_stream,
+            read_doc_stream,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.count()
+        stream_in = tempfile.mkdtemp(prefix="rabitq_nd_stream_in_")
+        slice_sz = max(1, n // 4 + 1)
+        for i in range(4):
+            lo, hi = i * slice_sz, (i + 1) * slice_sz
+            (
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(stream_in)
+            )
+        store = tempfile.mkdtemp(prefix="rabitq_nd_store_")
+        neardup_maintenance_stream(
+            read_doc_stream(spark, stream_in, max_files_per_trigger=1),
+            store,
+            checkpoint=tempfile.mkdtemp(prefix="rabitq_nd_ckpt_"),
+        )
+        _MODEL_CACHE[key] = spark.read.parquet(f"{store}/decisions")
+    return _MODEL_CACHE[key]
+
+
+def q_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-dup admission verdicts after streaming the whole corpus:
+    equals the batch connected-components canonicalization because real
+    near-dup groups are cliques (verified for this corpus in
+    tests/test_neardup_stream.py)."""
+    return _get_neardup_stream_decisions(spark, sf_dir).select(
+        "doc_id", "canonical_id", "is_dup"
+    )
+
+
+def _sql_neardup_stream() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_SQL_NEARDUP_MINHASH}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, reach.r FROM sym s JOIN reach ON reach.node = s.src
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS group_id FROM reach GROUP BY node
+)
+SELECT doc_id, group_id AS canonical_id,
+       CAST(doc_id <> group_id AS INT) AS is_dup
+FROM comp
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup groups resolved to a keep/drop verdict by QUALITY (keep the
     best member of each component, not the minimum id)."""
@@ -2859,6 +2929,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_minhash": q_neardup_minhash,
     "neardup_ngram": q_neardup_ngram,
     "neardup_groups": q_neardup_groups,
+    "neardup_stream": q_neardup_stream,
     "dedup_keep_best": q_dedup_keep_best,
     "winnow_fingerprints": q_winnow_fingerprints,
     "duplicate_spans": q_duplicate_spans,
@@ -2958,6 +3029,7 @@ ORACLE_SQL: dict[str, str] = {
     "neardup_minhash": _SQL_NEARDUP_MINHASH,
     "neardup_ngram": _SQL_NEARDUP_NGRAM,
     "neardup_groups": _sql_neardup_groups(),
+    "neardup_stream": _sql_neardup_stream(),
     "dedup_keep_best": _sql_dedup_keep_best(),
     "winnow_fingerprints": _SQL_WINNOW,
     "duplicate_spans": _sql_duplicate_spans(),
