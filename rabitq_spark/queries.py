@@ -1227,9 +1227,37 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     next round's counts, which no single SQL statement can express; the
     pytest gate instead matches the merge sequence symbol-for-symbol
     against an independent pure-Python reference (tests/test_bpe.py)."""
-    from rabitq_spark.operators.bpe import bpe_merges_df
+    merges = _get_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "step int, left string, right string, pair_count bigint",
+    )
 
-    return bpe_merges_df(load_table(spark, sf_dir, "documents"), n_merges=10)
+
+def _get_bpe_merges(spark: SparkSession, sf_dir: str):
+    key = ("bpe", sf_dir)
+    if key not in _MODEL_CACHE:
+        from rabitq_spark.operators.bpe import bpe_train
+
+        _MODEL_CACHE[key] = bpe_train(
+            load_table(spark, sf_dir, "documents"), n_merges=10
+        )
+    return _MODEL_CACHE[key]
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenized with its own learned merges: per-doc BPE token
+    count plus the whitespace count it compresses from. Rows-only (the
+    merge list is trained state); the merge/application semantics are
+    pytest-checked symbol-for-symbol vs a reference implementation."""
+    from rabitq_spark.functions.text import token_count
+    from rabitq_spark.operators.bpe import bpe_tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _get_bpe_merges(spark, sf_dir)
+    out = bpe_tokenize(docs, merges)
+    base = docs.select("doc_id", token_count("text").alias("n_ws"))
+    return out.join(base, "doc_id").select("doc_id", "n_ws", "n_bpe")
 
 
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2940,6 +2968,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
+    "bpe_tokenize": q_bpe_tokenize,
     "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
