@@ -193,3 +193,45 @@ def bpe_tokenize(
     return out.select(
         "doc_id", "bpe_tokens", F.size("bpe_tokens").alias("n_bpe")
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document BPE token counts via the VOCABULARY trick: the merge
+    chain runs once per DISTINCT word (vocabulary-sized, like bpe_train),
+    and documents get their counts back through one word-keyed join —
+    n_bpe(doc) = Σ n_bpe(word occurrences). Returns (doc_id, n_ws, n_bpe).
+
+    Measured 12.6 -> ~1 s at sf0.1 over bpe_tokenize's per-instance chain;
+    at 100 TB the chain cost is |vocab|, not |corpus|."""
+    w = F.explode(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ).alias("w")
+    occ = docs.select(F.col(id_col).alias("doc_id"), w)
+    if lowercase:
+        occ = occ.select("doc_id", F.lower("w").alias("w"))
+
+    def apply_all(sym):
+        for m in merges:
+            sym = _merge_pair(sym, m[0], m[1])
+        return sym
+
+    vocab = (
+        occ.select("w")
+        .distinct()
+        .localCheckpoint(eager=False)
+        .select("w", F.size(apply_all(_chars(F.col("w")))).alias("n_tok"))
+    )
+    return (
+        occ.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_ws"),
+            F.sum("n_tok").cast("int").alias("n_bpe"),
+        )
+    )

@@ -1251,13 +1251,17 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge list is trained state); the merge/application semantics are
     pytest-checked symbol-for-symbol vs a reference implementation."""
     from rabitq_spark.functions.text import token_count
-    from rabitq_spark.operators.bpe import bpe_tokenize
+    from rabitq_spark.operators.bpe import bpe_token_counts
 
     docs = load_table(spark, sf_dir, "documents")
     merges = _get_bpe_merges(spark, sf_dir)
-    out = bpe_tokenize(docs, merges)
+    counts = bpe_token_counts(docs, merges)
     base = docs.select("doc_id", token_count("text").alias("n_ws"))
-    return out.join(base, "doc_id").select("doc_id", "n_ws", "n_bpe")
+    return base.join(counts.drop("n_ws"), "doc_id", "left").select(
+        "doc_id",
+        "n_ws",
+        F.coalesce("n_bpe", F.lit(0)).cast("int").alias("n_bpe"),
+    )
 
 
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

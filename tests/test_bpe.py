@@ -99,3 +99,24 @@ def test_bpe_tokenize_matches_reference(spark):
         want = _ref_tokenize(t, merges)
         assert list(rows[i].bpe_tokens) == want
         assert rows[i].n_bpe == len(want)
+
+
+def test_bpe_token_counts_equal_full_tokenize(spark):
+    from rabitq_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    texts = [
+        "the theater there then the the",
+        "banana bandana ban banana",
+        "low lower lowest low slow",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=6)
+    full = {r.doc_id: r.n_bpe for r in bpe_tokenize(docs, merges).collect()}
+    fast = {r.doc_id: r.n_bpe for r in bpe_token_counts(docs, merges).collect()}
+    assert full == fast
