@@ -187,6 +187,84 @@ def char_ngrams(text: Column | str, n: int = 5, lower: bool = True) -> Column:
     )
 
 
+#: Polynomial gram-hash constants: two independent 31-bit prime moduli with
+#: large bases. The base MUST be large enough that the Horner accumulator
+#: wraps past P on every step — a small base (first attempt: B=67, P=2**55)
+#: never wraps for short grams of ASCII text, yielding a structureless
+#: base-67 encoding whose minhash argmin is near-deterministic across
+#: documents (measured 26x candidate-pair inflation at sf0.1). Products stay
+#: under (P-1)*B + codepoint < 2**51, safely inside int64 for both engines.
+POLY_P1 = 2147483647
+POLY_B1 = 1000003
+POLY_P2 = 2147483629
+POLY_B2 = 999983
+
+
+def char_codes(text: Column | str) -> Column:
+    """Unicode code point per character, as array<bigint> — the integer
+    substrate for rolling char-gram hashing. Must be MATERIALIZED (cache
+    barrier) before feeding a per-gram lambda, like every array this module
+    builds (Catalyst pitfall #2: no CSE across lambda boundaries).
+
+    Cross-engine note: Spark's ascii() and DuckDB's ascii() both return the
+    code point of the first character; parity is exercised in
+    tests/test_text_functions.py including non-ASCII input."""
+    t = _c(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("bigint"),
+    )
+
+
+def rolling_gram_hashes(codes: Column | str, n: int = 5) -> Column:
+    """Distinct polynomial hashes of every char n-gram, from a
+    PRE-MATERIALIZED code-point array. Each gram is hashed by TWO
+    independent Horner folds ``h = (...(c[i]*B + c[i+1]) % P ...)`` over
+    (POLY_B1, POLY_P1) and (POLY_B2, POLY_P2), combined as
+    ``(h1 << 29) ^ h2`` into a ~60-bit value. Replaces md5-per-gram —
+    integer multiply-add in codegen instead of a digest + hex parse per
+    gram; the two 31-bit folds with large bases wrap every step, so the
+    combined hash has the uniformity minhash banding needs (see the
+    constants' comment for the small-base failure mode). Collisions at 10M
+    distinct grams: ~10M^2/2^61 — immaterial, and the DuckDB oracle mirrors
+    the identical expression so equality checks are unaffected. Texts
+    shorter than n yield an empty array."""
+    c = _c(codes)
+
+    def fold(i: Column, base: int, mod: int) -> Column:
+        acc = F.element_at(c, i)
+        for off in range(1, n):
+            acc = (acc * base + F.element_at(c, i + off)) % mod
+        return acc
+
+    def gram(i: Column) -> Column:
+        return F.shiftleft(fold(i, POLY_B1, POLY_P1), 29).bitwiseXOR(
+            fold(i, POLY_B2, POLY_P2)
+        )
+
+    make = F.transform(F.sequence(F.lit(1), F.size(c) - (n - 1)), gram)
+    return F.array_distinct(
+        F.when(F.size(c) >= n, make).otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+def rolling_gram_hash_sql(var: str, i: str, n: int = 5) -> str:
+    """The DuckDB expression mirroring rolling_gram_hashes for one gram:
+    identical double Horner fold over ``var[i] .. var[i+n-1]`` (1-based
+    list indexing on both engines, same constants, same mod placement,
+    same shift-xor combine)."""
+
+    def fold(base: int, mod: int) -> str:
+        acc = f"{var}[{i}]"
+        for off in range(1, n):
+            acc = f"(({acc} * {base} + {var}[{i}+{off}]) % {mod})"
+        return acc
+
+    return (
+        f"xor(({fold(POLY_B1, POLY_P1)}) << 29, {fold(POLY_B2, POLY_P2)})"
+    )
+
+
 def kgram_hash_seq(h: Column | str, n: int = 3) -> Column:
     """ORDERED k-gram hash sequence (no distinct) from a pre-materialized
     word-hash array — the winnowing input, where position matters. Same
@@ -239,11 +317,16 @@ def bpe_token_count(text: Column | str) -> Column:
 
 
 def jaccard(a: Column | str, b: Column | str) -> Column:
-    """|a ∩ b| / |a ∪ b| over distinct arrays; 0.0 when both empty."""
+    """|a ∩ b| / |a ∪ b|; 0.0 when both empty. PRECONDITION: a and b hold
+    DISTINCT elements (true of every hash-set producer in this module), so
+    the union size is |a| + |b| − |a ∩ b| — one hash-set pass per pair
+    instead of two (array_union dropped; the verify stage is the banded
+    near-dup bottleneck, ~1 ms/pair at 200-element arrays)."""
     a, b = _c(a), _c(b)
-    union = F.size(F.array_union(a, b))
-    return F.when(union == 0, F.lit(0.0)).otherwise(
-        F.size(F.array_intersect(a, b)).cast("double") / union.cast("double")
+    inter = F.size(F.array_intersect(a, b))
+    total = F.size(a) + F.size(b)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / (total - inter).cast("double")
     )
 
 

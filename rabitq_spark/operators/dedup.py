@@ -372,35 +372,41 @@ def neardup_ngram_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_chars: int = 5,
-    n_bands: int = 8,
+    n_bands: int = 12,
     threshold: float = 0.8,
-    rows_per_band: int = 4,
+    rows_per_band: int = 5,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard (id_a < id_b,
     jaccard >= threshold) — robust to token-boundary edits where word
     shingles are brittle. Same scale shape as minhash: banded keys,
     equi-join blocking, verify on candidates only. Char n-grams of any
     same-language corpus share heavily, so bands are AND-amplified
-    (rows_per_band=4: candidate collisions measured 1.3M → 622 per band
-    at 5k docs; recall at J=0.8 stays 1-(1-0.8^4)^8 ≈ 0.985)."""
-    from rabitq_spark.functions.text import char_ngrams, token_hash60
+    hard (rows_per_band=5, n_bands=12: the candidate verify is the cost
+    center at ~1 ms/pair, so collisions are priced at J^5 while recall at
+    J=0.8 RISES to 1-(1-0.8^5)^12 ≈ 0.991; extra array-min passes are
+    ~20 µs/doc each).
+
+    Grams are hashed with a rolling polynomial over the code-point array
+    (rolling_gram_hashes) — integer Horner fold in codegen, no per-gram
+    string allocation, no md5. The distinct set is taken over hash values;
+    the DuckDB oracle mirrors the identical expression."""
+    from rabitq_spark.functions.text import char_codes, rolling_gram_hashes
 
     scope = _begin_scope("ngram")
-    # lower() must be materialized BEFORE the n-gram lambda (see char_ngrams)
+    # lower() must be materialized BEFORE the per-char lambda (pitfall #2)
     lowered = _scoped_cache(
         _widen(docs).select(
             F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("lt")
         ),
         scope,
     )
-    grams = _scoped_cache(
-        lowered.select(
-            "doc_id", char_ngrams(F.col("lt"), n_chars, lower=False).alias("gs")
-        ),
-        scope,
+    codes = _scoped_cache(
+        lowered.select("doc_id", char_codes(F.col("lt")).alias("cs")), scope
     )
     hashed = _scoped_cache(
-        grams.select("doc_id", F.transform("gs", token_hash60).alias("hs")),
+        codes.select(
+            "doc_id", rolling_gram_hashes(F.col("cs"), n_chars).alias("hs")
+        ),
         scope,
     )
     return _banded_jaccard_pairs(

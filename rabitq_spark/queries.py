@@ -801,10 +801,11 @@ WITH toks AS (
 )
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
-         CASE WHEN len(list_distinct(list_concat(s1.hs, s2.hs))) = 0
+         CASE WHEN len(s1.hs) + len(s2.hs) = 0
               THEN 0.0
               ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(s1.hs, s2.hs))) AS DOUBLE)
+                   / CAST(len(s1.hs) + len(s2.hs)
+                          - len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
          END AS jaccard
   FROM cand JOIN nonempty s1 ON cand.id_a = s1.doc_id JOIN nonempty s2 ON cand.id_b = s2.doc_id
 ) t WHERE jaccard >= 0.8
@@ -978,8 +979,9 @@ def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_ngram_pairs(
         load_table(spark, sf_dir, "documents"),
         n_chars=5,
-        n_bands=8,
+        n_bands=12,
         threshold=0.8,
+        rows_per_band=5,
     )
 
 
@@ -1003,22 +1005,28 @@ def _ngram_band_union_sql(n_bands: int, rows_per_band: int) -> str:
     return "\n  UNION ALL\n  ".join(parts)
 
 
+def _ngram_rolling_hash_sql() -> str:
+    from rabitq_spark.functions.text import rolling_gram_hash_sql
+
+    return rolling_gram_hash_sql("cs", "i", 5)
+
+
 _SQL_NEARDUP_NGRAM = f"""
-WITH ng AS (
+WITH codes AS (
   SELECT doc_id,
-         list_distinct(CASE WHEN length(lower(text)) >= 5 THEN
-           list_transform(range(1, length(lower(text)) - 3),
-             i -> substring(lower(text), i, 5))
-         ELSE [] END) AS gs
+         list_transform(range(1, length(lower(text)) + 1),
+           i -> CAST(ascii(substring(lower(text), i, 1)) AS BIGINT)) AS cs
   FROM documents
 ), hashed AS (
   SELECT doc_id,
-         list_transform(gs, g -> CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)) AS hs
-  FROM ng
+         list_distinct(CASE WHEN len(cs) >= 5 THEN
+           list_transform(range(1, len(cs) - 3), i -> {_ngram_rolling_hash_sql()})
+         ELSE [] END) AS hs
+  FROM codes
 ), nonempty AS (
   SELECT doc_id, hs FROM hashed WHERE len(hs) > 0
 ), bands AS (
-  {_ngram_band_union_sql(8, 4)}
+  {_ngram_band_union_sql(12, 5)}
 ), cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM bands l JOIN bands r
@@ -1026,10 +1034,11 @@ WITH ng AS (
 )
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
-         CASE WHEN len(list_distinct(list_concat(s1.hs, s2.hs))) = 0
+         CASE WHEN len(s1.hs) + len(s2.hs) = 0
               THEN 0.0
               ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(s1.hs, s2.hs))) AS DOUBLE)
+                   / CAST(len(s1.hs) + len(s2.hs)
+                          - len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
          END AS jaccard
   FROM cand JOIN nonempty s1 ON cand.id_a = s1.doc_id JOIN nonempty s2 ON cand.id_b = s2.doc_id
 ) t WHERE jaccard >= 0.8
@@ -2828,10 +2837,11 @@ WITH toks AS (
 )
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
-         CASE WHEN len(list_distinct(list_concat(s1.hs, s2.hs))) = 0
+         CASE WHEN len(s1.hs) + len(s2.hs) = 0
               THEN 0.0
               ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(s1.hs, s2.hs))) AS DOUBLE)
+                   / CAST(len(s1.hs) + len(s2.hs)
+                          - len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
          END AS jaccard
   FROM cand JOIN nonempty s1 ON cand.id_a = s1.doc_id JOIN nonempty s2 ON cand.id_b = s2.doc_id
 ) t WHERE jaccard >= 0.8
