@@ -539,15 +539,22 @@ def embedding_neardup_pairs(
     import pandas as pd
 
     from rabitq_spark._dist import ensure_package_on_executors
-    from rabitq_spark.functions.vector import dot, l2_norm
 
     spark = embeddings.sparkSession
     ensure_package_on_executors(spark)
 
-    # Phase 1 — candidate generation: one GEMM per Arrow batch against the
-    # broadcast table, keeping only pairs whose GEMM cosine clears the
-    # threshold minus a safety margin (1e-6 ≫ GEMM rounding error, so no
-    # qualifying pair can be missed).
+    # One distributed pass, two phases per Arrow batch:
+    #   screen — a BLAS GEMM against the broadcast table keeps pairs whose
+    #   fast cosine clears threshold − 1e-6 (margin ≫ GEMM rounding error,
+    #   so no qualifying pair can be missed);
+    #   emit  — survivors get the EXACT cosine, reproduced in the fold's
+    #   left-to-right IEEE order by a per-dimension vectorized accumulation
+    #   (acc += a[:,j] * b[:,j]), bit-identical to the Column-fold / DuckDB
+    #   list_reduce formulation. This replaces the former join-back +
+    #   F.aggregate verify stage: higher-order folds are interpreted (not
+    #   codegen), and at 181k candidates (sf1.0, threshold 0.4) that stage
+    #   alone measured ~13 s — the numpy emit is the same arithmetic at
+    #   vector speed, and the join/shuffle disappears entirely.
     pdf_all = embeddings.select(id_col, vec_col).toPandas()
     all_ids = np.asarray(pdf_all[id_col].values, dtype=np.int64)
     all_mat = np.ascontiguousarray(
@@ -557,9 +564,18 @@ def embedding_neardup_pairs(
     bc = spark.sparkContext.broadcast((all_ids, all_mat, all_norms))
     margin = 1e-6
 
-    def find_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _seq_norms(mat: np.ndarray) -> np.ndarray:
+        # sqrt of the left-to-right running sum of squares — the exact
+        # order l2_norm's fold (and the oracle's list_reduce) uses
+        acc = np.zeros(len(mat))
+        for j in range(mat.shape[1]):
+            acc = acc + mat[:, j] * mat[:, j]
+        return np.sqrt(acc)
+
+    def find_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, mat_b, norms_b = bc.value
         safe_norms = np.where(norms_b == 0.0, 1.0, norms_b)
+        seq_norms_b = _seq_norms(mat_b)
         nb = len(ids_b)
         for pdf in batches:
             if pdf.empty:
@@ -568,6 +584,7 @@ def embedding_neardup_pairs(
             mat = np.ascontiguousarray(np.vstack(pdf[vec_col].values).astype(np.float64))
             norms = np.linalg.norm(mat, axis=1)
             inv = np.where(norms == 0, 1.0, norms)
+            seq_norms = _seq_norms(mat)
             # block the local side so the cosine matrix stays ≤ ~256 MB per
             # slice no matter how Arrow batches the partition
             block = max(1, 33_554_432 // max(nb, 1))
@@ -580,41 +597,32 @@ def embedding_neardup_pairs(
                 )
                 li, ri = np.nonzero(cos >= threshold - margin)
                 keep = ids[lo + li] < ids_b[ri]
+                li, ri = lo + li[keep], ri[keep]
+                va, vb = mat[li], mat_b[ri]
+                acc = np.zeros(len(li))
+                for j in range(mat.shape[1]):
+                    acc = acc + va[:, j] * vb[:, j]
+                denom = seq_norms[li] * seq_norms_b[ri]
+                exact = np.where(denom == 0.0, 0.0,
+                                 acc / np.where(denom == 0.0, 1.0, denom))
+                final = exact >= threshold
                 yield pd.DataFrame(
-                    {"id_a": ids[lo + li][keep], "id_b": ids_b[ri][keep]}
+                    {
+                        "id_a": ids[li][final],
+                        "id_b": ids_b[ri][final],
+                        "cosine": exact[final],
+                    }
                 )
 
     # spread the GEMM to cluster width: a 2-file parquet table would
-    # otherwise run phase 1 on 2 cores (same fix as knn_exact_fast —
-    # measured 46 -> 11 s at 20k rows; no-op on already-wide tables)
+    # otherwise run on 2 cores (same fix as knn_exact_fast — measured
+    # 46 -> 11 s at 20k rows; no-op on already-wide tables)
     slim = embeddings.select(id_col, vec_col)
     par = spark.sparkContext.defaultParallelism
     if slim.rdd.getNumPartitions() < par:
         slim = slim.repartition(par)
-    cand = slim.mapInPandas(find_candidates, "id_a bigint, id_b bigint")
-
-    # Phase 2 — exact verify: deterministic double fold on candidates only
-    # (bit-identical to the all-pairs oracle formulation).
-    normed = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("norm"),
-    )
-    a = normed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
-    )
-    b = normed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
-    )
-    # AQE coalesces the (byte-small) join output to a couple of partitions,
-    # but the fold verify is CPU-bound per ROW — force it back to cluster
-    # width so a low threshold's large candidate set scores on every core
-    # (measured 32 -> ~13 s at 180k candidates, local[32])
-    pairs = cand.join(a, "id_a").join(b, "id_b").repartition(par)
-    denom = F.col("na") * F.col("nb")
-    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("va", "vb") / denom)
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    return slim.mapInPandas(
+        find_pairs, "id_a bigint, id_b bigint, cosine double"
     )
 
 
