@@ -1,6 +1,7 @@
 from rabitq_spark.index.build import (
     append_to_index,
     build_index,
+    compact_index,
     delete_from_index,
     upsert_into_index,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "RaBitQModel",
     "append_to_index",
     "build_index",
+    "compact_index",
     "delete_from_index",
     "range_search",
     "search",

@@ -240,6 +240,61 @@ def upsert_into_index(
     return append_to_index(replaced, new_base, id_col=id_col, vec_col=vec_col)
 
 
+def compact_index(
+    model: RaBitQModel,
+    n_clusters: int | None = None,
+    kmeans_sample_fraction: float | None = None,
+    n_rows: int | None = None,
+) -> RaBitQModel:
+    """Compact a mutated index: re-train centroids on the CURRENT base and
+    requantize every surviving row.
+
+    append_to_index/delete_from_index keep the trained transform frozen —
+    the right per-batch trade (no rewrite of existing rows), but after
+    enough drifted appends the coarse centroids no longer describe the
+    data and default-nprobe recall decays; deletes likewise leave cluster
+    sizes unbalanced. Compaction is the batch repair: one distributed
+    rebuild pass over base_df (the same mapInPandas transform as a cold
+    build), producing freshly fitted centroids, balanced cluster_id
+    partitions, and no tombstone residue. Rotation and dither bias are
+    regenerated from the same config seed, so for an unchanged dim_pad the
+    projection is identical and only centroids/codes/factors change.
+
+    `n_clusters` resizes the coarse index (e.g. √n after heavy growth);
+    carried attribute columns survive. The input model is untouched.
+    """
+    from dataclasses import replace as dc_replace
+
+    cfg = model.config
+    if n_clusters is not None and n_clusters != cfg.n_clusters:
+        cfg = dc_replace(cfg, n_clusters=n_clusters)
+    attr_cols = [c for c in model.base_df.columns if c not in ("orig_id", "vec")]
+    # base_df is already padded to dim_pad, so build with dim=dim_pad (a
+    # second padding pass would corrupt the vectors); restore the original
+    # logical dim on the result so query-side padding stays correct
+    rebuilt = build_index(
+        model.base_df,
+        cfg,
+        id_col="orig_id",
+        vec_col="vec",
+        dim=model.dim_pad,
+        kmeans_sample_fraction=kmeans_sample_fraction,
+        n_rows=n_rows,
+        attr_cols=attr_cols,
+    )
+    return RaBitQModel(
+        config=rebuilt.config,
+        dim=model.dim,
+        dim_pad=rebuilt.dim_pad,
+        rotation=rebuilt.rotation,
+        rand_bias=rebuilt.rand_bias,
+        centroids_proj=rebuilt.centroids_proj,
+        index_df=rebuilt.index_df,
+        base_df=rebuilt.base_df,
+        n_rows=n_rows if n_rows is not None else model.n_rows,
+    )
+
+
 def hierarchical_kmeans_centroids(
     base: DataFrame,
     vec_col: str,

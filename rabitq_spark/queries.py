@@ -568,6 +568,31 @@ SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_ann_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-then-COMPACT-then-search: after dropping vec_id % 7 == 0, the
+    index is rebuilt end-to-end (centroids re-trained on the survivors,
+    clusters resized to √n, every row requantized — compact_index). With
+    exhaustive settings the compacted index must still equal brute force
+    over the survivors, which hash-checks the full requantization pass,
+    not just the anti-join."""
+    from rabitq_spark.index import search
+    from rabitq_spark.index.build import compact_index, delete_from_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    victims = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    trimmed = delete_from_index(_get_model(spark, sf_dir), victims)
+    n_left = emb.count() - victims.count()
+    model = compact_index(
+        trimmed, n_clusters=max(4, int(n_left**0.5)), n_rows=n_left
+    )
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
 _UPSERT_N = 25
 
 
@@ -2963,6 +2988,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_filtered": q_ann_ivf_filtered,
     "ann_range": q_ann_range,
     "ann_ivf_delete": q_ann_ivf_delete,
+    "ann_ivf_compacted": q_ann_ivf_compacted,
     "ann_ivf_upsert": q_ann_ivf_upsert,
     "ann_stream_index": q_ann_stream_index,
     "topk_orders_per_segment": q_topk_orders_per_segment,
@@ -3063,6 +3089,9 @@ ORACLE_SQL: dict[str, str] = {
     "ann_range": _SQL_RANGE,
     # anti-join delete then exhaustive == brute force over survivors
     "ann_ivf_delete": _SQL_KNN_DELETE,
+    # compaction rewrites every code/factor; exhaustive search must still
+    # reproduce brute force over the same survivor set
+    "ann_ivf_compacted": _SQL_KNN_DELETE,
     # delete+frozen-append upsert then exhaustive == brute force post-upsert
     "ann_ivf_upsert": _SQL_KNN_UPSERT,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)

@@ -157,3 +157,71 @@ def test_filtered_search_pushes_predicate_to_scan(spark, attr_model, tmp_path):
     df = _exhaustive(cold, queries, index_predicate=F.col("label") < 4)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "LessThan(label,4)" in plan, plan[:4000]
+
+
+def test_compact_after_delete_equals_bruteforce_and_resizes(spark, attr_model):
+    """compact_index re-trains centroids and requantizes every surviving
+    row; with exhaustive settings the compacted index must reproduce brute
+    force over the survivors, the coarse index must take the requested
+    size, and carried attribute columns must survive the rebuild."""
+    from rabitq_spark.index import compact_index
+
+    model, emb, queries = attr_model
+    victims = emb.filter("vec_id % 3 = 0").select("vec_id")
+    trimmed = delete_from_index(model, victims)
+    n_left = emb.count() - victims.count()
+    compacted = compact_index(trimmed, n_clusters=5, n_rows=n_left)
+    assert compacted.n_clusters == 5
+    assert compacted.dim == model.dim and compacted.dim_pad == model.dim_pad
+    assert "label" in compacted.index_df.columns
+    got = _sorted(_exhaustive(compacted, queries))
+    survivors = emb.filter("vec_id % 3 <> 0").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    want = _sorted(knn_exact(queries, survivors, K))
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "rank"]],
+        want[["query_id", "neighbor_id", "rank"]],
+        check_dtype=False,
+    )
+
+
+def test_compact_recovers_recall_after_drifted_append(spark):
+    """The motivating scenario: bootstrap on one region of the space,
+    append a strongly drifted batch under the frozen transform, and watch
+    default-nprobe recall on the drifted queries decay; compaction
+    (centroids re-trained on the full current base) must recover it."""
+    import numpy as np
+
+    from rabitq_spark.index import append_to_index, compact_index
+
+    rng = np.random.default_rng(7)
+    d, n_old, n_new = 32, 600, 600
+    old = rng.standard_normal((n_old, d)) + 4.0      # original region
+    new = rng.standard_normal((n_new, d)) - 4.0      # drifted region
+    mk = lambda mat, base_id: [
+        (base_id + i, [float(x) for x in row]) for i, row in enumerate(mat)
+    ]
+    old_df = spark.createDataFrame(mk(old, 0), "id bigint, vec array<float>")
+    new_df = spark.createDataFrame(mk(new, n_old), "id bigint, vec array<float>")
+    cfg = RaBitQConfig(n_clusters=12, nprobe=4, topk=K, overfetch=6)
+    model = build_index(old_df, cfg, n_rows=n_old)
+    appended = append_to_index(model, new_df)
+    queries = spark.createDataFrame(
+        mk(new[:10], 10_000), "query_id bigint, qvec array<float>"
+    )
+    full = old_df.unionByName(new_df)
+    truth = knn_exact(queries, full, K).toPandas()
+
+    def recall(m):
+        got = search(m, queries, topk=K).toPandas()
+        j = got.merge(truth, on=["query_id", "neighbor_id"])
+        return len(j) / len(truth)
+
+    r_stale = recall(appended)
+    compacted = compact_index(appended, n_rows=n_old + n_new)
+    r_comp = recall(compacted)
+    # all 12 stale centroids sit in the old region, so the drifted queries
+    # race 1200 rows through 4 probes of a one-sided coarse index
+    assert r_comp >= r_stale
+    assert r_comp >= 0.9
