@@ -26,12 +26,19 @@ class RaBitQConfig:
             query before exact rerank — the batch substitute for the
             reference's sequential monotonic threshold (src/rerank.rs:83-99).
         seed: RNG seed for rotation matrix / dither bias / KMeans.
+        bits_per_dim: bits per dimension for the BASE codes. 1 (default) is
+            the reference's sign-bit RaBitQ code (src/utils.rs:53-61); >= 2
+            scalar-quantizes each base residual to B bit-planes (the
+            extended-RaBitQ accuracy knob — the reference README's unchecked
+            "fastscan"-era follow-up): a sharper estimator at B× the code
+            bytes, so fewer rerank slots are needed for the same recall.
     """
 
     epsilon: float = 1.9
     theta_log_dim: int = 4
     default_x_dot_product: float = 0.8
     n_clusters: int = 16
+    bits_per_dim: int = 1
     # Recall-leaning defaults, like the reference CLI (nprobe default 100,
     # crates/cli/src/main.rs:27): measured ≥0.94 recall@10 on the sf0.01
     # fixture (nprobe=8/overfetch=8 measured 0.84 — too lossy for a default).

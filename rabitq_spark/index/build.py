@@ -34,9 +34,19 @@ INDEX_SCHEMA = (
     "factor_ip float, factor_ppc float, error_bound float, center_dist_sq float"
 )
 
+# bits_per_dim >= 2 (extended multi-bit base codes): the sign code + RaBitQ
+# factor quadruple is replaced by B scalar-quantized bit-planes and the
+# per-row dequantization scalars the symmetric estimator needs
+MULTIBIT_INDEX_SCHEMA = (
+    "cluster_id int, orig_id bigint, code array<bigint>, "
+    "b_lb float, b_delta float, b_sum float, center_dist_sq float"
+)
+
 # columns every index row has; anything beyond these is a carried attribute
 # (build_index(attr_cols=...)) and must survive append/delete/upsert
-_STD_INDEX_COLS = frozenset(p.split()[0] for p in INDEX_SCHEMA.split(", "))
+_STD_INDEX_COLS = frozenset(p.split()[0] for p in INDEX_SCHEMA.split(", ")) | frozenset(
+    p.split()[0] for p in MULTIBIT_INDEX_SCHEMA.split(", ")
+)
 
 
 MAX_DENSE_ROT_DIM = 2048
@@ -421,17 +431,30 @@ def build_index(
         rand_bias = gen_bias(dim_pad, config.seed)
         centroids_proj = apply_rot(centroids, rotation).astype(np.float32)
 
+    # Base-side dither for multi-bit codes must be INDEPENDENT of the
+    # query-side rand_bias: both sides quantize with trunc(x + dither), and a
+    # shared dither vector correlates the two rounding errors per dimension,
+    # biasing the symmetric estimator's inner product upward (measured −7% on
+    # rough distances before this split). Seed-derived → deterministic, and
+    # search never needs it, so it is not model state.
+    base_bias = (
+        np.random.default_rng(config.seed + 2).random(dim_pad, dtype=np.float32)
+        if config.bits_per_dim > 1
+        else None
+    )
     sc = spark.sparkContext
-    bc = sc.broadcast((rotation, centroids_proj))
+    bc = sc.broadcast((rotation, centroids_proj, base_bias))
     epsilon = config.epsilon
     default_dot = config.default_x_dot_product
+    bits = config.bits_per_dim
 
     def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rot, cp = bc.value
+        rot, cp, bias = bc.value
         cp_sq = (cp.astype(np.float32) ** 2).sum(axis=1)
         dim_sqrt = np.float32(np.sqrt(np.float32(dim_pad)))
         # error_base = 2ε/sqrt(dim-1)  (src/rabitq.rs:220)
         error_base = np.float32(2.0 * epsilon / np.sqrt(dim_pad - 1.0))
+        n_words = dim_pad // 64
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -443,6 +466,49 @@ def build_index(
             labels = d2.argmin(axis=1)
             resid = xp - cp[labels]  # x_c_quantized (src/rabitq.rs:205)
             center_dist_sq = (resid.astype(np.float32) ** 2).sum(axis=1)
+            if bits > 1:
+                # Extended multi-bit codes: the same dithered scalar
+                # quantization the QUERY side uses (src/utils.rs:194-209),
+                # applied to the base residual with B bit-planes. resid ≈
+                # b_lb + b_delta·u, u ∈ [0, 2^B − 1]; the search-side
+                # estimator pairs these planes with the query planes
+                # symmetrically (search.py::rough_distance_expr_multibit).
+                b_lb = resid.min(axis=1).astype(np.float32)
+                b_ub = resid.max(axis=1).astype(np.float32)
+                levels = np.float32((1 << bits) - 1)
+                b_delta = ((b_ub - b_lb) / levels).astype(np.float32)
+                with np.errstate(divide="ignore"):
+                    mult = np.where(
+                        b_delta > 0, np.float32(1.0) / b_delta, np.float32(0.0)
+                    )
+                u = (
+                    (resid - b_lb[:, None]) * mult[:, None] + bias[None, :]
+                ).astype(np.uint16)
+                b_sum = u.sum(axis=1, dtype=np.uint32).astype(np.float32)
+                planes = np.empty((bits, len(u), n_words), dtype=np.uint64)
+                for p in range(bits):
+                    pb = ((u >> p) & 1).astype(np.uint8)
+                    planes[p] = np.packbits(pb, axis=1, bitorder="little").view(
+                        np.uint64
+                    )
+                mcodes = (
+                    planes.transpose(1, 0, 2)
+                    .reshape(len(u), bits * n_words)
+                    .view(np.int64)
+                )
+                out = {
+                    "cluster_id": labels.astype(np.int32),
+                    "orig_id": pdf["orig_id"].values,
+                    "code": list(mcodes),
+                    "b_lb": b_lb,
+                    "b_delta": b_delta,
+                    "b_sum": b_sum,
+                    "center_dist_sq": center_dist_sq.astype(np.float32),
+                }
+                for c in attr_cols:
+                    out[c] = pdf[c].values
+                yield pd.DataFrame(out)
+                continue
             x_c_dist = np.sqrt(center_dist_sq)
             codes = pack_signs(resid)
             # <r, sign(r)> = Σ|r| (sign is ±1; zeros contribute 0 either way)
@@ -482,7 +548,8 @@ def build_index(
     par = spark.sparkContext.defaultParallelism
     if wide.rdd.getNumPartitions() < par:
         wide = wide.repartition(par)
-    index_df = wide.mapInPandas(transform, INDEX_SCHEMA + attr_ddl)
+    schema = MULTIBIT_INDEX_SCHEMA if config.bits_per_dim > 1 else INDEX_SCHEMA
+    index_df = wide.mapInPandas(transform, schema + attr_ddl)
     return RaBitQModel(
         config=config,
         dim=dim,

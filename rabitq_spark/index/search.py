@@ -159,6 +159,48 @@ def rough_distance_expr(theta_log_dim: int, n_words: int) -> F.Column:
     )
 
 
+def rough_distance_expr_multibit(
+    bits: int, theta_log_dim: int, n_words: int, dim_pad: int
+) -> F.Column:
+    """Symmetric scalar-quantization estimator for multi-bit base codes
+    (config.bits_per_dim ≥ 2) — pure codegen, like rough_distance_expr.
+
+    Both sides are dithered scalar quantizations of their residuals:
+        resid_q ≈ lower_bound + delta · u_q      (query, theta_log_dim bits)
+        resid_b ≈ b_lb + b_delta · u_b           (base, B bits)
+    so the inner product expands to four terms, the last a cross-plane
+    popcount:  ⟨u_q, u_b⟩ = Σ_{j<4, i<B} 2^{i+j}·popcount(qplane_j ∧ bplane_i)
+
+        rough = center_dist_sq + y_c_dist_sq − 2·(
+                  D·lb_q·b_lb + lb_q·b_delta·b_sum
+                + b_lb·delta·scalar_sum + delta·b_delta·⟨u_q,u_b⟩ )
+
+    Unrolled over (query-plane, base-plane, word) — B×4×n_words bit_count
+    terms, every index a compile-time constant (ANSI-safe). Unlike the
+    1-bit RaBitQ estimator this is unbiased with no error-bound subtraction;
+    accuracy comes from the extra base planes."""
+    cross = None
+    for j in range(theta_log_dim):
+        for i in range(bits):
+            pop = None
+            for w in range(n_words):
+                term = F.bit_count(
+                    F.element_at(F.col("code"), i * n_words + w + 1).bitwiseAND(
+                        F.element_at(F.col("qplanes"), j * n_words + w + 1)
+                    )
+                )
+                pop = term if pop is None else pop + term
+            shifted = F.shiftleft(pop.cast("bigint"), i + j)
+            cross = shifted if cross is None else cross + shifted
+    est_ip = (
+        float(dim_pad) * F.col("lower_bound") * F.col("b_lb")
+        + F.col("lower_bound") * F.col("b_delta") * F.col("b_sum")
+        + F.col("b_lb") * F.col("delta") * F.col("scalar_sum")
+        + F.col("delta") * F.col("b_delta") * cross.cast("double")
+    )
+    return F.col("center_dist_sq") + F.col("y_c_dist_sq") - 2.0 * est_ip
+
+
 _POPCNT = None
 
 
@@ -337,9 +379,13 @@ def search(
     index = model.index_df
     if index_predicate is not None:
         index = index.filter(index_predicate)
-    if impl == "fused" and (index_predicate is not None or allowed is not None):
-        # the fused Arrow path reads the unfiltered model tables; filtering
-        # is a jvm-plan feature
+    if impl == "fused" and (
+        index_predicate is not None
+        or allowed is not None
+        or cfg.bits_per_dim > 1
+    ):
+        # the fused Arrow path reads the unfiltered 1-bit model tables;
+        # filtering and multi-bit codes are jvm-plan features
         impl = "jvm"
     r = max(topk * overfetch, topk)
     probes_materialized = False
@@ -392,11 +438,14 @@ def search(
         # shuffle is bounded by the pruned posting lists.
         probe_side = F.broadcast(probes) if broadcast_probes else probes
         cand = index.join(probe_side, "cluster_id")
-        cand = cand.select(
-            "query_id",
-            "orig_id",
-            rough_distance_expr(cfg.theta_log_dim, model.n_words).alias("rough"),
+        est = (
+            rough_distance_expr_multibit(
+                cfg.bits_per_dim, cfg.theta_log_dim, model.n_words, model.dim_pad
+            )
+            if cfg.bits_per_dim > 1
+            else rough_distance_expr(cfg.theta_log_dim, model.n_words)
         )
+        cand = cand.select("query_id", "orig_id", est.alias("rough"))
         if allowed is not None:
             ok = allowed.select(
                 F.col(allowed.columns[0]).alias("orig_id")
@@ -477,10 +526,15 @@ def range_search(
         ]
         index = index.filter(F.col("cluster_id").isin(probed))
     probe_side = F.broadcast(probes) if broadcast_probes else probes
+    est = (
+        rough_distance_expr_multibit(
+            cfg.bits_per_dim, cfg.theta_log_dim, model.n_words, model.dim_pad
+        )
+        if cfg.bits_per_dim > 1
+        else rough_distance_expr(cfg.theta_log_dim, model.n_words)
+    )
     cand = index.join(probe_side, "cluster_id").select(
-        "query_id",
-        "orig_id",
-        rough_distance_expr(cfg.theta_log_dim, model.n_words).alias("rough"),
+        "query_id", "orig_id", est.alias("rough")
     )
     if rough_cutoff:
         cand = cand.filter(F.col("rough") <= F.lit(radius_sq + rough_margin))

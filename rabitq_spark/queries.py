@@ -229,6 +229,34 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_multibit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive search on an EXTENDED multi-bit index (bits_per_dim=2):
+    base residuals carry 2 scalar-quantized bit-planes instead of the 1-bit
+    sign code, scored by the symmetric cross-plane estimator
+    (index/search.py::rough_distance_expr_multibit). Exhaustive settings
+    make the exact rerank cover every row, so the result is bit-identical
+    to brute force — the estimator-family change cannot alter it (the
+    recall win at tight budgets is asserted in tests/test_multibit.py)."""
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.index import build_index, search
+
+    key = (sf_dir, "multibit2")
+    if key not in _MODEL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        model = build_index(base, RaBitQConfig(bits_per_dim=2))
+        model.index_df = model.index_df.cache()
+        _MODEL_CACHE[key] = model
+    model = _MODEL_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate search at default nprobe/overfetch, reported as per-query
     recall@k vs the exact oracle (A8, src/utils.rs:367-379). Not
@@ -2982,6 +3010,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_exact": q_knn_exact,
     "knn_cosine": q_knn_cosine,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "ann_ivf_multibit": q_ann_ivf_multibit,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_ivf_cold_index": q_ann_ivf_cold_index,
     "ann_ivf_cosine": q_ann_ivf_cosine,
@@ -3077,6 +3106,8 @@ ORACLE_SQL: dict[str, str] = {
     "knn_exact": _SQL_KNN_EXACT,
     # exhaustive IVF+RaBitQ == exact brute force (see q_ann_ivf_exhaustive)
     "ann_ivf_exhaustive": _SQL_KNN_EXACT,
+    # exhaustive multi-bit (bits_per_dim=2) == the same brute force
+    "ann_ivf_multibit": _SQL_KNN_EXACT,
     # saved→loaded index, exhaustive == exact brute force (production read path)
     "ann_ivf_cold_index": _SQL_KNN_EXACT,
     # IVF over unit vectors serves cosine; output == brute-force cosine
