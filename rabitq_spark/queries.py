@@ -788,6 +788,16 @@ GROUP BY ROLLUP (r_name, n_name)
 # --------------------------------------------------------------------------
 # Dedup family (SURVEY §7 phase 6; designed for 100 TB — see operators/dedup)
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: customer-name pairs within levenshtein distance 1,
+    via EXACT deletion-neighborhood blocking (operators/fuzzy.py — SymSpell
+    completeness guarantee, one variant-keyed shuffle, no all-pairs)."""
+    from rabitq_spark.operators.fuzzy import fuzzy_self_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_self_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.dedup import dedup_exact
 
@@ -3023,6 +3033,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "neardup_minhash": q_neardup_minhash,
     "neardup_ngram": q_neardup_ngram,
     "neardup_groups": q_neardup_groups,
@@ -3129,6 +3140,13 @@ ORACLE_SQL: dict[str, str] = {
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
     "dedup_exact": _SQL_DEDUP_EXACT,
+    # blocked deletion-neighborhood plan == the naive levenshtein cross join
+    "fuzzy_name_pairs": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+""",
     "neardup_minhash": _SQL_NEARDUP_MINHASH,
     "neardup_ngram": _SQL_NEARDUP_NGRAM,
     "neardup_groups": _sql_neardup_groups(),
