@@ -370,11 +370,41 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
     hits = approx.merge(
         exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
     )
+    recall = len(hits) / max(len(exact), 1)
+
+    # multi-bit point (bits_per_dim=4): the extended estimator needs ~1/8 of
+    # the rerank width for full recall (scripts/multibit_probe.py), which is
+    # what makes IVF decisively beat brute force at this scale
+    cfg4 = RaBitQConfig(
+        n_clusters=k_clusters, nprobe=k_clusters // 32, topk=TOPK,
+        overfetch=16, bits_per_dim=4,
+    )
+    t0 = time.perf_counter()
+    model4 = build_index(
+        base, cfg4, kmeans_sample_fraction=50_000 / n_base, n_rows=n_base
+    )
+    model4.index_df = model4.index_df.cache()
+    model4.index_df.count()
+    model4.base_df = model4.base_df.cache()
+    model4.base_df.count()
+    build4_s = time.perf_counter() - t0
+    search(model4, queries.limit(10)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t0 = time.perf_counter()
+    approx4 = search(model4, queries).toPandas()
+    ivf4_s = time.perf_counter() - t0
+    hits4 = approx4.merge(
+        exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
+    )
+    recall4 = len(hits4) / max(len(exact), 1)
+    for df in (model4.index_df, model4.base_df):
+        df.unpersist()
+
     for df in (base, queries, model.index_df, model.base_df):
         df.unpersist()
     from rabitq_spark.index.search import auto_overfetch
 
-    recall = len(hits) / max(len(exact), 1)
     return {
         "n_base": n_base,
         "n_queries": nq,
@@ -386,6 +416,10 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         # verdict: the fixed default degraded to 0.83 recall at 1M rows)
         "effective_overfetch": auto_overfetch(model, cfg.nprobe, TOPK),
         "recall_gate_0.9": recall >= 0.9,
+        "multibit4_build_sec": round(build4_s, 2),
+        "multibit4_ivf_sec": round(ivf4_s, 2),
+        "multibit4_recall_at_k": round(recall4, 4),
+        "multibit4_effective_overfetch": auto_overfetch(model4, cfg4.nprobe, TOPK),
     }
 
 

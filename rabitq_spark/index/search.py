@@ -313,14 +313,25 @@ def _fused_shortlist(
 def auto_overfetch(model: RaBitQModel, nprobe: int, topk: int) -> int:
     """Scale-aware rerank width: overfetch such that R = overfetch × topk is
     ~2% of the rough-candidate pool, floored at config.overfetch. See
-    search() docstring for the 1M-row measurement behind the rule."""
+    search() docstring for the 1M-row measurement behind the rule.
+
+    Every extra base bit-plane roughly halves the rerank width the sharper
+    estimator needs (scripts/multibit_probe.py at 1M × 256: 1-bit wants
+    overfetch 62 for recall 0.971; 4-bit reaches 1.000 at overfetch 8 —
+    2%/2^(B−1) of the pool), so both the pool fraction and the floor scale
+    down by 2^(bits_per_dim − 1), with an absolute floor of 4."""
     import math
 
     avg_cluster = (
         model.n_rows / model.n_clusters if model.n_rows else model.n_clusters
     )
     pool = min(nprobe, model.n_clusters) * avg_cluster
-    return max(model.config.overfetch, math.ceil(0.02 * pool / topk))
+    sharp = 2 ** (model.config.bits_per_dim - 1)
+    return max(
+        math.ceil(model.config.overfetch / sharp),
+        math.ceil(0.02 * pool / topk / sharp),
+        4,
+    )
 
 
 def search(

@@ -136,6 +136,33 @@ def test_multibit_estimator_unbiased(spark, data, model2):
     assert err.abs().mean() < 0.25 * scale, (err.abs().mean(), scale)
 
 
+def test_auto_overfetch_scales_down_with_bits(spark, data, model2):
+    """Each extra base plane halves the rerank width the rule picks; the
+    1-bit behavior is unchanged (sharp = 1) so existing recall gates hold."""
+    from rabitq_spark.index.search import auto_overfetch
+
+    base, _ = data
+    m1 = build_index(
+        base, RaBitQConfig(n_clusters=8, topk=K, overfetch=16, bits_per_dim=1),
+        n_rows=1_000_000,
+    )
+    m4 = build_index(
+        base, RaBitQConfig(n_clusters=8, topk=K, overfetch=16, bits_per_dim=4),
+        n_rows=1_000_000,
+    )
+    # pool = nprobe × avg_cluster = 4 × 125k = 500k; 2% / topk = 1000 slots
+    of1 = auto_overfetch(m1, nprobe=4, topk=10)
+    of4 = auto_overfetch(m4, nprobe=4, topk=10)
+    assert of1 == 1000
+    assert of4 == 125  # 1000 / 2^(4-1)
+    # tiny pools floor at 4, never below
+    m4_small = build_index(
+        base, RaBitQConfig(n_clusters=8, topk=K, overfetch=16, bits_per_dim=4),
+        n_rows=100,
+    )
+    assert auto_overfetch(m4_small, nprobe=1, topk=10) == 4
+
+
 def test_multibit_save_load_roundtrip(spark, data, model2, tmp_path):
     _, queries = data
     path = str(tmp_path / "mb_model")
