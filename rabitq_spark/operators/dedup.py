@@ -666,11 +666,16 @@ def _embedding_neardup_blocked(
         # √n cluster sizing: the config default (16 clusters) makes every
         # probe scan most of the table once rows reach the tens of
         # thousands — the quantized path degenerates to N² (measured: the
-        # 20k-row bench dataset never finished under the default)
+        # 20k-row bench dataset never finished under the default).
+        # bits_per_dim=4: the self-join issues one query PER ROW, so search
+        # cost dwarfs the one-time build — exactly the regime where extended
+        # multi-bit codes win (scripts/multibit_probe.py: 2.4× faster search
+        # at recall 1.0 vs 0.97); better candidates also tighten the blocked
+        # path's agreement with the exact GEMM plan.
         n_clusters = (
             max(16, int(row_count**0.5)) if row_count else RaBitQConfig.n_clusters
         )
-        config = RaBitQConfig(n_clusters=n_clusters)
+        config = RaBitQConfig(n_clusters=n_clusters, bits_per_dim=4)
     model = build_index(unit, config, n_rows=row_count)
     # registered in the scope registry so release_caches() (or the next
     # invocation) drains it — round-2 verdict: this cache was never retired

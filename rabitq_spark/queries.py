@@ -788,6 +788,40 @@ GROUP BY ROLLUP (r_name, n_name)
 # --------------------------------------------------------------------------
 # Dedup family (SURVEY §7 phase 6; designed for 100 TB — see operators/dedup)
 
+def q_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE INTO over the documents snapshot (operators/cdc.py): a
+    deterministic changelog patches every 7th doc, deletes every 13th, and
+    inserts a shifted copy of every 17th — one full-outer join on the key,
+    the lakehouse MERGE semantics as a pure DataFrame transform."""
+    from rabitq_spark.operators.cdc import merge_into
+
+    docs = load_table(spark, sf_dir, "documents")
+    upserts = docs.filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 13 == 0)
+    ).select(
+        "doc_id",
+        F.concat(F.lit("patched: "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        F.lit("upsert").alias("op"),
+    )
+    changes = upserts.unionByName(inserts)
+    return merge_into(
+        docs, changes, "doc_id", delete_condition=F.col("op") == "delete"
+    )
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: customer-name pairs within levenshtein distance 1,
     via EXACT deletion-neighborhood blocking (operators/fuzzy.py — SymSpell
@@ -3034,6 +3068,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "merge_documents": q_merge_documents,
     "neardup_minhash": q_neardup_minhash,
     "neardup_ngram": q_neardup_ngram,
     "neardup_groups": q_neardup_groups,
@@ -3140,6 +3175,22 @@ ORACLE_SQL: dict[str, str] = {
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
     "dedup_exact": _SQL_DEDUP_EXACT,
+    # MERGE INTO = target-only rows ∪ non-delete source rows
+    "merge_documents": """
+WITH changes AS (
+  SELECT doc_id, 'patched: ' || text AS text, lang, source, n_chars,
+         CASE WHEN doc_id % 13 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'new doc ' || CAST(doc_id AS VARCHAR), lang,
+         source, n_chars, 'upsert'
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN changes c USING (doc_id) WHERE c.doc_id IS NULL
+UNION ALL
+SELECT doc_id, text, lang, source, n_chars FROM changes WHERE op <> 'delete'
+""",
     # blocked deletion-neighborhood plan == the naive levenshtein cross join
     "fuzzy_name_pairs": """
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
