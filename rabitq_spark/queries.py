@@ -788,6 +788,24 @@ GROUP BY ROLLUP (r_name, n_name)
 # --------------------------------------------------------------------------
 # Dedup family (SURVEY §7 phase 6; designed for 100 TB — see operators/dedup)
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout codes for the events table over (user_id, value):
+    distinct-value histogram ranks → 8-bit buckets → Morton interleave
+    (operators/zorder.py). The codes are a pure function of the data —
+    independent of partitioning — so the layout decision itself is
+    oracle-checkable even though file placement is not."""
+    from rabitq_spark.operators.zorder import zorder_code
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    coded = zorder_code(ev, ["user_id", "value"], bits=8)
+    return coded.select(
+        "event_id",
+        F.col("__bucket_user_id").alias("b_user"),
+        F.col("__bucket_value").alias("b_value"),
+        "zvalue",
+    )
+
+
 def q_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE INTO over the documents snapshot (operators/cdc.py): a
     deterministic changelog patches every 7th doc, deletes every 13th, and
@@ -3069,6 +3087,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "merge_documents": q_merge_documents,
+    "zorder_events": q_zorder_events,
     "neardup_minhash": q_neardup_minhash,
     "neardup_ngram": q_neardup_ngram,
     "neardup_groups": q_neardup_groups,
@@ -3175,6 +3194,35 @@ ORACLE_SQL: dict[str, str] = {
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
     "dedup_exact": _SQL_DEDUP_EXACT,
+    # Morton interleave of distinct-value-histogram buckets (bits=8)
+    "zorder_events": (
+        """
+WITH n AS (SELECT COUNT(*) AS n FROM events),
+hu AS (SELECT user_id AS v, COUNT(*) AS c FROM events GROUP BY 1),
+cu AS (SELECT v, COALESCE(SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM hu),
+hv AS (SELECT value AS v, COUNT(*) AS c FROM events GROUP BY 1),
+cv AS (SELECT v, COALESCE(SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM hv),
+b AS (
+  SELECT e.event_id,
+         LEAST(CAST(FLOOR(cu.cb * 256.0 / CAST(n.n AS DOUBLE)) AS BIGINT), 255) AS b_user,
+         LEAST(CAST(FLOOR(cv.cb * 256.0 / CAST(n.n AS DOUBLE)) AS BIGINT), 255) AS b_value
+  FROM events e
+  JOIN cu ON e.user_id = cu.v
+  JOIN cv ON e.value = cv.v
+  CROSS JOIN n
+)
+SELECT event_id, b_user, b_value, ("""
+        + " + ".join(
+            f"(((b_{c} >> {i}) & 1) << {i * 2 + k})"
+            for i in range(8)
+            for k, c in enumerate(["user", "value"])
+        )
+        + """) AS zvalue
+FROM b
+"""
+    ),
     # MERGE INTO = target-only rows ∪ non-delete source rows
     "merge_documents": """
 WITH changes AS (
