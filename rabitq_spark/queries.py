@@ -788,6 +788,19 @@ GROUP BY ROLLUP (r_name, n_name)
 # --------------------------------------------------------------------------
 # Dedup family (SURVEY §7 phase 6; designed for 100 TB — see operators/dedup)
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style learned quality filter (operators/quality_model.py):
+    weak-label the corpus (here: lang == 'en' as the 'reference' signal),
+    train MLlib logistic regression over hashed token counts, score every
+    document. Trained coefficients are not SQL-expressible → rows-only;
+    the semantic gate (held-out separation, weak-label generalization) is
+    tests/test_quality_model.py."""
+    from rabitq_spark.operators.quality_model import weak_label_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weak_label_quality_filter(docs, good_condition=F.col("lang") == "en")
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout codes for the events table over (user_id, value):
     distinct-value histogram ranks → 8-bit buckets → Morton interleave
@@ -3088,6 +3101,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "merge_documents": q_merge_documents,
     "zorder_events": q_zorder_events,
+    "quality_classifier": q_quality_classifier,
     "neardup_minhash": q_neardup_minhash,
     "neardup_ngram": q_neardup_ngram,
     "neardup_groups": q_neardup_groups,
