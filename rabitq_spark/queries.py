@@ -257,6 +257,27 @@ def q_ann_ivf_multibit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 int8-per-dim quantized shortlist search (index/sq8.py) — the
+    second quantizer family beside RaBitQ codes. Registered in its
+    exhaustive configuration (shortlist ≥ |base|) so the exact double-fold
+    rerank covers every row and the output is bit-identical to brute-force
+    `knn_exact`; the bounded-shortlist recall behaviour is asserted in
+    tests/test_sq8.py."""
+    from rabitq_spark.index.sq8 import sq8_search, sq8_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    key = (sf_dir, "sq8_bounds")
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = sq8_train(base, "vec")
+    lo, hi = _MODEL_CACHE[key]
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sq8_search(queries, base, _KNN_K, lo, hi, shortlist=10**9)
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate search at default nprobe/overfetch, reported as per-query
     recall@k vs the exact oracle (A8, src/utils.rs:367-379). Not
@@ -2059,6 +2080,105 @@ FROM events GROUP BY 1
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (functions/redact.py). The testdata corpus carries
+    no PII-like tokens (verified: zero rows match [0-9@]), so the query
+    first enriches each document with synthetic PII derived deterministically
+    from doc_id — both engines compute the identical enrichment, making the
+    redaction and counts non-vacuous instead of trivially zero."""
+    from rabitq_spark.functions.redact import pii_count, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 phone 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" cc admin"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit("@mail.example.org"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("enriched"),
+    )
+    return enriched.select(
+        "doc_id",
+        redact_pii("enriched").alias("redacted"),
+        pii_count("enriched", "email").alias("n_email"),
+        pii_count("enriched", "ipv4").alias("n_ipv4"),
+        pii_count("enriched", "phone").alias("n_phone"),
+    )
+
+
+_SQL_PII_REDACT = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.1 phone 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' cc admin' || CAST(doc_id % 97 AS VARCHAR)
+                           || '@mail.example.org'
+                      ELSE '' END AS enriched
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(enriched,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+         '555-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(enriched,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(enriched,
+         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(enriched,
+         '555-[0-9]{4}')) AS INT) AS n_phone
+FROM enriched
+"""
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/matview.py):
+    per-user COUNT / exact-DECIMAL SUM / MIN / MAX built from TWO historical
+    increments plus a delta batch — three delta-only aggregations merged by
+    state addition, never a rescan of history. The oracle is the full
+    recompute over all events; DECIMAL sums make the merged state
+    bit-identical to it regardless of increment boundaries."""
+    from rabitq_spark.operators.matview import agg_state, incremental_refresh, merge_agg_state
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    h1 = ev.filter(F.col("event_id") % 7 < 3)
+    h2 = ev.filter((F.col("event_id") % 7 >= 3) & (F.col("event_id") % 7 < 6))
+    delta = ev.filter(F.col("event_id") % 7 == 6)
+    keys, sums, mm = ["user_id"], ["value"], ["value"]
+    state = agg_state(h1, keys, sums, mm)
+    state = merge_agg_state(state, agg_state(h2, keys, sums, mm), keys, sums, mm)
+    state = incremental_refresh(state, delta, keys, sums, mm)
+    return state.select(
+        "user_id",
+        "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+_SQL_INCREMENTAL_AGG = """
+SELECT user_id, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality sketch: estimated distinct users per event_type,
     deterministic md5 order statistics — the estimate itself hash-matches
@@ -3086,6 +3206,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_multibit": q_ann_ivf_multibit,
+    "ann_sq8": q_ann_sq8,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_ivf_cold_index": q_ann_ivf_cold_index,
     "ann_ivf_cosine": q_ann_ivf_cosine,
@@ -3144,6 +3265,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "pivot_events": q_pivot_events,
+    "incremental_agg": q_incremental_agg,
+    "pii_redact": q_pii_redact,
     "value_percentiles": q_value_percentiles,
     "repetition_stats": q_repetition_stats,
     "contamination_check": q_contamination_check,
@@ -3166,6 +3289,10 @@ ORACLE_SQL: dict[str, str] = {
     "hash_split": _SQL_HASH_SPLIT,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "pivot_events": _SQL_PIVOT_EVENTS,
+    # increment-merged state == full recompute (self-maintainable aggregates)
+    "incremental_agg": _SQL_INCREMENTAL_AGG,
+    # Java-regex and RE2 agree on the common-subset patterns (redact.py)
+    "pii_redact": _SQL_PII_REDACT,
     "value_percentiles": _SQL_VALUE_PERCENTILES,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
@@ -3187,6 +3314,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_exhaustive": _SQL_KNN_EXACT,
     # exhaustive multi-bit (bits_per_dim=2) == the same brute force
     "ann_ivf_multibit": _SQL_KNN_EXACT,
+    # exhaustive SQ8 shortlist (shortlist >= |base|) == exact brute force
+    "ann_sq8": _SQL_KNN_EXACT,
     # saved→loaded index, exhaustive == exact brute force (production read path)
     "ann_ivf_cold_index": _SQL_KNN_EXACT,
     # IVF over unit vectors serves cosine; output == brute-force cosine

@@ -1,0 +1,59 @@
+"""Incremental materialized-view maintenance: merge == recompute, and
+retraction via negated delta states."""
+
+from pyspark.sql import functions as F
+
+from rabitq_spark.operators.matview import (
+    agg_state,
+    incremental_refresh,
+    merge_agg_state,
+)
+from rabitq_spark.sources.tables import load_table
+
+
+def _norm(df):
+    return df.toPandas().sort_values("user_id", ignore_index=True)
+
+
+def test_incremental_refresh_equals_recompute(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    hist = ev.filter("event_id % 5 != 0")
+    delta = ev.filter("event_id % 5 = 0")
+    keys, sums, mm = ["user_id"], ["value"], ["value"]
+    merged = incremental_refresh(agg_state(hist, keys, sums, mm), delta, keys, sums, mm)
+    full = agg_state(ev, keys, sums, mm)
+    assert _norm(merged).equals(_norm(full))
+
+
+def test_disjoint_keys_pass_through(spark):
+    rows = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], ["user_id", "value"]
+    )
+    other = spark.createDataFrame([(3, 30.0)], ["user_id", "value"])
+    s = merge_agg_state(
+        agg_state(rows, ["user_id"], ["value"], ["value"]),
+        agg_state(other, ["user_id"], ["value"], ["value"]),
+        ["user_id"],
+        ["value"],
+        ["value"],
+    )
+    out = _norm(s)
+    assert list(out.user_id) == [1, 2, 3]
+    assert list(out.cnt) == [1, 1, 1]
+
+
+def test_retraction_by_negated_state(spark):
+    rows = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], ["user_id", "value"]
+    )
+    retract = spark.createDataFrame([(1, 5.0), (2, 7.0)], ["user_id", "value"])
+    keys, sums = ["user_id"], ["value"]
+    state = agg_state(rows, keys, sums)
+    neg = agg_state(retract, keys, sums).select(
+        "user_id", (-F.col("cnt")).alias("cnt"), (-F.col("sum_value")).alias("sum_value")
+    )
+    out = _norm(merge_agg_state(state, neg, keys, sums))
+    # user 2 fully retracted (count 0 -> dropped); user 1 keeps 10.0
+    assert list(out.user_id) == [1]
+    assert list(out.cnt) == [1]
+    assert float(out.sum_value.iloc[0]) == 10.0
