@@ -173,6 +173,74 @@ def connected_components_star(
     )
 
 
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node: str = "doc_id",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph — centrality
+    for near-dup clusters (which template is the hub?) and any doc-link
+    analysis. Simplified recurrence (no dangling-mass redistribution; an
+    isolated node keeps the teleport value):
+
+        rank⁰ = 1/N;  rankᵏ(v) = (1−d)/N + d · Σ_{u∈N(v)} rankᵏ⁻¹(u)/deg(u)
+
+    Determinism contract: the neighbor sum is a LEFT-TO-RIGHT double fold
+    over neighbors ordered by source id (array_sort + F.aggregate — the
+    same bit-exact-vs-DuckDB-list_reduce pattern as every float fold in
+    this repo); scalar ops (divide, multiply, add) are single IEEE
+    operations. The whole iterative computation is therefore hash-checkable
+    against a chained-CTE oracle (queries.py::q_pagerank_neardup).
+
+    Scale shape: per iteration one join keyed by src + one aggregation
+    keyed by dst; the fold's collect_list is bounded by node degree (tiny
+    for near-dup graphs; for power-law webs swap in the decimal-sum merge).
+    localCheckpoint truncates the iterative lineage each round.
+    """
+    n_total = nodes.count()
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = sym.join(deg, "src").localCheckpoint(eager=True)
+    ids = nodes.select(F.col(node).alias("id")).localCheckpoint(eager=True)
+    ranks = ids.select("id", F.lit(1.0 / n_total).alias("rank"))
+    teleport = (1.0 - damping) / n_total
+    for _ in range(iterations):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.id)
+            .select(
+                "dst", "src", (F.col("rank") / F.col("deg")).alias("val")
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "val"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x["val"],
+                ).alias("contrib")
+            )
+        )
+        ranks = (
+            ids.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("id").alias(node), "rank")
+
+
 def neardup_groups(
     docs: DataFrame,
     pairs: DataFrame,

@@ -46,7 +46,21 @@ def train_quality_classifier(
         tokens(F.col(text_col)).alias("__tokens"),
     )
     lr = LogisticRegression(maxIter=max_iter, regParam=reg_param)
-    return lr.fit(feat.transform(df))
+    model = lr.fit(feat.transform(df))
+    # Drop the training summary before the model is ever captured in a task
+    # closure: Spark 4's BinaryLogisticRegressionSummaryImpl pins the fitting
+    # SparkSession, whose ObservationManager is not java-serializable — a
+    # later model.transform then dies in task serialization (seen when any
+    # df.observe ran earlier in the session). A save/load round-trip yields
+    # an identical, summary-free model.
+    import os
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    path = os.path.join(tempfile.mkdtemp(prefix="rabitq_lrq_"), "model")
+    model.write().overwrite().save(path)
+    return LogisticRegressionModel.load(path)
 
 
 def score_quality(

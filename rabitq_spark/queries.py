@@ -998,6 +998,64 @@ FROM comp
 """
 
 
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the near-dup pair graph
+    (operators/graph.py::pagerank) — which template doc is the hub of each
+    duplicate cluster. The entire 5-iteration distributed computation is
+    hash-checked: neighbor sums are left-to-right folds ordered by source
+    id, scalar ops are single IEEE operations, so the oracle's chained CTEs
+    reproduce every bit."""
+    from rabitq_spark.operators.dedup import neardup_minhash_pairs
+    from rabitq_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_minhash_pairs(docs, shingle_words=3, n_bands=8, threshold=0.8)
+    return pagerank(docs.select("doc_id"), pairs, iterations=_PR_ITERS)
+
+
+_PR_ITERS = 5
+
+
+def _sql_pagerank_neardup() -> str:
+    iters = ""
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        iters += f"""
+, c{k} AS (
+  SELECT s.dst AS id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list({prev}.rank / deg.c ORDER BY s.src)),
+           (a, x) -> a + x) AS contrib
+  FROM sym s JOIN {prev} ON {prev}.id = s.src JOIN deg ON deg.src = s.src
+  GROUP BY s.dst
+), r{k} AS (
+  SELECT d.doc_id AS id,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+           + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+  FROM documents d CROSS JOIN n LEFT JOIN c{k} c ON c.id = d.doc_id
+)"""
+        prev = f"r{k}"
+    return f"""
+WITH pairs AS (
+{_SQL_NEARDUP_MINHASH}
+), sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+  )
+), deg AS (
+  SELECT src, COUNT(*) AS c FROM sym GROUP BY src
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), r0 AS (
+  SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / n.n AS rank FROM documents CROSS JOIN n
+){iters}
+SELECT id AS doc_id, rank FROM {prev}
+"""
+
+
 def _get_neardup_stream_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the documents table through online near-dup admission in
     id-ordered micro-batches; return the decision log. Files are staged in
@@ -3226,6 +3284,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_minhash": q_neardup_minhash,
     "neardup_ngram": q_neardup_ngram,
     "neardup_groups": q_neardup_groups,
+    "pagerank_neardup": q_pagerank_neardup,
     "neardup_stream": q_neardup_stream,
     "dedup_keep_best": q_dedup_keep_best,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -3392,6 +3451,8 @@ FROM customer a JOIN customer b
     "neardup_minhash": _SQL_NEARDUP_MINHASH,
     "neardup_ngram": _SQL_NEARDUP_NGRAM,
     "neardup_groups": _sql_neardup_groups(),
+    # 5-iteration PageRank: ordered folds + single IEEE scalar ops both sides
+    "pagerank_neardup": _sql_pagerank_neardup(),
     "neardup_stream": _sql_neardup_stream(),
     "dedup_keep_best": _sql_dedup_keep_best(),
     "winnow_fingerprints": _SQL_WINNOW,
