@@ -48,3 +48,81 @@ def kmv_distinct(df, group_cols: list[str], value_col: str, k: int = 64):
         F.col("__n") < k, F.col("__n").cast("double")
     ).otherwise(F.lit(float(k - 1)) / F.col("__kth"))
     return per_group.select(*group_cols, est.alias("est_distinct"))
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: bounded-memory frequency estimation
+
+
+def cms_bucket(value: Column | str, depth_idx: int, width: int) -> Column:
+    """Deterministic bucket of `value` for hash row `depth_idx` (md5-based,
+    engine-portable like kmv_hash)."""
+    v = F.col(value) if isinstance(value, str) else value
+    salted = F.concat(v.cast("string"), F.lit(f"#cms{depth_idx}"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10)
+        .cast("bigint") % width
+    ).cast("int")
+
+
+def cms_build(df, value_col: str, depth: int = 4, width: int = 512):
+    """Count-min sketch counters over a value column: (depth_idx, bucket,
+    cnt), one row per NON-EMPTY counter cell (absent cell = 0).
+
+    The whole sketch is d × w integers regardless of input size — the
+    bounded-state substitute for an exact token groupBy when memory, not
+    compute, is the constraint (per-shard frequency tables, streaming
+    accumulation). Counters MERGE BY ADDITION across shards/batches, the
+    same property that makes KMV union-able. Deterministic md5 bucketing →
+    the estimate itself is oracle-checkable, unlike seeded-hash CMS libs.
+
+    Plan: one explode over the depth axis (d rows per value) + one groupBy
+    (depth_idx, bucket) — a single shuffle bounded by d × w groups.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth_idx"),
+                        cms_bucket(value_col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy("c.depth_idx", "c.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(counters, probes, value_col: str, depth: int = 4, width: int = 512):
+    """Point estimates for `probes[value_col]`: min over hash rows of the
+    matching counter (the classic CMS upper-bound estimate; ≥ true count,
+    overestimates only on collisions). Output: probe columns + `cms_est`.
+
+    The probe side fans out d rows per probe and joins the (tiny) counter
+    table — broadcast, no shuffle of the probe stream.
+    """
+    probe_cells = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth_idx"),
+                        cms_bucket(value_col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("*", F.col("c.depth_idx").alias("depth_idx"), F.col("c.bucket").alias("bucket")).drop("c")
+    out_cols = [c for c in probes.columns]
+    ctr = counters.withColumnRenamed("cnt", "__ccnt")
+    joined = probe_cells.join(F.broadcast(ctr), ["depth_idx", "bucket"], "left")
+    return (
+        joined.groupBy(*out_cols)
+        .agg(F.min(F.coalesce("__ccnt", F.lit(0))).alias("cms_est"))
+    )

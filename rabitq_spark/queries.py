@@ -2557,6 +2557,69 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("token", "cnt", "rank")
 
 
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (functions/sketch.py): build d=4 × w=512 counters
+    over all corpus tokens, then point-estimate the true top-30 tokens and
+    emit estimate beside exact count. Deterministic md5 bucketing makes the
+    sketch itself oracle-checkable — integer counters, bit-exact. The CMS
+    guarantee (est ≥ true, overshoot only on collisions) is asserted in
+    tests/test_sketch.py."""
+    from rabitq_spark.functions.sketch import cms_build, cms_estimate
+    from rabitq_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    counters = cms_build(toks, "token", depth=_CMS_D, width=_CMS_W)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = (
+        topk_per_group(
+            counts.withColumn("g", F.lit(1)),
+            ["g"],
+            [F.col("cnt").desc(), F.col("token").asc()],
+            30,
+        )
+        .select("token", "cnt")
+    )
+    return cms_estimate(counters, top, "token", depth=_CMS_D, width=_CMS_W)
+
+
+_CMS_D, _CMS_W = 4, 512
+
+_SQL_CMS = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+), top AS (
+  SELECT token, cnt FROM (
+    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+    FROM counts
+  ) WHERE rk <= 30
+), depths AS (
+  SELECT unnest(range({_CMS_D})) AS depth_idx
+), cells AS (
+  SELECT d.depth_idx,
+         CAST(CAST(concat('0x', substring(md5(t.token || '#cms' ||
+           CAST(d.depth_idx AS VARCHAR)), 1, 15)) AS BIGINT) % {_CMS_W} AS INT)
+           AS bucket
+  FROM toks t CROSS JOIN depths d
+), counters AS (
+  SELECT depth_idx, bucket, COUNT(*) AS ccnt FROM cells GROUP BY 1, 2
+), probe_cells AS (
+  SELECT p.token, p.cnt, d.depth_idx,
+         CAST(CAST(concat('0x', substring(md5(p.token || '#cms' ||
+           CAST(d.depth_idx AS VARCHAR)), 1, 15)) AS BIGINT) % {_CMS_W} AS INT)
+           AS bucket
+  FROM top p CROSS JOIN depths d
+)
+SELECT pc.token, pc.cnt, MIN(COALESCE(c.ccnt, 0)) AS cms_est
+FROM probe_cells pc LEFT JOIN counters c
+  ON c.depth_idx = pc.depth_idx AND c.bucket = pc.bucket
+GROUP BY pc.token, pc.cnt
+"""
+
+
 _SQL_TOP_TOKENS = """
 SELECT token, cnt, CAST(rank AS INT) AS rank FROM (
   SELECT token, cnt,
@@ -3285,6 +3348,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_ngram": q_neardup_ngram,
     "neardup_groups": q_neardup_groups,
     "pagerank_neardup": q_pagerank_neardup,
+    "cms_token_counts": q_cms_token_counts,
     "neardup_stream": q_neardup_stream,
     "dedup_keep_best": q_dedup_keep_best,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -3453,6 +3517,8 @@ FROM customer a JOIN customer b
     "neardup_groups": _sql_neardup_groups(),
     # 5-iteration PageRank: ordered folds + single IEEE scalar ops both sides
     "pagerank_neardup": _sql_pagerank_neardup(),
+    # deterministic md5-bucketed count-min counters: integer, bit-exact
+    "cms_token_counts": _SQL_CMS,
     "neardup_stream": _sql_neardup_stream(),
     "dedup_keep_best": _sql_dedup_keep_best(),
     "winnow_fingerprints": _SQL_WINNOW,

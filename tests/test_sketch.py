@@ -32,3 +32,34 @@ def test_kmv_deterministic_across_partitionings(spark):
     a = kmv_distinct(df.repartition(2), ["g"], "v", k=64).first().est_distinct
     b = kmv_distinct(df.repartition(17), ["g"], "v", k=64).first().est_distinct
     assert a == b  # order statistics don't depend on partitioning
+
+
+def test_cms_upper_bound_and_merge(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.functions.sketch import cms_build, cms_estimate
+    from rabitq_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    counters = cms_build(toks, "token", depth=4, width=256)
+    est = cms_estimate(counters, exact, "token", depth=4, width=256).toPandas()
+    # CMS guarantee: estimate never undercounts
+    assert (est.cms_est >= est.cnt).all()
+    # counters merge by addition: sketch(A) + sketch(B) == sketch(A ∪ B)
+    half_a = docs.filter("doc_id % 2 = 0").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    half_b = docs.filter("doc_id % 2 = 1").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    merged = (
+        cms_build(half_a, "token", depth=4, width=256)
+        .unionByName(cms_build(half_b, "token", depth=4, width=256))
+        .groupBy("depth_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = counters.toPandas().sort_values(["depth_idx", "bucket"], ignore_index=True)
+    m = merged.toPandas().sort_values(["depth_idx", "bucket"], ignore_index=True)
+    assert full.astype("int64").equals(m.astype("int64"))
