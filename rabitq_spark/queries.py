@@ -2620,6 +2620,52 @@ GROUP BY pc.token, pc.cnt
 """
 
 
+_PHRASE = "table hash"
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search THROUGH the positional inverted index
+    (operators/invindex.py): build (token, df, postings[doc, positions])
+    once, then intersect the phrase words' position lists with offset — the
+    index-lookup plan, not a corpus scan. Token-level matching counts
+    overlapping occurrences correctly; the oracle works on token positions
+    too (a substring LIKE would miss overlaps)."""
+    from rabitq_spark.operators.invindex import build_inverted_index, phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs)
+    return phrase_search(docs, _PHRASE, index=idx)
+
+
+def _sql_phrase_search() -> str:
+    words = _PHRASE.split(" ")
+    joins = "".join(
+        f"""
+  JOIN t w{i} ON w{i}.doc_id = w0.doc_id AND w{i}.pos = w0.pos + {i}
+            AND w{i}.token = '{w}'"""
+        for i, w in enumerate(words[1:], start=1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(l)),
+                i -> {{'pos': i, 'tok': l[i+1]}})) AS s
+  FROM toks
+), t AS (
+  SELECT doc_id, s.pos AS pos, s.tok AS token FROM p
+)
+SELECT w0.doc_id,
+       CAST(COUNT(*) AS INT) AS n_matches,
+       CAST(MIN(w0.pos) AS INT) AS first_pos
+FROM t w0{joins}
+WHERE w0.token = '{words[0]}'
+GROUP BY w0.doc_id
+"""
+
+
 _SQL_TOP_TOKENS = """
 SELECT token, cnt, CAST(rank AS INT) AS rank FROM (
   SELECT token, cnt,
@@ -3349,6 +3395,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_groups": q_neardup_groups,
     "pagerank_neardup": q_pagerank_neardup,
     "cms_token_counts": q_cms_token_counts,
+    "phrase_search": q_phrase_search,
     "neardup_stream": q_neardup_stream,
     "dedup_keep_best": q_dedup_keep_best,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -3519,6 +3566,8 @@ FROM customer a JOIN customer b
     "pagerank_neardup": _sql_pagerank_neardup(),
     # deterministic md5-bucketed count-min counters: integer, bit-exact
     "cms_token_counts": _SQL_CMS,
+    # token-position phrase match (index plan == position-join oracle)
+    "phrase_search": _sql_phrase_search(),
     "neardup_stream": _sql_neardup_stream(),
     "dedup_keep_best": _sql_dedup_keep_best(),
     "winnow_fingerprints": _SQL_WINNOW,
