@@ -2237,6 +2237,52 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental_agg: the events table arrives as four
+    file slices through a foreachBatch stream; each micro-batch merges its
+    delta aggregate into a versioned Parquet state
+    (streaming/matview_stream.py). DECIMAL addition is associative, so the
+    final state must equal the full batch recompute bit-for-bit — same
+    oracle as incremental_agg."""
+    key = ("stream_incr_agg", sf_dir)
+    if key not in _MODEL_CACHE:
+        import tempfile
+
+        from rabitq_spark.streaming.matview_stream import (
+            maintain_agg_stream,
+            read_event_stream,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("value").cast("double").alias("value")
+        )
+        stream_in = tempfile.mkdtemp(prefix="rabitq_mv_stream_in_")
+        for i in range(4):
+            (
+                ev.filter((F.col("event_id") % 4) == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(stream_in)
+            )
+        final = maintain_agg_stream(
+            read_event_stream(spark, stream_in, max_files_per_trigger=1),
+            state_dir=tempfile.mkdtemp(prefix="rabitq_mv_state_"),
+            checkpoint=tempfile.mkdtemp(prefix="rabitq_mv_ckpt_"),
+            keys=["user_id"],
+            sum_cols=["value"],
+            minmax_cols=["value"],
+        )
+        _MODEL_CACHE[key] = final
+    state = spark.read.parquet(_MODEL_CACHE[key])
+    return state.select(
+        "user_id",
+        "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality sketch: estimated distinct users per event_type,
     deterministic md5 order statistics — the estimate itself hash-matches
@@ -3436,6 +3482,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "pivot_events": q_pivot_events,
     "incremental_agg": q_incremental_agg,
+    "stream_incremental_agg": q_stream_incremental_agg,
     "pii_redact": q_pii_redact,
     "value_percentiles": q_value_percentiles,
     "repetition_stats": q_repetition_stats,
@@ -3461,6 +3508,8 @@ ORACLE_SQL: dict[str, str] = {
     "pivot_events": _SQL_PIVOT_EVENTS,
     # increment-merged state == full recompute (self-maintainable aggregates)
     "incremental_agg": _SQL_INCREMENTAL_AGG,
+    # four micro-batch merges == the same full recompute (associative DECIMALs)
+    "stream_incremental_agg": _SQL_INCREMENTAL_AGG,
     # Java-regex and RE2 agree on the common-subset patterns (redact.py)
     "pii_redact": _SQL_PII_REDACT,
     "value_percentiles": _SQL_VALUE_PERCENTILES,

@@ -57,3 +57,34 @@ def test_retraction_by_negated_state(spark):
     assert list(out.user_id) == [1]
     assert list(out.cnt) == [1]
     assert float(out.sum_value.iloc[0]) == 10.0
+
+
+def test_stream_maintenance_equals_batch(spark, tmp_path):
+    import os
+
+    from rabitq_spark.streaming.matview_stream import (
+        maintain_agg_stream,
+        read_event_stream,
+    )
+
+    rows = [(i, i % 7, float(i) / 3.0) for i in range(200)]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    stream_in = str(tmp_path / "in")
+    for s in range(3):
+        ev.filter(f"event_id % 3 = {s}").coalesce(1).write.mode("append").parquet(
+            stream_in
+        )
+    final = maintain_agg_stream(
+        read_event_stream(spark, stream_in, max_files_per_trigger=1),
+        state_dir=str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"),
+        keys=["user_id"],
+        sum_cols=["value"],
+        minmax_cols=["value"],
+    )
+    got = _norm(spark.read.parquet(final))
+    want = _norm(agg_state(ev, ["user_id"], ["value"], ["value"]))
+    assert got.equals(want)
+    # one state version per micro-batch, and the final pointer is the last
+    versions = sorted(os.listdir(str(tmp_path / "state")))
+    assert final.endswith(versions[-1]) and len(versions) >= 2
