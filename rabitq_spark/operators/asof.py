@@ -80,3 +80,112 @@ def asof_join_backward(
         *[F.col(f"__lrow.{c}").alias(c) for c in left_cols],
         *[F.col(f"asof_{c}") for c in right_payload],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    tie_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    right.ts >= left.ts and equal `on` key (forward as-of, inclusive) —
+    "what happened next": next click after a purchase, next error after a
+    deploy. Same union-sort-window plan as backward, ordered descending;
+    among equal right timestamps the SMALLEST `tie_col` wins (the first
+    row in forward direction)."""
+    left_cols = left.columns
+    payload = list(right_payload)
+    if tie_col is not None and tie_col not in payload:
+        payload.append(tie_col)
+
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # descending time: walking the window forward means walking time
+    # backward, so last(ignorenulls) carries the earliest right row at or
+    # after the left row; right sorts before left at equal ts (inclusive)
+    order = [F.col("__ts").desc(), F.col("__is_left").asc()]
+    if tie_col is not None:
+        order.append(
+            F.when(F.col("__is_left") == 0, F.col(f"__r_{tie_col}")).desc_nulls_first()
+        )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__is_left",
+        "__lrow",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left_cols],
+        *[F.col(f"asof_{c}") for c in right_payload],
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    tie_col: str | None = None,
+) -> DataFrame:
+    """For each left row, the right row with MINIMAL |right.ts − left.ts|
+    (equal distance → the backward match wins). Composition of backward +
+    forward — two window passes, still one shuffle key, no range join.
+    `left_ts`/`right_ts` must be numeric (epoch micros) so the distance is
+    well-defined."""
+    if not right_payload:
+        raise ValueError("asof_join_nearest needs right_payload")
+    back = asof_join_backward(
+        left, right, on, left_ts, right_ts,
+        right_payload=(right_ts, *right_payload), tie_col=tie_col,
+    )
+    fwd_in = back.withColumnRenamed(f"asof_{right_ts}", "__b_ts")
+    for c in right_payload:
+        fwd_in = fwd_in.withColumnRenamed(f"asof_{c}", f"__b_{c}")
+    fwd = asof_join_forward(
+        fwd_in, right, on, left_ts, right_ts,
+        right_payload=(right_ts, *right_payload), tie_col=tie_col,
+    )
+    out = fwd.withColumnRenamed(f"asof_{right_ts}", "__f_ts")
+    for c in right_payload:
+        out = out.withColumnRenamed(f"asof_{c}", f"__f_{c}")
+    d_b = F.abs(F.col(left_ts) - F.col("__b_ts"))
+    d_f = F.abs(F.col(left_ts) - F.col("__f_ts"))
+    take_back = F.col("__f_ts").isNull() | (
+        F.col("__b_ts").isNotNull() & (d_b <= d_f)
+    )
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.when(take_back, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(f"asof_{c}")
+            for c in right_payload
+        ],
+    )

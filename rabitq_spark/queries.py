@@ -1951,6 +1951,113 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every purchase, the EARLIEST click at-or-after it
+    per user (operators/asof.py::asof_join_forward — descending
+    union-sort-window, same single-shuffle plan as backward). Ties at equal
+    microsecond resolve to the smallest click event_id, mirrored in the
+    oracle's LATERAL ORDER BY."""
+    from rabitq_spark.operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_join_forward(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_payload=("click_ts_us", "click_value"),
+        tie_col="click_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "purchase_value",
+        F.col("asof_click_ts_us").alias("click_ts_us"),
+        F.col("asof_click_value").alias("click_value"),
+    )
+
+
+_SQL_ASOF_FWD = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.value AS purchase_value,
+       q.click_ts_us, q.click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts >= p.ts
+  ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
+) q ON TRUE
+"""
+
+
+def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: the click closest in time to each purchase in either
+    direction (backward wins ties) — two window passes composed
+    (operators/asof.py::asof_join_nearest), still no range join."""
+    from rabitq_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_join_nearest(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_payload=("click_ts_us", "click_value"),
+        tie_col="click_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "purchase_value",
+        F.col("asof_click_ts_us").alias("click_ts_us"),
+        F.col("asof_click_value").alias("click_value"),
+    )
+
+
+_SQL_ASOF_NEAREST = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.value AS purchase_value,
+       q.click_ts_us, q.click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+  ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+           CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+           CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END ASC
+  LIMIT 1
+) q ON TRUE
+"""
+
+
 def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.events import tumbling_window_agg
 
@@ -3462,6 +3569,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_guess": q_lang_guess,
     "top_tokens": q_top_tokens,
     "asof_purchase_click": q_asof_purchase_click,
+    "asof_next_click": q_asof_next_click,
+    "asof_nearest_click": q_asof_nearest_click,
     "window_events": q_window_events,
     "sessionize": q_sessionize,
     "funnel": q_funnel,
@@ -3522,6 +3631,8 @@ ORACLE_SQL: dict[str, str] = {
     "similarity_join": _SQL_SIMILARITY_JOIN,
     "multimodal_features": _SQL_MULTIMODAL,
     "asof_purchase_click": _SQL_ASOF,
+    "asof_next_click": _SQL_ASOF_FWD,
+    "asof_nearest_click": _SQL_ASOF_NEAREST,
     "window_events": _SQL_WINDOW_EVENTS,
     "sessionize": _SQL_SESSIONIZE,
     "interval_join": _SQL_INTERVAL_JOIN,

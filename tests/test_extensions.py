@@ -164,3 +164,54 @@ def test_grouped_simjoin_refined_equals_pairs(spark, sf_dir):
         emb, "label", id_col="vec_id", vec_col="embedding", k=4, impl="pairs"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_asof_forward_and_nearest_semantics(spark):
+    from rabitq_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 2, 50)], ["lid", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        # key 1: right rows at 90, 100, 210; key 2: none
+        [(10, 1, 90, 9.0), (11, 1, 100, 1.0), (12, 1, 210, 2.0)],
+        ["rid", "k", "ts", "payload"],
+    )
+    right2 = right.select("rid", "k", "ts", right.ts.alias("rts"), "payload")
+    fwd = {
+        r["lid"]: (r["asof_rts"], r["asof_payload"])
+        for r in asof_join_forward(
+            left, right2, on="k", left_ts="ts", right_ts="ts",
+            right_payload=("rts", "payload"), tie_col="rid",
+        ).collect()
+    }
+    # lid=1 at 100: inclusive forward match is the row AT 100
+    assert fwd[1] == (100, 1.0)
+    # lid=2 at 205: next is 210
+    assert fwd[2] == (210, 2.0)
+    # lid=3 key 2: no right rows
+    assert fwd[3] == (None, None)
+
+    near = {
+        r["lid"]: (r["asof_rts"], r["asof_payload"])
+        for r in asof_join_nearest(
+            left, right2, on="k", left_ts="ts", right_ts="ts",
+            right_payload=("rts", "payload"), tie_col="rid",
+        ).collect()
+    }
+    assert near[1] == (100, 1.0)   # exact hit
+    assert near[2] == (210, 2.0)   # 210 (d=5) beats 100 (d=105)
+    assert near[3] == (None, None)
+
+    back = {
+        r["lid"]: r["asof_rts"]
+        for r in asof_join_backward(
+            left, right2, on="k", left_ts="ts", right_ts="ts",
+            right_payload=("rts",), tie_col="rid",
+        ).collect()
+    }
+    assert back[2] == 100  # latest at-or-before 205
