@@ -278,6 +278,47 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_search(queries, base, _KNN_K, lo, hi, shortlist=10**9)
 
 
+_JL_K, _JL_NQ = 16, 20
+
+
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (functions/project.py): 64-dim embeddings down
+    to 16 dims with md5-derived ±1/√k signs. The projected coordinates are
+    bit-exact vs the oracle (same sign matrix inlined into both engines,
+    left-to-right folds); the JL distance-preservation property and the
+    shortlist-recall use are pytest gates (tests/test_project.py)."""
+    from rabitq_spark.functions.project import jl_project, jl_signs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    signs = jl_signs(_JL_K, dim)
+    q = emb.filter(F.col("vec_id") < _JL_NQ)
+    return q.select(
+        "vec_id", F.posexplode(jl_project("embedding", signs)).alias("j", "value")
+    )
+
+
+def _sql_jl_project() -> str:
+    from rabitq_spark.functions.project import jl_signs
+
+    dim = 64  # testdata embedding dim (TESTDATA.md)
+    signs = jl_signs(_JL_K, dim)
+    scale = 1.0 / (_JL_K ** 0.5)
+    selects = []
+    for j, row in enumerate(signs):
+        lits = ", ".join(repr(v) for v in row)
+        selects.append(
+            f"""SELECT vec_id, {j} AS j,
+       CAST({scale!r} AS DOUBLE) * list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {dim + 1}),
+             i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])),
+         (a, x) -> a + x) AS value
+FROM embeddings WHERE vec_id < {_JL_NQ}"""
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate search at default nprobe/overfetch, reported as per-query
     recall@k vs the exact oracle (A8, src/utils.rs:367-379). Not
@@ -3527,6 +3568,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_multibit": q_ann_ivf_multibit,
     "ann_sq8": q_ann_sq8,
+    "jl_project": q_jl_project,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_ivf_cold_index": q_ann_ivf_cold_index,
     "ann_ivf_cosine": q_ann_ivf_cosine,
@@ -3646,6 +3688,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_multibit": _SQL_KNN_EXACT,
     # exhaustive SQ8 shortlist (shortlist >= |base|) == exact brute force
     "ann_sq8": _SQL_KNN_EXACT,
+    # same md5-derived sign matrix inlined into both engines
+    "jl_project": _sql_jl_project(),
     # saved→loaded index, exhaustive == exact brute force (production read path)
     "ann_ivf_cold_index": _SQL_KNN_EXACT,
     # IVF over unit vectors serves cosine; output == brute-force cosine
