@@ -2431,6 +2431,51 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling audit (operators/profile.py): per-column nulls,
+    exact distinct counts, numeric/string ranges over the events table —
+    ONE scan, wide aggregate unpivoted to the report layout."""
+    from rabitq_spark.operators.profile import profile_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    return profile_table(ev)
+
+
+_SQL_PROFILE_EVENTS = """
+SELECT * FROM (
+  SELECT 'event_id' AS column, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(event_id) AS n_nulls,
+         COUNT(DISTINCT event_id) AS n_distinct,
+         CAST(MIN(event_id) AS DOUBLE) AS min_num,
+         CAST(MAX(event_id) AS DOUBLE) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM events
+  UNION ALL
+  SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+         COUNT(DISTINCT user_id),
+         CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+         NULL, NULL
+  FROM events
+  UNION ALL
+  SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+         COUNT(DISTINCT event_type), NULL, NULL,
+         MIN(event_type), MAX(event_type)
+  FROM events
+  UNION ALL
+  SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+         COUNT(DISTINCT value),
+         CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE), NULL, NULL
+  FROM events
+  UNION ALL
+  SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+         COUNT(DISTINCT props), NULL, NULL, MIN(props), MAX(props)
+  FROM events
+)
+"""
+
+
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality sketch: estimated distinct users per event_type,
     deterministic md5 order statistics — the estimate itself hash-matches
@@ -3634,6 +3679,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_events": q_pivot_events,
     "incremental_agg": q_incremental_agg,
     "stream_incremental_agg": q_stream_incremental_agg,
+    "profile_events": q_profile_events,
     "pii_redact": q_pii_redact,
     "value_percentiles": q_value_percentiles,
     "repetition_stats": q_repetition_stats,
@@ -3661,6 +3707,8 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_agg": _SQL_INCREMENTAL_AGG,
     # four micro-batch merges == the same full recompute (associative DECIMALs)
     "stream_incremental_agg": _SQL_INCREMENTAL_AGG,
+    # one-scan wide aggregate unpivoted == per-column UNION ALL oracle
+    "profile_events": _SQL_PROFILE_EVENTS,
     # Java-regex and RE2 agree on the common-subset patterns (redact.py)
     "pii_redact": _SQL_PII_REDACT,
     "value_percentiles": _SQL_VALUE_PERCENTILES,
