@@ -2431,6 +2431,43 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor (operators/embstats.py): per-label,
+    per-dimension mean and variance from exact DECIMAL sums — the batch
+    health report an embedding pipeline diffs day over day."""
+    from rabitq_spark.operators.embstats import embedding_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_stats(emb, group_col="label", vec_col="embedding")
+
+
+_SQL_EMBEDDING_STATS = """
+WITH cells AS (
+  SELECT label AS "group", s.dim AS dim, s.x AS x FROM (
+    SELECT label,
+           unnest(list_transform(range(len(embedding)),
+             i -> {'dim': i, 'x': CAST(embedding[i+1] AS DOUBLE)})) AS s
+    FROM embeddings
+  )
+), agg AS (
+  -- floor-scaled exact-integer DECIMAL sums (operators/embstats.py:
+  -- double->DECIMAL tie rules differ across engines; integers do not round)
+  SELECT "group", dim, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(x * 562949953421312.0) AS DECIMAL(38,0)))
+              AS DOUBLE) AS s,
+         CAST(SUM(CAST(FLOOR(x * x * 70368744177664.0) AS DECIMAL(38,0)))
+              AS DOUBLE) AS ss
+  FROM cells GROUP BY 1, 2
+)
+SELECT "group", dim, n,
+       (s / 562949953421312.0) / n AS mean_val,
+       (ss / 70368744177664.0) / n
+         - ((s / 562949953421312.0) / n) * ((s / 562949953421312.0) / n)
+         AS var_val
+FROM agg
+"""
+
+
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling audit (operators/profile.py): per-column nulls,
     exact distinct counts, numeric/string ranges over the events table —
@@ -3680,6 +3717,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg": q_incremental_agg,
     "stream_incremental_agg": q_stream_incremental_agg,
     "profile_events": q_profile_events,
+    "embedding_stats": q_embedding_stats,
     "pii_redact": q_pii_redact,
     "value_percentiles": q_value_percentiles,
     "repetition_stats": q_repetition_stats,
@@ -3709,6 +3747,8 @@ ORACLE_SQL: dict[str, str] = {
     "stream_incremental_agg": _SQL_INCREMENTAL_AGG,
     # one-scan wide aggregate unpivoted == per-column UNION ALL oracle
     "profile_events": _SQL_PROFILE_EVENTS,
+    # exact DECIMAL sums -> identical IEEE divisions on both engines
+    "embedding_stats": _SQL_EMBEDDING_STATS,
     # Java-regex and RE2 agree on the common-subset patterns (redact.py)
     "pii_redact": _SQL_PII_REDACT,
     "value_percentiles": _SQL_VALUE_PERCENTILES,
