@@ -2468,6 +2468,56 @@ FROM agg
 """
 
 
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly flags: events whose value sits > 2σ from that
+    user's mean. Moments come from exact DECIMAL sums (event values carry 2
+    decimals — DECIMAL(38,4) holds value and value² exactly, so no cast
+    rounding exists to diverge); z is then sqrt/divide/subtract — single
+    IEEE ops, bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("__s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("__ss"),
+    )
+    mean = F.col("__s") / F.col("n")
+    var = F.col("__ss") / F.col("n") - mean * mean
+    enriched = ev.join(F.broadcast(stats), "user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        mean.alias("user_mean"),
+        F.sqrt(var).alias("user_std"),
+    )
+    z = (F.col("value") - F.col("user_mean")) / F.col("user_std")
+    return (
+        enriched.filter(F.col("user_std") > 0.0)
+        .select("event_id", "user_id", "value", "user_mean", "user_std", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.0)
+    )
+
+
+_SQL_EVENT_ANOMALIES = """
+WITH stats AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS ss
+  FROM events GROUP BY user_id
+), enriched AS (
+  SELECT e.event_id, e.user_id, e.value,
+         st.s / st.n AS user_mean,
+         sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)) AS user_std
+  FROM events e JOIN stats st ON e.user_id = st.user_id
+)
+SELECT event_id, user_id, value, user_mean, user_std,
+       (value - user_mean) / user_std AS z
+FROM enriched
+WHERE user_std > 0.0 AND abs((value - user_mean) / user_std) > 2.0
+"""
+
+
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling audit (operators/profile.py): per-column nulls,
     exact distinct counts, numeric/string ranges over the events table —
@@ -3718,6 +3768,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_incremental_agg": q_stream_incremental_agg,
     "profile_events": q_profile_events,
     "embedding_stats": q_embedding_stats,
+    "event_anomalies": q_event_anomalies,
     "pii_redact": q_pii_redact,
     "value_percentiles": q_value_percentiles,
     "repetition_stats": q_repetition_stats,
@@ -3749,6 +3800,8 @@ ORACLE_SQL: dict[str, str] = {
     "profile_events": _SQL_PROFILE_EVENTS,
     # exact DECIMAL sums -> identical IEEE divisions on both engines
     "embedding_stats": _SQL_EMBEDDING_STATS,
+    # exact 2-decimal moments: no cast rounding exists to diverge
+    "event_anomalies": _SQL_EVENT_ANOMALIES,
     # Java-regex and RE2 agree on the common-subset patterns (redact.py)
     "pii_redact": _SQL_PII_REDACT,
     "value_percentiles": _SQL_VALUE_PERCENTILES,
