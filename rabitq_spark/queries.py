@@ -2468,6 +2468,91 @@ FROM agg
 """
 
 
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-user aggregates: 5-event trailing sum/mean ordered by
+    event time — window frames (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    are identical constructs in Spark and DuckDB; the rolling sum is an
+    exact DECIMAL fold emitted as double, so bit-exactness carries through
+    the frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    roll_sum = F.sum(F.col("value").cast("decimal(38,4)")).over(w).cast("double")
+    roll_n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        roll_sum.alias("roll_sum"),
+        (roll_sum / roll_n).alias("roll_mean"),
+        roll_n.alias("roll_n"),
+    )
+
+
+_SQL_ROLLING = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS roll_sum,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS roll_mean,
+       COUNT(*) OVER w AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph — the clustering signal
+    that separates genuine duplicate CLIQUES from chained false positives
+    (a transitive-closure group with few triangles is LSH chaining, not one
+    template). Canonical-orientation two-join plan: edges ordered a<b, join
+    a→b→c, close with (a,c) — each triangle counted once, integer-exact."""
+    from rabitq_spark.operators.dedup import neardup_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_minhash_pairs(
+        docs, shingle_words=3, n_bands=8, threshold=0.8
+    ).select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).distinct()
+    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
+def _sql_triangle_count() -> str:
+    return f"""
+WITH pairs AS (
+{_SQL_NEARDUP_MINHASH}
+), e AS (
+  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b FROM pairs
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT doc_id, COUNT(*) AS n_triangles FROM (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY doc_id
+"""
+
+
 def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user anomaly flags: events whose value sits > 2σ from that
     user's mean. Moments come from exact DECIMAL sums (event values carry 2
@@ -3769,6 +3854,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_events": q_profile_events,
     "embedding_stats": q_embedding_stats,
     "event_anomalies": q_event_anomalies,
+    "rolling_user_value": q_rolling_user_value,
+    "triangle_count": q_triangle_count,
     "pii_redact": q_pii_redact,
     "value_percentiles": q_value_percentiles,
     "repetition_stats": q_repetition_stats,
@@ -3802,6 +3889,10 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_stats": _SQL_EMBEDDING_STATS,
     # exact 2-decimal moments: no cast rounding exists to diverge
     "event_anomalies": _SQL_EVENT_ANOMALIES,
+    # identical ROWS-frame windows; DECIMAL rolling sums
+    "rolling_user_value": _SQL_ROLLING,
+    # canonical-orientation triangle join, integer-exact
+    "triangle_count": _sql_triangle_count(),
     # Java-regex and RE2 agree on the common-subset patterns (redact.py)
     "pii_redact": _SQL_PII_REDACT,
     "value_percentiles": _SQL_VALUE_PERCENTILES,

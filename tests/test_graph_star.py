@@ -81,3 +81,25 @@ def test_star_empty_edges_all_isolated(spark):
 
     got = _run(spark, connected_components_star, 5, [])
     assert got == {i: i for i in range(5)}
+
+
+def test_triangle_join_counts_each_once(spark):
+    # reuse the canonical-orientation plan from q_triangle_count on a known
+    # graph: K4 on {0,1,2,3} (4 triangles, each node in 3) + pendant 4-5
+    from pyspark.sql import functions as F
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(4, 5)]
+    e = spark.createDataFrame(edges, ["a", "b"])
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    assert tri.count() == 4
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("n"))
+        .groupBy("n")
+        .count()
+        .collect()
+    )
+    counts = {r["n"]: r["count"] for r in per_node}
+    assert counts == {0: 3, 1: 3, 2: 3, 3: 3}
