@@ -72,28 +72,37 @@ def fuzzy_self_pairs(
     max_dist — exact result set via deletion-neighborhood blocking."""
     if not 1 <= max_dist <= 2:
         raise ValueError("max_dist must be 1 or 2 (explode cost is O(len^d))")
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("txt"),
-        F.explode(_deletion_variants(F.col(text_col), max_dist)).alias("variant"),
+    from rabitq_spark.operators.dedup import _widen
+
+    ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    # widen first: variant generation is CPU-bound codegen and would
+    # otherwise run on as many cores as the table has files (measured 489 s
+    # -> ~20 s at sf1.0, PLAN.md round-3 part-8); keep ONLY (id, variant) in
+    # the shuffle — texts re-attach after the distinct, so the widest stage
+    # moves two longs + the key instead of two full strings
+    keyed = _widen(ids).select(
+        "id",
+        F.explode(_deletion_variants(F.col("txt"), max_dist)).alias("variant"),
     )
-    a = keyed.select(
-        F.col("id").alias("id_a"), F.col("txt").alias("txt_a"), "variant"
-    )
-    b = keyed.select(
-        F.col("id").alias("id_b"), F.col("txt").alias("txt_b"), "variant"
-    )
+    a = keyed.select(F.col("id").alias("id_a"), "variant")
+    b = keyed.select(F.col("id").alias("id_b"), "variant")
     cand = (
         a.join(b, "variant")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "txt_a", "txt_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    ta = ids.select(F.col("id").alias("id_a"), F.col("txt").alias("__txt_a"))
+    tb = ids.select(F.col("id").alias("id_b"), F.col("txt").alias("__txt_b"))
+    # no explicit broadcast: AQE turns these into broadcast joins whenever
+    # the name table fits, and falls back to shuffle joins when it doesn't
     return (
-        cand.select(
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
             "id_a",
             "id_b",
-            F.levenshtein("txt_a", "txt_b").alias("dist"),
+            F.levenshtein("__txt_a", "__txt_b").alias("dist"),
         )
         .filter(F.col("dist") <= max_dist)
     )
@@ -113,20 +122,24 @@ def fuzzy_join(
     variant key is the only shuffle key, so the big sides never cross-join."""
     if not 1 <= max_dist <= 2:
         raise ValueError("max_dist must be 1 or 2 (explode cost is O(len^d))")
-    a = left.select(
-        F.col(left_id).alias("id_a"),
-        F.col(left_text).alias("txt_a"),
-        F.explode(_deletion_variants(F.col(left_text), max_dist)).alias("variant"),
+    from rabitq_spark.operators.dedup import _widen
+
+    la = left.select(F.col(left_id).alias("id_a"), F.col(left_text).alias("__txt_a"))
+    rb = right.select(
+        F.col(right_id).alias("id_b"), F.col(right_text).alias("__txt_b")
     )
-    b = right.select(
-        F.col(right_id).alias("id_b"),
-        F.col(right_text).alias("txt_b"),
-        F.explode(_deletion_variants(F.col(right_text), max_dist)).alias("variant"),
+    a = _widen(la).select(
+        "id_a",
+        F.explode(_deletion_variants(F.col("__txt_a"), max_dist)).alias("variant"),
     )
-    cand = a.join(b, "variant").select("id_a", "id_b", "txt_a", "txt_b").distinct()
+    b = _widen(rb).select(
+        "id_b",
+        F.explode(_deletion_variants(F.col("__txt_b"), max_dist)).alias("variant"),
+    )
+    cand = a.join(b, "variant").select("id_a", "id_b").distinct()
     return (
-        cand.select(
-            "id_a", "id_b", F.levenshtein("txt_a", "txt_b").alias("dist")
-        )
+        cand.join(la, "id_a")
+        .join(rb, "id_b")
+        .select("id_a", "id_b", F.levenshtein("__txt_a", "__txt_b").alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
