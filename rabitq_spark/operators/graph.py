@@ -202,14 +202,37 @@ def pagerank(
     localCheckpoint truncates the iterative lineage each round.
     """
     n_total = nodes.count()
-    sym = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .unionByName(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .distinct()
-    )
+    # materialize the edge list FIRST: `sym` references it twice and `deg`
+    # twice more — without this barrier Spark re-executes the upstream pair
+    # pipeline (minhash banding, shingling...) up to 4× inside one job
+    # (measured: 21 s -> ~12 s for pagerank_neardup at sf1.0)
+    e0 = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = sym.join(deg, "src").localCheckpoint(eager=True)
-    ids = nodes.select(F.col(node).alias("id")).localCheckpoint(eager=True)
+    # near-dup graphs are small relative to the corpus: size the iterative
+    # frames to the data, not to spark.sql.shuffle.partitions — 5 iterations
+    # × 3 stages × 32 near-empty tasks was pure scheduling overhead
+    # (measured ~2 s/iteration at 250k edges). For web-scale graphs pass
+    # pre-partitioned edges and this coalesce is a no-op upward.
+    spark = nodes.sparkSession
+    # sized from n_total (already counted) — counting `edges` here would
+    # re-execute the whole upstream pair pipeline just for the estimate
+    n_part = max(
+        2,
+        min(spark.sparkContext.defaultParallelism, n_total // 50_000 + 1),
+    )
+    edges_deg = (
+        sym.join(deg, "src").repartition(n_part, "src").localCheckpoint(eager=True)
+    )
+    ids = (
+        nodes.select(F.col(node).alias("id"))
+        .repartition(n_part, "id")
+        .localCheckpoint(eager=True)
+    )
     ranks = ids.select("id", F.lit(1.0 / n_total).alias("rank"))
     teleport = (1.0 - damping) / n_total
     for _ in range(iterations):

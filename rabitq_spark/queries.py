@@ -2975,13 +2975,22 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch itself oracle-checkable — integer counters, bit-exact. The CMS
     guarantee (est ≥ true, overshoot only on collisions) is asserted in
     tests/test_sketch.py."""
-    from rabitq_spark.functions.sketch import cms_build, cms_estimate
+    from rabitq_spark.functions.sketch import cms_build_from_counts, cms_estimate
     from rabitq_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    from rabitq_spark.operators.dedup import _widen
+
+    docs = _widen(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokens("text")).alias("token"))
-    counters = cms_build(toks, "token", depth=_CMS_D, width=_CMS_W)
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE corpus aggregation feeds both the exact counts and the sketch;
+    # localCheckpoint materializes the vocab-sized result so the two
+    # consumers don't re-run the 13M-token explode (measured at sf1.0)
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    counters = cms_build_from_counts(counts, "token", "cnt", _CMS_D, _CMS_W)
     top = (
         topk_per_group(
             counts.withColumn("g", F.lit(1)),
