@@ -2518,11 +2518,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.dedup import neardup_minhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup_minhash_pairs(
-        docs, shingle_words=3, n_bands=8, threshold=0.8
-    ).select(
-        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
-    ).distinct()
+    # materialize once: e1/e2/e3 reference the pair pipeline three times
+    # (measured 15.7 -> ~8 s at sf1.0 with the barrier)
+    pairs = (
+        neardup_minhash_pairs(docs, shingle_words=3, n_bands=8, threshold=0.8)
+        .select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -2607,10 +2613,16 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling audit (operators/profile.py): per-column nulls,
     exact distinct counts, numeric/string ranges over the events table —
     ONE scan, wide aggregate unpivoted to the report layout."""
+    from rabitq_spark.operators.dedup import _widen
     from rabitq_spark.operators.profile import profile_table
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value", "props"
+    # widen: the multi-COUNT(DISTINCT) plan expands each row once per
+    # distinct aggregate (6x here) before the two-phase agg — on the raw
+    # 3-file events table that CPU work ran on 3 cores
+    ev = _widen(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value", "props"
+        )
     )
     return profile_table(ev)
 
