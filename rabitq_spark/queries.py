@@ -2935,8 +2935,11 @@ FROM m
 
 def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.functions.text import lang_guess
+    from rabitq_spark.operators.dedup import _widen
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widen: the n-gram profile scoring is the heaviest per-row codegen in
+    # the text family and the raw table has only as many partitions as files
+    docs = _widen(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", lang_guess("text").alias("lang_pred"))
 
 
