@@ -235,3 +235,51 @@ def bpe_token_counts(
             F.sum("n_tok").cast("int").alias("n_bpe"),
         )
     )
+
+
+def bpe_tokenize_segmented(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    segment_every: int = 64,
+) -> DataFrame:
+    """bpe_tokenize for LONG merge lists (real tokenizers: thousands of
+    merges): the merge chain runs on the DISTINCT-word vocabulary, broken
+    into segments of `segment_every` folds with a localCheckpoint barrier
+    between — chain depth per plan stays bounded, so the codegen budget
+    never blows regardless of list length. Documents then recover their
+    token arrays through one word-keyed join + positional reassembly.
+
+    Output and semantics identical to bpe_tokenize (tested equal); cost is
+    |vocab| × len(merges) fold work + ONE corpus shuffle, vs bpe_tokenize's
+    |corpus| × len(merges) in a single unbounded-depth projection.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    words = F.transform(w, lambda x: F.lower(x)) if lowercase else w
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(words).alias("pos", "w")
+    )
+    vocab = occ.select("w").distinct()
+    cur = vocab.select("w", _chars(F.col("w")).alias("__sym"))
+    for s in range(0, len(merges), segment_every):
+        expr = F.col("__sym")
+        for m in merges[s : s + segment_every]:
+            expr = _merge_pair(expr, m[0], m[1])
+        cur = cur.select("w", expr.alias("__sym")).localCheckpoint(eager=False)
+    per_doc = (
+        occ.join(cur, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "__sym"))),
+                    lambda x: x["__sym"],
+                )
+            ).alias("bpe_tokens")
+        )
+    )
+    return per_doc.select(
+        "doc_id", "bpe_tokens", F.size("bpe_tokens").alias("n_bpe")
+    )

@@ -120,3 +120,27 @@ def test_bpe_token_counts_equal_full_tokenize(spark):
     full = {r.doc_id: r.n_bpe for r in bpe_tokenize(docs, merges).collect()}
     fast = {r.doc_id: r.n_bpe for r in bpe_token_counts(docs, merges).collect()}
     assert full == fast
+
+
+def test_segmented_tokenize_equals_plain(spark, sf_dir):
+    import pandas as pd
+
+    from rabitq_spark.operators.bpe import (
+        bpe_tokenize,
+        bpe_tokenize_segmented,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    merges = bpe_train(docs, n_merges=30)
+    assert len(merges) == 30
+
+    def norm(df: "pd.DataFrame"):
+        df = df.sort_values("doc_id", ignore_index=True)
+        df["bpe_tokens"] = df["bpe_tokens"].apply(list)
+        return df
+
+    plain = norm(bpe_tokenize(docs, merges).toPandas())
+    # segment size far smaller than the list → several checkpoint barriers
+    seg = norm(bpe_tokenize_segmented(docs, merges, segment_every=7).toPandas())
+    assert plain.equals(seg)
