@@ -88,11 +88,14 @@ def embedding_norm_stats(
     rows = emb.select(F.col(group_col).alias("group"), norm_sq.alias("__nsq"))
     return rows.groupBy("group").agg(
         F.count(F.lit(1)).alias("n"),
-        # partition-proof mean: DECIMAL sum is associative (Spark-side only —
-        # this helper has no oracle, so the cast tie-rule caveat above
-        # doesn't apply)
+        # same floor-scaled exact-integer sum as embedding_stats, so the
+        # mean is engine-portable (oracle embedding_norms)
         (
-            F.sum(F.col("__nsq").cast("decimal(38,10)")).cast("double")
+            (
+                F.sum(F.floor(F.col("__nsq") * P_SS).cast("decimal(38,0)"))
+                .cast("double")
+                / P_SS
+            )
             / F.count(F.lit(1))
         ).alias("mean_norm_sq"),
         F.min("__nsq").alias("min_norm_sq"),

@@ -2609,6 +2609,35 @@ WHERE user_std > 0.0 AND abs((value - user_mean) / user_std) > 2.0
 """
 
 
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-vector norm health per label (operators/embstats.py::
+    embedding_norm_stats): norm² is a left-to-right fold, the group mean a
+    floor-scaled exact-integer sum — both engine-portable."""
+    from rabitq_spark.operators.embstats import embedding_norm_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_norm_stats(emb, group_col="label", vec_col="embedding")
+
+
+_SQL_EMBEDDING_NORMS = """
+WITH rows_n AS (
+  SELECT label AS "group",
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+           (a, x) -> a + x) AS nsq
+  FROM embeddings
+)
+SELECT "group", COUNT(*) AS n,
+       (CAST(SUM(CAST(FLOOR(nsq * 70368744177664.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 70368744177664.0) / COUNT(*) AS mean_norm_sq,
+       MIN(nsq) AS min_norm_sq,
+       MAX(nsq) AS max_norm_sq
+FROM rows_n GROUP BY "group"
+"""
+
+
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling audit (operators/profile.py): per-column nulls,
     exact distinct counts, numeric/string ranges over the events table —
@@ -3877,6 +3906,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_incremental_agg": q_stream_incremental_agg,
     "profile_events": q_profile_events,
     "embedding_stats": q_embedding_stats,
+    "embedding_norms": q_embedding_norms,
     "event_anomalies": q_event_anomalies,
     "rolling_user_value": q_rolling_user_value,
     "triangle_count": q_triangle_count,
@@ -3911,6 +3941,7 @@ ORACLE_SQL: dict[str, str] = {
     "profile_events": _SQL_PROFILE_EVENTS,
     # exact DECIMAL sums -> identical IEEE divisions on both engines
     "embedding_stats": _SQL_EMBEDDING_STATS,
+    "embedding_norms": _SQL_EMBEDDING_NORMS,
     # exact 2-decimal moments: no cast rounding exists to diverge
     "event_anomalies": _SQL_EVENT_ANOMALIES,
     # identical ROWS-frame windows; DECIMAL rolling sums
