@@ -2468,6 +2468,51 @@ FROM agg
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over event types: P(next | current) from
+    per-user time-ordered sequences (lag window + count ratio — one
+    shuffle keyed by user, one by transition pair). The probability is a
+    single IEEE division of exact counts, so it is bit-portable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_us", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n_pair"))
+    totals = counts.groupBy("cur").agg(F.sum("n_pair").alias("n_cur"))
+    return counts.join(totals, "cur").select(
+        "cur",
+        "nxt",
+        "n_pair",
+        (F.col("n_pair") / F.col("n_cur")).alias("p_next"),
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), counts AS (
+  SELECT cur, nxt, COUNT(*) AS n_pair FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+), totals AS (
+  SELECT cur, SUM(n_pair) AS n_cur FROM counts GROUP BY cur
+)
+SELECT c.cur, c.nxt, c.n_pair,
+       c.n_pair / CAST(t.n_cur AS DOUBLE) AS p_next
+FROM counts c JOIN totals t ON c.cur = t.cur
+"""
+
+
 def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling per-user aggregates: 5-event trailing sum/mean ordered by
     event time — window frames (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -3908,6 +3953,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_stats": q_embedding_stats,
     "embedding_norms": q_embedding_norms,
     "event_anomalies": q_event_anomalies,
+    "event_transitions": q_event_transitions,
     "rolling_user_value": q_rolling_user_value,
     "triangle_count": q_triangle_count,
     "pii_redact": q_pii_redact,
@@ -3944,6 +3990,8 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_norms": _SQL_EMBEDDING_NORMS,
     # exact 2-decimal moments: no cast rounding exists to diverge
     "event_anomalies": _SQL_EVENT_ANOMALIES,
+    # exact-count ratio: one IEEE division, bit-portable
+    "event_transitions": _SQL_EVENT_TRANSITIONS,
     # identical ROWS-frame windows; DECIMAL rolling sums
     "rolling_user_value": _SQL_ROLLING,
     # canonical-orientation triangle join, integer-exact
