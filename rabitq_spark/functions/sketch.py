@@ -142,3 +142,62 @@ def cms_estimate(counters, probes, value_col: str, depth: int = 4, width: int = 
         joined.groupBy(*out_cols)
         .agg(F.min(F.coalesce("__ccnt", F.lit(0))).alias("cms_est"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: bounded-memory approximate membership
+
+
+def bloom_positions(value: Column | str, n_hashes: int, n_bits: int) -> Column:
+    """Array of `n_hashes` bit positions for `value` (md5-salted, engine-
+    portable — same derivation family as cms_bucket/kmv_hash)."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(v.cast("string"), F.lit(f"#bloom{j}"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % n_bits
+            ).cast("int")
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(df, value_col: str, n_hashes: int = 3, n_bits: int = 4096):
+    """The set bits of a Bloom filter over a value column: one row per SET
+    bit position — at most n_bits rows however large the input. Filters
+    merge by UNION (bit-OR); membership via bloom_probe. The md5 bit
+    derivation is deterministic, so false positives are REPRODUCIBLE and
+    the whole structure oracle-checkable (bloom_decontaminate)."""
+    return (
+        df.select(F.explode(bloom_positions(value_col, n_hashes, n_bits)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits, probes, value_col: str, n_hashes: int = 3, n_bits: int = 4096
+):
+    """probes + `maybe_member` (true iff every hash bit is set — no false
+    negatives, deterministic false positives). The bit table broadcasts
+    (≤ n_bits rows); the probe stream never shuffles."""
+    out_cols = list(probes.columns)
+    cells = probes.select(
+        "*", F.explode(bloom_positions(value_col, n_hashes, n_bits)).alias("bit")
+    )
+    joined = cells.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    return joined.groupBy(*out_cols).agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce("__set", F.lit(0)))).alias(
+            "maybe_member"
+        )
+    )

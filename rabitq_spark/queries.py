@@ -2468,6 +2468,62 @@ FROM agg
 """
 
 
+_BLOOM_K, _BLOOM_M = 3, 256
+
+
+def q_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (functions/sketch.py): build the filter over
+    users who purchased, probe EVERY user, and emit the Bloom verdict beside
+    exact membership — n_bits=256 is deliberately small so deterministic
+    false positives appear and are hash-checked too (no false negatives, by
+    construction). At 100 TB this is the decontamination-by-membership
+    pattern: the filter is ≤ n_bits rows however large the build side."""
+    from rabitq_spark.functions.sketch import bloom_build, bloom_probe
+
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    bits = bloom_build(buyers, "user_id", _BLOOM_K, _BLOOM_M)
+    probes = ev.select("user_id").distinct()
+    bloomed = bloom_probe(bits, probes, "user_id", _BLOOM_K, _BLOOM_M)
+    exact = buyers.withColumn("is_member", F.lit(True))
+    return bloomed.join(exact, "user_id", "left").select(
+        "user_id",
+        "maybe_member",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+
+
+def _sql_bloom_members() -> str:
+    def pos(j: int) -> str:
+        return (
+            "CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || "
+            f"'#bloom{j}'), 1, 15)) AS BIGINT) % {_BLOOM_M} AS INT)"
+        )
+
+    pos_cols = ", ".join(pos(j) for j in range(_BLOOM_K))
+    return f"""
+WITH buyers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT unnest([{pos_cols}]) AS bit FROM buyers
+  )
+), probes AS (
+  SELECT DISTINCT user_id FROM events
+), cells AS (
+  SELECT user_id, unnest([{pos_cols}]) AS bit FROM probes
+)
+SELECT c.user_id,
+       COUNT(*) = SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END)
+         AS maybe_member,
+       MAX(CASE WHEN bu.user_id IS NULL THEN FALSE ELSE TRUE END) AS is_member
+FROM cells c
+LEFT JOIN bits b ON b.bit = c.bit
+LEFT JOIN buyers bu ON bu.user_id = c.user_id
+GROUP BY c.user_id
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over event types: P(next | current) from
     per-user time-ordered sequences (lag window + count ratio — one
@@ -3954,6 +4010,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": q_embedding_norms,
     "event_anomalies": q_event_anomalies,
     "event_transitions": q_event_transitions,
+    "bloom_members": q_bloom_members,
     "rolling_user_value": q_rolling_user_value,
     "triangle_count": q_triangle_count,
     "pii_redact": q_pii_redact,
@@ -3992,6 +4049,8 @@ ORACLE_SQL: dict[str, str] = {
     "event_anomalies": _SQL_EVENT_ANOMALIES,
     # exact-count ratio: one IEEE division, bit-portable
     "event_transitions": _SQL_EVENT_TRANSITIONS,
+    # deterministic md5 bit derivation: false positives reproduce bit-exactly
+    "bloom_members": _sql_bloom_members(),
     # identical ROWS-frame windows; DECIMAL rolling sums
     "rolling_user_value": _SQL_ROLLING,
     # canonical-orientation triangle join, integer-exact

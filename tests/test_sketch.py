@@ -35,7 +35,6 @@ def test_kmv_deterministic_across_partitionings(spark):
 
 
 def test_cms_upper_bound_and_merge(spark, sf_dir):
-    from pyspark.sql import functions as F
 
     from rabitq_spark.functions.sketch import cms_build, cms_estimate
     from rabitq_spark.functions.text import tokens
@@ -63,3 +62,28 @@ def test_cms_upper_bound_and_merge(spark, sf_dir):
     full = counters.toPandas().sort_values(["depth_idx", "bucket"], ignore_index=True)
     m = merged.toPandas().sort_values(["depth_idx", "bucket"], ignore_index=True)
     assert full.astype("int64").equals(m.astype("int64"))
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+
+    from rabitq_spark.functions.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(i,) for i in range(0, 200, 2)], ["v"])
+    others = spark.createDataFrame([(i,) for i in range(1, 200, 2)], ["v"])
+    bits = bloom_build(members, "v", n_hashes=3, n_bits=1 << 14)
+    allv = members.unionByName(others)
+    out = {r["v"]: r["maybe_member"] for r in
+           bloom_probe(bits, allv, "v", 3, 1 << 14).collect()}
+    # no false negatives, ever
+    assert all(out[v] for v in range(0, 200, 2))
+    # at 16k bits / 100 members FPs should be rare
+    fps = sum(1 for v in range(1, 200, 2) if out[v])
+    assert fps <= 5, fps
+    # filters merge by union of set bits
+    half_a = bloom_build(members.filter("v < 100"), "v", 3, 1 << 14)
+    half_b = bloom_build(members.filter("v >= 100"), "v", 3, 1 << 14)
+    merged = half_a.unionByName(half_b).distinct()
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in bits.collect()
+    )
+
