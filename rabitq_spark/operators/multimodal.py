@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed by Arrow-batched pandas iterators.
 
-The decode step is STUBBED (no image/audio libraries in this container —
-see `decode_image`): the Spark-side contract — schema, Arrow binary
-transfer, mapInPandas batch shape, partition behavior — is real and tested.
-A deterministic fake feature extractor (byte histogram) stands in for a
-real CNN/fbank so the pipeline has checkable output.
+Image decode is REAL for codec-free containers: PPM (P6) and uncompressed
+24-bit BMP parse to pixel arrays in pure numpy (`decode_ppm`/`decode_bmp`),
+with nearest-neighbor resize; the decoded path is oracle-checked end to end
+(image_channel_stats). Entropy-coded formats (JPEG/PNG) dispatch to PIL
+when available and otherwise raise — this container ships no codec libs,
+and faking those would be dishonest. The generic feature extractor remains
+the deterministic byte-histogram stand-in for a learned encoder.
 
 At 100 TB: binary payloads ride in Parquet alongside metadata, partition
 pruning works on the metadata columns, and the per-batch Python cost is one
@@ -45,19 +47,87 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to pixels. STUB: PIL/libvips are not in this
-    container; the real implementation is one import away."""
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decode of a binary PPM (P6) image to an (H, W, 3) uint8 array —
+    pure numpy, no codec library. Raises ValueError on malformed input."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> pixel data;
+    # '#' comments allowed between tokens
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    need = w * h * 3
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    return px.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decode of an uncompressed 24-bit BMP to (H, W, 3) uint8 RGB —
+    pure numpy (bottom-up row order and 4-byte row padding handled)."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize — the deterministic, library-free resampler."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return img[yi][:, xi]
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (H, W, 3) uint8 RGB array.
+
+    PPM (P6) and uncompressed 24-bit BMP decode for REAL in pure numpy —
+    no codec library needed. Other containers (JPEG/PNG/...) dispatch to
+    PIL when available and otherwise raise: this container ships no codec
+    libs, and faking entropy-coded formats would be dishonest."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
     try:
-        from PIL import Image  # noqa: F401  (absent here by design)
         import io
 
-        return Image.open(io.BytesIO(payload))
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:  # pragma: no cover - exercised only w/o PIL
         raise NotImplementedError(
-            "image decode requires PIL/pillow; container ships without it — "
-            "the surrounding Spark plumbing (schema, Arrow binary batches, "
-            "partitioning) is real and tested with the fake extractor"
+            "JPEG/PNG decode requires PIL/pillow (absent in this container); "
+            "PPM and 24-bit BMP decode natively above"
         ) from exc
 
 
@@ -126,3 +196,50 @@ def frame_sample(
             )
 
     return media.select("media_id", payload_col).mapInPandas(_sample, out_schema)
+
+
+def decode_channel_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image decode in the pipeline: parse each payload with
+    decode_image (PPM/BMP native) and emit per-channel statistics —
+    (media_id, width, height, r_mean, g_mean, b_mean). Means are exact
+    integer sums divided once (single IEEE division → engine-portable, the
+    image_channel_stats oracle checks the whole decode path bit-for-bit).
+    Arrow-batched mapInPandas; per-batch numpy, never per-row Python in
+    the driver.
+    """
+    ensure_package_on_executors(media.sparkSession)
+    out_schema = (
+        "media_id bigint, width int, height int, "
+        "r_mean double, g_mean double, b_mean double"
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rabitq_spark.operators.multimodal import decode_image
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, ws, hs, rs, gs, bs = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                img = decode_image(bytes(payload))
+                h, w = img.shape[:2]
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                npx = float(h * w)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                rs.append(float(sums[0]) / npx)
+                gs.append(float(sums[1]) / npx)
+                bs.append(float(sums[2]) / npx)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "r_mean": rs,
+                    "g_mean": gs,
+                    "b_mean": bs,
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(_stats, out_schema)

@@ -2468,6 +2468,49 @@ FROM agg
 """
 
 
+def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding in the pipeline: each document's text bytes are
+    packed into a valid binary PPM (P6, 8×6) payload in pure Column
+    expressions; the Spark side then PARSES the PPM (header + pixel layout,
+    operators/multimodal.py::decode_ppm — pure numpy, no codec lib) and
+    emits per-channel means. The oracle recomputes the expected means from
+    the construction directly, so any decoder bug (header length, channel
+    interleave, row order) breaks the hash."""
+    from rabitq_spark.operators.multimodal import decode_channel_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("P6\n8 6\n255\n"),
+                F.substring(F.repeat(F.col("text"), 4), 1, 144),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return decode_channel_stats(media)
+
+
+_SQL_IMAGE_STATS = """
+WITH body AS (
+  SELECT doc_id AS media_id, substr(repeat(text, 4), 1, 144) AS b
+  FROM documents
+), px AS (
+  SELECT media_id, t.i AS i, ascii(substr(b, t.i + 1, 1)) AS v
+  FROM body, (SELECT unnest(range(144)) AS i) t
+)
+SELECT media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS DOUBLE)
+         / CAST(48 AS DOUBLE) AS r_mean,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS DOUBLE)
+         / CAST(48 AS DOUBLE) AS g_mean,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS DOUBLE)
+         / CAST(48 AS DOUBLE) AS b_mean
+FROM px GROUP BY media_id
+"""
+
+
 _BLOOM_K, _BLOOM_M = 3, 256
 
 
@@ -4011,6 +4054,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_anomalies": q_event_anomalies,
     "event_transitions": q_event_transitions,
     "bloom_members": q_bloom_members,
+    "image_channel_stats": q_image_channel_stats,
     "rolling_user_value": q_rolling_user_value,
     "triangle_count": q_triangle_count,
     "pii_redact": q_pii_redact,
@@ -4051,6 +4095,8 @@ ORACLE_SQL: dict[str, str] = {
     "event_transitions": _SQL_EVENT_TRANSITIONS,
     # deterministic md5 bit derivation: false positives reproduce bit-exactly
     "bloom_members": _sql_bloom_members(),
+    # real PPM parse on the Spark side vs construction-mirror oracle
+    "image_channel_stats": _SQL_IMAGE_STATS,
     # identical ROWS-frame windows; DECIMAL rolling sums
     "rolling_user_value": _SQL_ROLLING,
     # canonical-orientation triangle join, integer-exact

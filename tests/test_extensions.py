@@ -215,3 +215,51 @@ def test_asof_forward_and_nearest_semantics(spark):
         ).collect()
     }
     assert back[2] == 100  # latest at-or-before 205
+
+
+def test_image_decoders_roundtrip():
+    import numpy as np
+
+    from rabitq_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+
+    # PPM P6 with a header comment
+    ppm = b"P6\n# comment\n7 5\n255\n" + img.tobytes()
+    assert (decode_ppm(ppm) == img).all()
+    assert (decode_image(ppm) == img).all()
+
+    # 24-bit BMP: bottom-up rows, BGR, 4-byte row padding (7*3=21 -> 24)
+    stride = (7 * 3 + 3) & ~3
+    rows = []
+    for y in range(4, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    header = (
+        b"BM"
+        + (14 + 40 + len(pixel_data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (7).to_bytes(4, "little", signed=True)
+        + (5).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + b"\x00" * 20
+    )
+    bmp = header + pixel_data
+    assert (decode_bmp(bmp) == img).all()
+    assert (decode_image(bmp) == img).all()
+
+    # nearest-neighbor resize: exact pixel provenance
+    up = resize_nearest(img, 14, 10)
+    assert up.shape == (10, 14, 3)
+    assert (up[::2][:, ::2] == img).all()
