@@ -243,3 +243,102 @@ def decode_channel_stats(media: DataFrame, payload_col: str = "payload") -> Data
             )
 
     return media.select("media_id", payload_col).mapInPandas(_stats, out_schema)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of a RIFF/WAVE payload to (samples, sample_rate) — pure
+    numpy chunk walking, no audio library. Supports PCM (format 1) 8-bit
+    unsigned and 16-bit signed, mono or interleaved multi-channel (returned
+    as (n_frames, n_channels) for multi-channel, 1-D for mono)."""
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError("only PCM WAV supported")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    else:
+        raise ValueError("only 8/16-bit PCM supported")
+    if n_channels > 1:
+        samples = samples[: len(samples) // n_channels * n_channels].reshape(
+            -1, n_channels
+        )
+    return samples, sample_rate
+
+
+def wav_header_pcm8_mono(n_samples: int, sample_rate: int = 8000) -> bytes:
+    """A valid 44-byte RIFF header for 8-bit mono PCM of n_samples — the
+    construction half used by tests and the audio_level_stats fixture."""
+    data_size = n_samples
+    return (
+        b"RIFF"
+        + (36 + data_size).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + sample_rate.to_bytes(4, "little")
+        + sample_rate.to_bytes(4, "little")  # byte rate (8-bit mono)
+        + (1).to_bytes(2, "little")      # block align
+        + (8).to_bytes(2, "little")      # bits per sample
+        + b"data"
+        + data_size.to_bytes(4, "little")
+    )
+
+
+def decode_audio_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode in the pipeline: parse each payload with decode_wav
+    and emit (media_id, n_samples, sample_rate, mean_level, peak_level).
+    Mean is an exact integer sum divided once (engine-portable; oracle
+    audio_level_stats)."""
+    ensure_package_on_executors(media.sparkSession)
+    out_schema = (
+        "media_id bigint, n_samples int, sample_rate int, "
+        "mean_level double, peak_level int"
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rabitq_spark.operators.multimodal import decode_wav
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, ns, srs, means, peaks = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                samples, sr = decode_wav(bytes(payload))
+                flat = samples.reshape(-1)
+                ids.append(mid)
+                ns.append(len(flat))
+                srs.append(sr)
+                means.append(float(int(flat.sum(dtype=np.int64))) / float(len(flat)))
+                peaks.append(int(flat.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": np.asarray(ns, dtype=np.int32),
+                    "sample_rate": np.asarray(srs, dtype=np.int32),
+                    "mean_level": means,
+                    "peak_level": np.asarray(peaks, dtype=np.int32),
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(_stats, out_schema)

@@ -2511,6 +2511,46 @@ FROM px GROUP BY media_id
 """
 
 
+def q_audio_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding: each document's text bytes become the PCM data
+    of a valid 8-bit mono RIFF/WAVE payload (constant 44-byte header for
+    the fixed 120-sample length, built once in Python and concatenated as a
+    binary literal); Spark WALKS THE RIFF CHUNKS (multimodal.py::decode_wav)
+    and emits level stats. The oracle mirrors the construction, so header
+    arithmetic, chunk walking, and sample extraction are all hash-checked."""
+    from rabitq_spark.operators.multimodal import (
+        decode_audio_stats,
+        wav_header_pcm8_mono,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    header = wav_header_pcm8_mono(120, sample_rate=8000)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(bytearray(header)),
+            F.encode(F.substring(F.repeat(F.col("text"), 4), 1, 120), "UTF-8"),
+        ).alias("payload"),
+    )
+    return decode_audio_stats(media)
+
+
+_SQL_AUDIO_STATS = """
+WITH body AS (
+  SELECT doc_id AS media_id, substr(repeat(text, 4), 1, 120) AS b
+  FROM documents
+), px AS (
+  SELECT media_id, ascii(substr(b, t.i + 1, 1)) AS v
+  FROM body, (SELECT unnest(range(120)) AS i) t
+)
+SELECT media_id, CAST(120 AS INT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(SUM(v) AS DOUBLE) / CAST(120 AS DOUBLE) AS mean_level,
+       CAST(MAX(v) AS INT) AS peak_level
+FROM px GROUP BY media_id
+"""
+
+
 _BLOOM_K, _BLOOM_M = 3, 256
 
 
@@ -4055,6 +4095,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "bloom_members": q_bloom_members,
     "image_channel_stats": q_image_channel_stats,
+    "audio_level_stats": q_audio_level_stats,
     "rolling_user_value": q_rolling_user_value,
     "triangle_count": q_triangle_count,
     "pii_redact": q_pii_redact,
@@ -4097,6 +4138,8 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_members": _sql_bloom_members(),
     # real PPM parse on the Spark side vs construction-mirror oracle
     "image_channel_stats": _SQL_IMAGE_STATS,
+    # real RIFF chunk walk on the Spark side vs construction-mirror oracle
+    "audio_level_stats": _SQL_AUDIO_STATS,
     # identical ROWS-frame windows; DECIMAL rolling sums
     "rolling_user_value": _SQL_ROLLING,
     # canonical-orientation triangle join, integer-exact

@@ -263,3 +263,33 @@ def test_image_decoders_roundtrip():
     up = resize_nearest(img, 14, 10)
     assert up.shape == (10, 14, 3)
     assert (up[::2][:, ::2] == img).all()
+
+
+def test_wav_decoder_roundtrip():
+    import numpy as np
+
+    from rabitq_spark.operators.multimodal import decode_wav, wav_header_pcm8_mono
+
+    data = bytes(range(100)) * 2
+    wav = wav_header_pcm8_mono(len(data), sample_rate=16000) + data
+    samples, sr = decode_wav(wav)
+    assert sr == 16000
+    assert (samples == np.frombuffer(data, dtype=np.uint8)).all()
+
+    # 16-bit stereo with an extra chunk before data (chunk-walk coverage)
+    pcm = np.arange(-8, 8, dtype="<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (44100 * 4).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    body = (
+        b"WAVEfmt " + (16).to_bytes(4, "little") + fmt
+        + extra
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    wav2 = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + body
+    s2, sr2 = decode_wav(wav2)
+    assert sr2 == 44100 and s2.shape == (8, 2)
+    assert (s2.reshape(-1) == np.arange(-8, 8)).all()
