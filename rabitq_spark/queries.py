@@ -2286,6 +2286,95 @@ FROM events GROUP BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the audit a pipeline runs between ingest
+    versions: full-outer join on doc_id with content fingerprints, one row
+    per change class (added / removed / changed / unchanged) with counts.
+    Snapshot B is derived deterministically from A (drop doc_id % 11 == 0,
+    patch text of % 7 == 0, add shifted ids), so the diff is non-vacuous
+    and both engines construct it identically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    snap_b = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.lit("v2: "), F.col("text"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = docs.select("doc_id", F.md5("text").alias("fp_a"))
+    b = snap_b.select("doc_id", F.md5("text").alias("fp_b"))
+    j = a.join(b, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") == F.col("fp_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(change.alias("change")).groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS fp_a FROM documents
+), b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN 'v2: ' || text ELSE text END) AS fp_b
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, md5(text) FROM documents WHERE doc_id % 13 = 0
+)
+SELECT CASE WHEN a.fp_a IS NULL THEN 'added'
+            WHEN b.fp_b IS NULL THEN 'removed'
+            WHEN a.fp_a = b.fp_b THEN 'unchanged'
+            ELSE 'changed' END AS change,
+       COUNT(*) AS n_docs
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+GROUP BY 1
+"""
+
+
+def q_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation through a materialized aggregate:
+    instead of rescanning history, the per-user state absorbs a NEGATED
+    delta of the forgotten users' events (operators/matview.py retraction
+    path — counts and DECIMAL sums are sign-symmetric, fully-retracted keys
+    drop). The oracle recomputes from scratch without those users, so the
+    retraction algebra is hash-checked end to end."""
+    from rabitq_spark.operators.matview import agg_state, merge_agg_state
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    keys, sums = ["user_id"], ["value"]
+    state = agg_state(ev, keys, sums)
+    forgotten = ev.filter(F.col("user_id") % 17 == 0)
+    neg = agg_state(forgotten, keys, sums).select(
+        "user_id",
+        (-F.col("cnt")).alias("cnt"),
+        (-F.col("sum_value")).alias("sum_value"),
+    )
+    out = merge_agg_state(state, neg, keys, sums)
+    return out.select(
+        "user_id", "cnt", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+_SQL_FORGET_USERS = """
+SELECT user_id, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM events WHERE user_id % 17 <> 0 GROUP BY user_id
+"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (functions/redact.py). The testdata corpus carries
     no PII-like tokens (verified: zero rows match [0-9@]), so the query
@@ -4099,6 +4188,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_user_value": q_rolling_user_value,
     "triangle_count": q_triangle_count,
     "pii_redact": q_pii_redact,
+    "snapshot_diff": q_snapshot_diff,
+    "forget_users": q_forget_users,
     "value_percentiles": q_value_percentiles,
     "repetition_stats": q_repetition_stats,
     "contamination_check": q_contamination_check,
@@ -4146,6 +4237,9 @@ ORACLE_SQL: dict[str, str] = {
     "triangle_count": _sql_triangle_count(),
     # Java-regex and RE2 agree on the common-subset patterns (redact.py)
     "pii_redact": _SQL_PII_REDACT,
+    "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+    # retraction-merged state == recompute without the forgotten users
+    "forget_users": _SQL_FORGET_USERS,
     "value_percentiles": _SQL_VALUE_PERCENTILES,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
