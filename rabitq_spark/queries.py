@@ -707,6 +707,67 @@ def q_ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → live index: an op-tagged change stream (deletes for
+    id % 13, reversed-vector upserts for id % 7, inserts at id + 10⁷)
+    applies to the SERVING index via delete_from_index + upsert_into_index —
+    composing the lakehouse CDC surface (operators/cdc.py semantics) with
+    index mutation, no rebuild, untouched codes never recomputed.
+    Exhaustive search == brute force over the changelog-applied base."""
+    from rabitq_spark.index import search
+    from rabitq_spark.index.build import delete_from_index, upsert_into_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    deletes = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    upserts = (
+        emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 13 != 0))
+        .select(F.col("vec_id").alias("id"), F.reverse("embedding").alias("vec"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 17 == 0).select(
+                (F.col("vec_id") + 10000000).alias("id"),
+                F.col("embedding").alias("vec"),
+            )
+        )
+    )
+    model = delete_from_index(_get_model(spark, sf_dir), deletes)
+    model = upsert_into_index(model, upserts)
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
+_SQL_KNN_CDC = f"""
+WITH post AS (
+  SELECT vec_id, CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding)
+                      ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 13 <> 0
+  UNION ALL
+  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 17 = 0
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {_KNN_NQ}
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, len(b.embedding)+1),
+             i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM post b, q
+)
+SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {_KNN_K}
+"""
+
+
 _SQL_KNN_UPSERT = f"""
 WITH post AS (
   SELECT vec_id,
@@ -4120,6 +4181,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_delete": q_ann_ivf_delete,
     "ann_ivf_compacted": q_ann_ivf_compacted,
     "ann_ivf_upsert": q_ann_ivf_upsert,
+    "ann_ivf_cdc": q_ann_ivf_cdc,
     "ann_stream_index": q_ann_stream_index,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
@@ -4284,6 +4346,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_compacted": _SQL_KNN_DELETE,
     # delete+frozen-append upsert then exhaustive == brute force post-upsert
     "ann_ivf_upsert": _SQL_KNN_UPSERT,
+    # changelog-applied index, exhaustive == brute force post-changelog
+    "ann_ivf_cdc": _SQL_KNN_CDC,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
