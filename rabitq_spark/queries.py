@@ -797,6 +797,51 @@ SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
 # registered so the judge can see Catalyst handling them: multi-way joins
 # with broadcast dims, semi/anti joins, rollup grouping)
 
+_Q18_QTY = 300
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind orders whose total lineitem
+    quantity exceeds a threshold — aggregate-HAVING feeding a semi join,
+    then the detail join. The HAVING side aggregates lineitem once; the
+    order/customer joins broadcast the (small) qualifying set."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(_dec_sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+_SQL_Q18 = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate, o.o_totalprice,
+       b.sum_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) > {_Q18_QTY}
+) b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + filter + agg + top-10."""
     cust = load_table(spark, sf_dir, "customer")
@@ -4182,6 +4227,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_compacted": q_ann_ivf_compacted,
     "ann_ivf_upsert": q_ann_ivf_upsert,
     "ann_ivf_cdc": q_ann_ivf_cdc,
+    "large_volume_orders": q_large_volume_orders,
     "ann_stream_index": q_ann_stream_index,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
@@ -4348,6 +4394,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_upsert": _SQL_KNN_UPSERT,
     # changelog-applied index, exhaustive == brute force post-changelog
     "ann_ivf_cdc": _SQL_KNN_CDC,
+    # TPC-H Q18 shape: aggregate-HAVING semi join + detail joins
+    "large_volume_orders": _SQL_Q18,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
