@@ -103,3 +103,81 @@ def test_rough_expr_matches_scalar_model(spark):
             * np.sqrt(np.float64(np.float32(row["y_c_dist_sq"])))
         )
         assert abs(got[row["i"]] - want) < 1e-6 * max(1.0, abs(want))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=50.0, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    splits=st.integers(min_value=1, max_value=5),
+)
+def test_matview_merge_associative_property(vals, splits):
+    """Any partitioning of rows into increments merges to the same exact
+    DECIMAL state as one aggregation — the invariant behind incremental_agg
+    and stream_incremental_agg (checked here in pure decimal arithmetic)."""
+    from decimal import Decimal
+
+    def dec(x):
+        return Decimal(str(round(x, 4)))
+
+    rows = [dec(v) for v in vals]
+    # one-shot state
+    total = sum(rows, Decimal(0))
+    # arbitrary increment partitioning, merged by addition
+    k = max(1, len(rows) // splits)
+    merged = Decimal(0)
+    for i in range(0, len(rows), k):
+        merged += sum(rows[i : i + k], Decimal(0))
+    assert merged == total
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_ppm_bmp_decode_roundtrip_property(seed):
+    from rabitq_spark.operators.multimodal import decode_bmp, decode_ppm
+
+    rng = np.random.RandomState(seed)
+    h, w = int(rng.randint(1, 9)), int(rng.randint(1, 9))
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    ppm = f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+    assert (decode_ppm(ppm) == img).all()
+    stride = (w * 3 + 3) & ~3
+    rows = b"".join(
+        img[y, :, ::-1].tobytes().ljust(stride, b"\x00")
+        for y in range(h - 1, -1, -1)
+    )
+    header = (
+        b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\x00" * 20
+    )
+    assert (decode_bmp(header + rows) == img).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=10_000), max_size=40),
+    probes=st.sets(st.integers(min_value=0, max_value=10_000), max_size=40),
+)
+def test_bloom_position_math_no_false_negatives(members, probes):
+    """Pure-python mirror of the md5 bit derivation: members always pass."""
+    import hashlib
+
+    def bits(v, k=3, m=4096):
+        return {
+            int(hashlib.md5(f"{v}#bloom{j}".encode()).hexdigest()[:15], 16) % m
+            for j in range(k)
+        }
+
+    filt = set()
+    for v in members:
+        filt |= bits(v)
+    # no false negatives, ever (false positives are allowed by contract)
+    for v in members:
+        assert bits(v) <= filt
