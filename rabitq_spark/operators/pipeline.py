@@ -58,7 +58,15 @@ def training_pipeline(
     surv = docs.join(
         keep.withColumnRenamed("doc_id", id_col).select(id_col), id_col
     )
-    dc = decontaminate(surv, eval_docs, id_col=id_col, text_col=text_col, ngram=4)
+    # barrier at the fan-out point: dup_span_profile references its input
+    # TWICE (gram explosion + per-doc token counts) and Spark re-executes
+    # rather than CSE-ing — without this the decontamination stage computes
+    # 2-3x inside one job (measured at sf1.0; PLAN.md part-8 law #2). A lazy
+    # localCheckpoint collapses the references to one shared RDD while
+    # keeping the pipeline a single driver program.
+    dc = decontaminate(
+        surv, eval_docs, id_col=id_col, text_col=text_col, ngram=4
+    ).localCheckpoint(eager=False)
     prof = dup_span_profile(
         dc, id_col=id_col, text_col=text_col, k=k, min_docs=min_docs
     ).withColumn("n_tok_clean", F.col("n_tokens") - F.col("dup_tokens"))
