@@ -33,7 +33,10 @@ def ann_search(
     if isinstance(base, RaBitQModel):
         return search(base, queries, topk=k, **search_kwargs)
     if base_count is None:
-        base_count = base.count()
+        # bounded probe (round-2 verdict pattern): reads at most
+        # threshold+1 rows instead of a full-scan count — the dispatch only
+        # needs to know which SIDE of the threshold the base is on
+        base_count = base.limit(BRUTE_FORCE_MAX_BASE + 1).count()
     if base_count <= BRUTE_FORCE_MAX_BASE:
         return knn_exact_refined(
             queries, base, k, query_id="query_id", query_vec="qvec"
