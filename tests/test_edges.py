@@ -1,0 +1,86 @@
+"""Degenerate-input robustness: empty query batches, no-match corpora,
+empty deltas — the operators must return empty/identity results, not throw."""
+
+from pyspark.sql import functions as F
+
+
+def test_search_empty_query_batch(spark, sf_dir):
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.index import build_index, search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    model = build_index(base, RaBitQConfig(n_clusters=8, topk=5))
+    empty_q = emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    assert search(model, empty_q, topk=5).count() == 0
+
+
+def test_minhash_no_pairs_corpus(spark):
+    from rabitq_spark.operators.dedup import neardup_minhash_pairs
+    from rabitq_spark.operators.graph import neardup_groups
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(20))) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    pairs = neardup_minhash_pairs(docs, shingle_words=3, n_bands=8, threshold=0.8)
+    assert pairs.count() == 0
+    groups = neardup_groups(docs, pairs).collect()
+    assert len(groups) == 8
+    assert all(r["is_dup"] == 0 and r["group_size"] == 1 for r in groups)
+
+
+def test_matview_empty_delta(spark):
+    from rabitq_spark.operators.matview import agg_state, incremental_refresh
+
+    rows = spark.createDataFrame([(1, 2.0), (2, 3.0)], ["user_id", "value"])
+    empty = rows.filter("user_id < 0")
+    state = agg_state(rows, ["user_id"], ["value"])
+    refreshed = incremental_refresh(state, empty, ["user_id"], ["value"])
+    a = sorted(map(tuple, state.collect()))
+    b = sorted(map(tuple, refreshed.collect()))
+    assert a == b
+
+
+def test_phrase_search_absent_word(spark):
+    from rabitq_spark.operators.invindex import phrase_search
+
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    assert phrase_search(docs, "a zz").count() == 0
+    assert phrase_search(docs, "zz").count() == 0
+
+
+def test_bloom_probe_empty_filter(spark):
+    from rabitq_spark.functions.sketch import bloom_build, bloom_probe
+
+    empty = spark.createDataFrame([], "v bigint")
+    bits = bloom_build(empty, "v")
+    probes = spark.createDataFrame([(1,), (2,)], ["v"])
+    out = bloom_probe(bits, probes, "v").collect()
+    assert len(out) == 2 and not any(r["maybe_member"] for r in out)
+
+
+def test_sq8_constant_dimension(spark):
+    # a constant dimension has lo == hi: codes must stay finite and the
+    # exhaustive result must still equal brute force
+    from rabitq_spark.index.sq8 import sq8_search, sq8_train
+    from rabitq_spark.operators.knn import knn_exact
+
+    rows = [(i, [float(i % 5), 7.0, float(i)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "vec"]).select(
+        "id", F.col("vec").cast("array<float>").alias("vec")
+    )
+    lo, hi = sq8_train(df, "vec")
+    assert lo[1] == hi[1]
+    q = df.filter("id < 3").select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    exact = knn_exact(q, df, 4).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    sq = sq8_search(q, df, 4, lo, hi, shortlist=10**9).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    assert exact.equals(sq)
