@@ -438,6 +438,108 @@ def q_ann_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _get_stream_cdc_model(spark: SparkSession, sf_dir: str):
+    """Bootstrap the even ids, then stream two op-tagged CDC batches:
+    batch 0 upserts reversed vectors for id % 8 == 0 and inserts the odd
+    ids with id % 9 == 1; batch 1 deletes id % 16 == 0. Visibility resolves
+    through sequence-versioned tombstones at load
+    (streaming/index_stream.py::load_index_with_tombstones)."""
+    key = ("stream_cdc", sf_dir)
+    if key not in _MODEL_CACHE:
+        import tempfile
+
+        from rabitq_spark.config import RaBitQConfig
+        from rabitq_spark.index import build_index
+        from rabitq_spark.streaming.index_stream import (
+            load_index_with_tombstones,
+            maintain_index_cdc_stream,
+            read_cdc_vector_stream,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        boot = emb.filter(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        model_path = tempfile.mkdtemp(prefix="rabitq_cdc_model_")
+        build_index(boot, RaBitQConfig()).save(model_path)
+        stream_in = tempfile.mkdtemp(prefix="rabitq_cdc_in_")
+        b0 = (
+            emb.filter((F.col("vec_id") % 8 == 0))
+            .select(
+                F.lit("upsert").alias("op"),
+                "vec_id",
+                F.reverse("embedding").alias("embedding"),
+            )
+            .unionByName(
+                emb.filter(
+                    (F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 9 == 1)
+                ).select(F.lit("upsert").alias("op"), "vec_id", "embedding")
+            )
+        )
+        b1 = emb.filter(F.col("vec_id") % 16 == 0).select(
+            F.lit("delete").alias("op"),
+            "vec_id",
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+        b0.coalesce(1).write.mode("append").parquet(stream_in)
+        b1.coalesce(1).write.mode("append").parquet(stream_in)
+        maintain_index_cdc_stream(
+            model_path,
+            read_cdc_vector_stream(spark, stream_in, max_files_per_trigger=1),
+            checkpoint=tempfile.mkdtemp(prefix="rabitq_cdc_ckpt_"),
+        )
+        model = load_index_with_tombstones(spark, model_path)
+        model.index_df = model.index_df.cache()
+        _MODEL_CACHE[key] = model
+    return _MODEL_CACHE[key]
+
+
+def q_ann_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC against a saved index: tombstoned deletes + versioned
+    upserts applied per micro-batch, visibility resolved at load — the
+    streaming twin of ann_ivf_cdc. Exhaustive search == brute force over
+    the post-CDC survivor set, so batch ordering, tombstone sequencing, and
+    the frozen-transform appends are all hash-checked bit-exact."""
+    from rabitq_spark.index import search
+
+    model = _get_stream_cdc_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
+_SQL_KNN_STREAM_CDC = f"""
+WITH post AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 8 = 0 THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE (vec_id % 2 = 0 OR (vec_id % 2 = 1 AND vec_id % 9 = 1))
+    AND vec_id % 16 <> 0
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {_KNN_NQ}
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, len(b.embedding)+1),
+             i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM post b, q
+)
+SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {_KNN_K}
+"""
+
+
 def _get_cosine_model(spark: SparkSession, sf_dir: str):
     """IVF index over unit-normalized embeddings: cosine ranking == L2 ranking
     on unit vectors, so the same index machinery serves cosine queries (the
@@ -4227,6 +4329,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_compacted": q_ann_ivf_compacted,
     "ann_ivf_upsert": q_ann_ivf_upsert,
     "ann_ivf_cdc": q_ann_ivf_cdc,
+    "ann_stream_cdc": q_ann_stream_cdc,
     "large_volume_orders": q_large_volume_orders,
     "ann_stream_index": q_ann_stream_index,
     "topk_orders_per_segment": q_topk_orders_per_segment,
@@ -4394,6 +4497,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_upsert": _SQL_KNN_UPSERT,
     # changelog-applied index, exhaustive == brute force post-changelog
     "ann_ivf_cdc": _SQL_KNN_CDC,
+    # streamed tombstoned CDC == brute force over the survivor set
+    "ann_stream_cdc": _SQL_KNN_STREAM_CDC,
     # TPC-H Q18 shape: aggregate-HAVING semi join + detail joins
     "large_volume_orders": _SQL_Q18,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)

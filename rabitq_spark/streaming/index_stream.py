@@ -107,3 +107,143 @@ def maintain_index_stream(
             f"{timeout_sec}s; the append at {model_path} is incomplete"
         )
     return q
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC maintenance: op-tagged deletes/upserts against a saved index
+
+
+def read_cdc_vector_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream of (op, vec_id, embedding) change rows — op is
+    'upsert' or 'delete' (embedding null for deletes)."""
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [
+            StructField("op", StringType()),
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def maintain_index_cdc_stream(
+    model_path: str,
+    cdc_stream: DataFrame,
+    checkpoint: str,
+    timeout_sec: int = 300,
+):
+    """Apply an op-tagged CDC stream to a saved index: every change row
+    writes a sequence-versioned TOMBSTONE (vec_id, seq) — the lakehouse
+    row-level-delete pattern — and upsert rows are additionally quantized
+    with the frozen transform and appended with the same seq. No existing
+    file is rewritten; `load_index_with_tombstones` resolves visibility at
+    read time (a row survives iff its seq >= every tombstone seq for its
+    id, so an upsert's new version outlives the tombstone written in its
+    own batch).
+
+    Scale shape per batch: one id-list append + one shuffle-free quantize
+    append — identical to maintain_index_stream plus a tiny tombstone file.
+    """
+    spark = cdc_stream.sparkSession
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.index.rotation import apply_rot_T
+
+    frozen = RaBitQModel.load(spark, model_path)
+    centroids = apply_rot_T(frozen.centroids_proj, frozen.rotation)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        seq = int(batch_id)
+        (
+            batch_df.select("vec_id", F.lit(seq).alias("seq"))
+            .write.mode("append")
+            .parquet(f"{model_path}/tombstones")
+        )
+        ups = batch_df.filter(F.col("op") != "delete").select("vec_id", "embedding")
+        if not ups.take(1):
+            return
+        appended = build_index(
+            ups,
+            frozen.config,
+            id_col="vec_id",
+            vec_col="embedding",
+            dim=frozen.dim,
+            centroids=centroids,
+            _frozen_state=(
+                frozen.rotation,
+                frozen.rand_bias,
+                frozen.centroids_proj,
+            ),
+        )
+        (
+            appended.index_df.withColumn("__seq", F.lit(seq))
+            .repartition("cluster_id")
+            .write.mode("append")
+            .partitionBy("cluster_id")
+            .parquet(f"{model_path}/index")
+        )
+        appended.base_df.withColumn("__seq", F.lit(seq)).write.mode(
+            "append"
+        ).parquet(f"{model_path}/base")
+
+    q = (
+        cdc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming CDC maintenance did not finish within {timeout_sec}s; "
+            f"the change application at {model_path} is incomplete"
+        )
+    return q
+
+
+def load_index_with_tombstones(spark: SparkSession, model_path: str) -> RaBitQModel:
+    """Load a CDC-maintained model resolving row visibility: a row written
+    at seq s (bootstrapped rows: s = -1) is visible iff s >= max tombstone
+    seq for its id. mergeSchema absorbs the bootstrapped files' missing
+    __seq column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    model = RaBitQModel.load(spark, model_path)
+    if not os.path.exists(f"{model_path}/tombstones"):
+        return model
+    tombs = (
+        spark.read.parquet(f"{model_path}/tombstones")
+        .groupBy("vec_id")
+        .agg(F.max("seq").alias("__tseq"))
+    )
+
+    def resolve(path: str, id_name: str) -> DataFrame:
+        raw = spark.read.option("mergeSchema", "true").parquet(path)
+        seq = F.coalesce(F.col("__seq"), F.lit(-1)) if "__seq" in raw.columns else F.lit(-1)
+        keyed = raw.withColumn("__s", seq)
+        out = (
+            keyed.join(
+                tombs.withColumnRenamed("vec_id", id_name), id_name, "left"
+            )
+            .filter(
+                F.col("__tseq").isNull() | (F.col("__s") >= F.col("__tseq"))
+            )
+            .drop("__tseq", "__s")
+        )
+        return out.drop("__seq") if "__seq" in raw.columns else out
+
+    model.index_df = resolve(f"{model_path}/index", "orig_id")
+    model.base_df = resolve(f"{model_path}/base", "orig_id")
+    return model

@@ -102,3 +102,59 @@ def test_stream_across_batches_flags_later_copy(spark):
     assert got[0] == (0, 0)
     assert got[5] == (5, 0)
     assert got[10] == (0, 1)  # exact copy in a LATER batch -> dup of 0
+
+
+def test_cdc_stream_equals_batch_index_ops(spark, sf_dir, tmp_path):
+    """Streamed tombstone CDC must land exactly where the batch
+    delete_from_index + upsert_into_index path lands."""
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.index import build_index, search
+    from rabitq_spark.index.build import delete_from_index, upsert_into_index
+    from rabitq_spark.streaming.index_stream import (
+        load_index_with_tombstones,
+        maintain_index_cdc_stream,
+        read_cdc_vector_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    boot = emb.filter("vec_id % 2 = 0").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cfg = RaBitQConfig(n_clusters=8, topk=5)
+    model_path = str(tmp_path / "model")
+    build_index(boot, cfg).save(model_path)
+
+    ups = emb.filter("vec_id % 6 = 0").select(
+        F.lit("upsert").alias("op"), "vec_id",
+        F.reverse("embedding").alias("embedding"),
+    )
+    dels = emb.filter("vec_id % 10 = 0").select(
+        F.lit("delete").alias("op"), "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    stream_in = str(tmp_path / "in")
+    ups.coalesce(1).write.mode("append").parquet(stream_in)
+    dels.coalesce(1).write.mode("append").parquet(stream_in)
+    maintain_index_cdc_stream(
+        model_path,
+        read_cdc_vector_stream(spark, stream_in, max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    streamed = load_index_with_tombstones(spark, model_path)
+
+    batch = build_index(boot, cfg)
+    batch = upsert_into_index(
+        batch, ups.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    )
+    batch = delete_from_index(batch, dels.select("vec_id"))
+
+    q = emb.filter("vec_id < 6").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    a = search(streamed, q, topk=5, nprobe=streamed.n_clusters, overfetch=10**6)
+    b = search(batch, q, topk=5, nprobe=batch.n_clusters, overfetch=10**6)
+    pa = a.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    pb = b.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    assert pa.equals(pb)
