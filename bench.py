@@ -172,7 +172,14 @@ def main() -> None:
     # model-backed queries additionally warm at the BENCH SF so their timed
     # run measures the search, not the one-time build/save/load that the
     # per-process model cache amortizes in production use
-    for name in ("ann_ivf_cold_index", "ann_ivf_cosine", "ann_stream_index"):
+    for name in (
+        "ann_ivf_cold_index",
+        "ann_ivf_cosine",
+        "ann_stream_index",
+        "ann_stream_cdc",
+        "stream_incremental_agg",
+        "neardup_stream",
+    ):
         if name in SPARK_QUERIES:
             try:
                 SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode(
