@@ -91,3 +91,89 @@ def maintain_agg_stream(
     if not latest:
         raise RuntimeError("stream produced no micro-batches")
     return latest[-1]
+
+
+def maintain_agg_stream_partitioned(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
+    n_buckets: int = 32,
+    timeout_sec: int = 120,
+) -> str:
+    """The AT-SCALE form of maintain_agg_stream: state lives in ONE
+    bucket-partitioned Parquet table (bucket = pmod(hash(keys), n_buckets))
+    and each micro-batch rewrites ONLY the buckets its delta touches, via
+    dynamic partition overwrite — per-batch I/O is O(|delta| + touched
+    buckets), not O(|state|) as in the versioned-copy form. This is how a
+    100 TB state absorbs a small delta: untouched buckets are never read
+    or written.
+
+    Returns the state table path; read it with spark.read.parquet and drop
+    the `__bucket` column.
+    """
+    from pyspark.sql import functions as F
+
+    done: list[int] = []
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__bucket", F.pmod(F.hash(*keys), F.lit(n_buckets))
+        )
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            delta = bucketed(agg_state(batch, keys, sum_cols, minmax_cols))
+            if done:
+                # read ONLY the touched buckets of the existing state —
+                # the IN-filter prunes untouched partitions at the scan
+                touched = [
+                    r["__bucket"]
+                    for r in delta.select("__bucket").distinct().collect()
+                ]
+                prev = spark.read.parquet(state_dir).filter(
+                    F.col("__bucket").isin(touched)
+                )
+                merged = merge_agg_state(
+                    prev.drop("__bucket"),
+                    delta.drop("__bucket"),
+                    keys,
+                    sum_cols,
+                    minmax_cols,
+                )
+                # materialize BEFORE the write: the merged plan reads the
+                # same path the dynamic overwrite writes; the checkpoint
+                # cuts the file-source lineage so this is a safe
+                # read-then-replace
+                out = bucketed(merged).localCheckpoint(eager=True)
+            else:
+                out = delta
+            (
+                out.repartition("__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(state_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        done.append(batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("partitioned aggregate maintenance did not finish")
+    if not done:
+        raise RuntimeError("stream produced no micro-batches")
+    return state_dir

@@ -88,3 +88,62 @@ def test_stream_maintenance_equals_batch(spark, tmp_path):
     # one state version per micro-batch, and the final pointer is the last
     versions = sorted(os.listdir(str(tmp_path / "state")))
     assert final.endswith(versions[-1]) and len(versions) >= 2
+
+
+def test_partitioned_stream_state_equals_batch(spark, tmp_path):
+    import os
+
+    from rabitq_spark.streaming.matview_stream import (
+        maintain_agg_stream_partitioned,
+        read_event_stream,
+    )
+
+    rows = [(i, i % 11, float(i) / 7.0) for i in range(300)]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    stream_in = str(tmp_path / "in")
+    for s in range(3):
+        ev.filter(f"event_id % 3 = {s}").coalesce(1).write.mode("append").parquet(
+            stream_in
+        )
+    state = maintain_agg_stream_partitioned(
+        read_event_stream(spark, stream_in, max_files_per_trigger=1),
+        state_dir=str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"),
+        keys=["user_id"],
+        sum_cols=["value"],
+        minmax_cols=["value"],
+        n_buckets=8,
+    )
+    got = _norm(spark.read.parquet(state).drop("__bucket"))
+    want = _norm(agg_state(ev, ["user_id"], ["value"], ["value"]))
+    assert got.equals(want)
+    # the state is ONE bucket-partitioned table, not a version chain
+    assert any(d.startswith("__bucket=") for d in os.listdir(str(tmp_path / "state")))
+
+
+def test_partitioned_overwrite_preserves_untouched_buckets(spark, tmp_path):
+    from rabitq_spark.streaming.matview_stream import (
+        maintain_agg_stream_partitioned,
+        read_event_stream,
+    )
+
+    base_rows = [(i, i % 11, 1.0) for i in range(110)]
+    extra = [(1000 + i, 5, 10.0) for i in range(4)]  # delta touches ONE user
+    ev = spark.createDataFrame(base_rows, ["event_id", "user_id", "value"])
+    ex = spark.createDataFrame(extra, ["event_id", "user_id", "value"])
+    stream_in = str(tmp_path / "in2")
+    ev.coalesce(1).write.mode("append").parquet(stream_in)
+    ex.coalesce(1).write.mode("append").parquet(stream_in)
+    state = maintain_agg_stream_partitioned(
+        read_event_stream(spark, stream_in, max_files_per_trigger=1),
+        state_dir=str(tmp_path / "state2"),
+        checkpoint=str(tmp_path / "ckpt2"),
+        keys=["user_id"],
+        sum_cols=["value"],
+        n_buckets=8,
+    )
+    got = _norm(spark.read.parquet(state).drop("__bucket"))
+    want = _norm(
+        agg_state(ev.unionByName(ex), ["user_id"], ["value"])
+    )
+    assert got.equals(want)  # users in untouched buckets kept their state
