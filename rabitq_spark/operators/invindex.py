@@ -35,21 +35,61 @@ def doc_token_positions(
 
 
 def build_inverted_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """(token, df, postings) where postings = sorted array of
-    (doc_id, positions[]) structs. One shuffle keyed by token."""
+    (doc_id, positions[]) structs. One shuffle keyed by token.
+
+    `max_df` bounds the posting-list arrays at scale: a stopword's
+    postings would otherwise be one array over the whole corpus (the
+    unbounded-state trap of naive inverted indexes). Tokens with
+    df > max_df keep their df but carry NULL postings — phrase_search
+    detects them and derives their positions from the corpus scan instead
+    (the right plan for common words anyway)."""
     per_doc = (
         doc_token_positions(docs, id_col, text_col)
         .groupBy("token", "doc_id")
         .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
     )
-    return per_doc.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.array_sort(F.collect_list(F.struct("doc_id", "positions"))).alias(
-            "postings"
-        ),
+    if max_df is None:
+        return per_doc.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_list(F.struct("doc_id", "positions"))).alias(
+                "postings"
+            ),
+        )
+    # prune BEFORE collecting (a when() after the agg would still build the
+    # stopword's full array): df via a token window, then the collect only
+    # runs over surviving rows. The window output is already partitioned by
+    # token, so the groupBy adds no extra exchange.
+    from pyspark.sql import Window
+
+    tagged = per_doc.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
     )
+    kept = (
+        tagged.filter(F.col("df") <= max_df)
+        .groupBy("token")
+        .agg(
+            F.first("df").alias("df"),
+            F.array_sort(F.collect_list(F.struct("doc_id", "positions"))).alias(
+                "postings"
+            ),
+        )
+    )
+    pruned = (
+        tagged.filter(F.col("df") > max_df)
+        .select("token", "df")
+        .distinct()
+        .withColumn(
+            "postings",
+            F.lit(None).cast(kept.schema["postings"].dataType),
+        )
+    )
+    return kept.unionByName(pruned)
 
 
 def phrase_search(
@@ -70,24 +110,40 @@ def phrase_search(
     words = [w for w in phrase.split(" ") if w]
     if not words:
         raise ValueError("empty phrase")
+    overflow: set[str] = set()
     if index is not None:
-        exploded = [
-            index.filter(F.col("token") == w)
-            .select(F.explode("postings").alias("p"))
-            .select(
-                F.col("p.doc_id").alias("doc_id"),
-                F.col("p.positions").alias(f"pos_{i}"),
+        # words whose postings were max_df-pruned fall back to the corpus
+        # scan (the hybrid stopword plan): len(words) rows collected, never
+        # more
+        overflow = {
+            r["token"]
+            for r in index.filter(
+                F.col("token").isin(list(words)) & F.col("postings").isNull()
             )
-            for i, w in enumerate(words)
-        ]
-    else:
-        positions = doc_token_positions(docs, id_col, text_col)
-        exploded = [
-            positions.filter(F.col("token") == w)
+            .select("token")
+            .collect()
+        }
+    scan_positions = None
+    if index is None or overflow:
+        scan_positions = doc_token_positions(docs, id_col, text_col)
+
+    def word_frame(i: int, w: str):
+        if index is not None and w not in overflow:
+            return (
+                index.filter(F.col("token") == w)
+                .select(F.explode("postings").alias("p"))
+                .select(
+                    F.col("p.doc_id").alias("doc_id"),
+                    F.col("p.positions").alias(f"pos_{i}"),
+                )
+            )
+        return (
+            scan_positions.filter(F.col("token") == w)
             .groupBy("doc_id")
             .agg(F.array_sort(F.collect_list("pos")).alias(f"pos_{i}"))
-            for i, w in enumerate(words)
-        ]
+        )
+
+    exploded = [word_frame(i, w) for i, w in enumerate(words)]
     joined = exploded[0]
     for nxt in exploded[1:]:
         joined = joined.join(nxt, "doc_id")

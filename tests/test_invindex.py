@@ -53,3 +53,29 @@ def test_index_df_counts(spark):
     assert idx["a"]["df"] == 2  # docs 0 and 3
     postings = {p["doc_id"]: list(p["positions"]) for p in idx["a"]["postings"]}
     assert postings == {0: [0, 1, 2], 3: [1, 2]}
+
+
+def test_max_df_pruning_and_hybrid_phrase(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # tiny max_df: common corpus words get NULL postings, rare ones keep them
+    idx = build_inverted_index(docs, max_df=50)
+    sample = idx.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("postings").isNull(), 1)).alias("n_pruned"),
+    ).first()
+    assert sample["n_pruned"] > 0, "max_df=50 should prune common words"
+    # hybrid phrase search (pruned words via scan) == pure scan plan
+    via_scan = (
+        phrase_search(docs, "table hash")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    via_hybrid = (
+        phrase_search(docs, "table hash", index=idx)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert via_scan.equals(via_hybrid)
+    assert len(via_scan) > 0
