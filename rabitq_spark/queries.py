@@ -4310,6 +4310,67 @@ LEFT JOIN lowq ON t.doc_id = lowq.doc_id
 """
 
 
+def q_curated_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full product loop composed end to end: curation verdicts
+    (dedup > contamination > repetition > quality) select the surviving
+    corpus, their embeddings build a fresh IVF+RaBitQ index, and retrieval
+    runs over it — exhaustive config == brute force over exactly the
+    curated survivor set, so the composition of the two oracle-checked
+    subsystems is itself hash-checked."""
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.index import build_index, search
+
+    key = (sf_dir, "curated_retrieval")
+    if key not in _MODEL_CACHE:
+        kept = (
+            q_curate_corpus(spark, sf_dir)
+            .filter(F.col("reason") == "kept")
+            .select("doc_id")
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.join(
+            kept.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+        ).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        model = build_index(base, RaBitQConfig())
+        model.index_df = model.index_df.cache()
+        _MODEL_CACHE[key] = model
+    model = _MODEL_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
+def _sql_curated_retrieval() -> str:
+    return f"""
+WITH kept AS (
+  SELECT doc_id FROM ({_SQL_CURATE}) WHERE reason = 'kept'
+), post AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN kept k ON e.vec_id = k.doc_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {_KNN_NQ}
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, len(b.embedding)+1),
+             i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM post b, q
+)
+SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {_KNN_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4330,6 +4391,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_upsert": q_ann_ivf_upsert,
     "ann_ivf_cdc": q_ann_ivf_cdc,
     "ann_stream_cdc": q_ann_stream_cdc,
+    "curated_retrieval": q_curated_retrieval,
     "large_volume_orders": q_large_volume_orders,
     "ann_stream_index": q_ann_stream_index,
     "topk_orders_per_segment": q_topk_orders_per_segment,
@@ -4499,6 +4561,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_cdc": _SQL_KNN_CDC,
     # streamed tombstoned CDC == brute force over the survivor set
     "ann_stream_cdc": _SQL_KNN_STREAM_CDC,
+    # curation verdicts -> survivor index -> exhaustive == brute force
+    "curated_retrieval": _sql_curated_retrieval(),
     # TPC-H Q18 shape: aggregate-HAVING semi join + detail joins
     "large_volume_orders": _SQL_Q18,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)
