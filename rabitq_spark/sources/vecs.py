@@ -28,6 +28,9 @@ _ELEM = {
     "fvecs": (np.float32, "array<float>"),
     "ivecs": (np.int32, "array<int>"),
     "u64vecs": (np.uint64, "array<bigint>"),
+    # SIFT1B-style byte vectors; u8 payload surfaces as smallint (Spark has
+    # no unsigned byte — tinyint would wrap 128..255)
+    "bvecs": (np.uint8, "array<smallint>"),
 }
 
 
@@ -65,6 +68,8 @@ def read_vecs(spark: SparkSession, path: str, kind: str = "fvecs") -> DataFrame:
                 vecs = decode_vecs_bytes(bytes(row["content"]), kind)
                 if kind == "u64vecs":
                     vecs = [v.view(np.int64) for v in vecs]
+                elif kind == "bvecs":
+                    vecs = [v.astype(np.int16) for v in vecs]
                 yield pd.DataFrame(
                     {"id": np.arange(len(vecs), dtype=np.int64), "vec": vecs}
                 )

@@ -293,3 +293,18 @@ def test_wav_decoder_roundtrip():
     s2, sr2 = decode_wav(wav2)
     assert sr2 == 44100 and s2.shape == (8, 2)
     assert (s2.reshape(-1) == np.arange(-8, 8)).all()
+
+
+def test_bvecs_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from rabitq_spark.sources.vecs import decode_vecs_bytes, read_vecs, write_vecs
+
+    vecs = [np.array([0, 1, 127, 128, 255], np.uint8), np.array([42], np.uint8)]
+    path = str(tmp_path / "t.bvecs")
+    write_vecs(path, vecs, "bvecs")
+    decoded = decode_vecs_bytes(open(path, "rb").read(), "bvecs")
+    np.testing.assert_array_equal(decoded[0], vecs[0])
+    df = read_vecs(spark, path, "bvecs").toPandas().sort_values("id")
+    got = [list(v) for v in df["vec"]]
+    assert got == [[0, 1, 127, 128, 255], [42]]  # 128..255 survive (smallint)
