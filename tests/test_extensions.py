@@ -308,3 +308,24 @@ def test_bvecs_roundtrip(spark, tmp_path):
     df = read_vecs(spark, path, "bvecs").toPandas().sort_values("id")
     got = [list(v) for v in df["vec"]]
     assert got == [[0, 1, 127, 128, 255], [42]]  # 128..255 survive (smallint)
+
+
+def test_video_container_decoder():
+    import numpy as np
+
+    from rabitq_spark.operators.multimodal import decode_video_frames
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (3, 2, 3), dtype=np.uint8) for _ in range(3)]
+    payload = b"".join(b"P6\n2 3\n255\n" + f.tobytes() for f in frames)
+    out = decode_video_frames(payload)
+    assert len(out) == 3
+    for a, b in zip(out, frames):
+        assert (a == b).all()
+    # mixed frame sizes parse too (each frame has its own header)
+    payload2 = (
+        b"P6\n2 3\n255\n" + frames[0].tobytes()
+        + b"P6\n1 1\n255\n" + bytes([9, 8, 7])
+    )
+    out2 = decode_video_frames(payload2)
+    assert out2[1].shape == (1, 1, 3) and list(out2[1][0, 0]) == [9, 8, 7]
