@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed by Arrow-batched pandas iterators.
 
-Image decode is REAL for codec-free containers: PPM (P6) and uncompressed
-24-bit BMP parse to pixel arrays in pure numpy (`decode_ppm`/`decode_bmp`),
-with nearest-neighbor resize; the decoded path is oracle-checked end to end
-(image_channel_stats). Entropy-coded formats (JPEG/PNG) dispatch to PIL
-when available and otherwise raise — this container ships no codec libs,
-and faking those would be dishonest. The generic feature extractor remains
-the deterministic byte-histogram stand-in for a learned encoder.
+Decode is REAL for every codec-free container: PPM (P6) and uncompressed
+24-bit BMP images (`decode_ppm`/`decode_bmp`, nearest-neighbor resize),
+RIFF/WAVE PCM audio (`decode_wav`, chunk walker), and concatenated-PPM
+video (`decode_video_frames`, per-frame header walk + sampling) — all pure
+numpy, each oracle-checked end to end (image_channel_stats /
+audio_level_stats / video_frame_stats). Entropy-coded formats (JPEG/PNG/
+MP3/H.264) dispatch to PIL when available and otherwise raise — this
+container ships no codec libs, and faking those would be dishonest. The
+generic feature extractor remains the deterministic byte-histogram
+stand-in for a learned encoder.
 
 At 100 TB: binary payloads ride in Parquet alongside metadata, partition
 pruning works on the metadata columns, and the per-batch Python cost is one
@@ -173,9 +176,10 @@ def extract_features(media: DataFrame, payload_col: str = "payload") -> DataFram
 def frame_sample(
     media: DataFrame, n_frames: int = 4, payload_col: str = "payload"
 ) -> DataFrame:
-    """Video frame sampling stand-in: split the payload into n_frames equal
-    byte slices (one output row per frame). Real frame decode is stubbed the
-    same way as decode_image; the explode/repartition shape is the real part."""
+    """OPAQUE-payload frame sampling: split the payload into n_frames equal
+    byte slices (one output row per frame) — the shape for containers whose
+    codec is unavailable. For concatenated-PPM video the REAL parser is
+    decode_video_frames/video_frame_stats."""
     ensure_package_on_executors(media.sparkSession)
     out_schema = "media_id bigint, frame_no int, frame_bytes binary"
 
