@@ -38,15 +38,25 @@ from rabitq_spark.functions.vector import l2_squared
 from rabitq_spark.operators.topk import topk_per_group
 
 
-def sq8_train(base: DataFrame, vec_col: str = "vec") -> tuple[list[float], list[float]]:
-    """Per-dimension [lo, hi] bounds: posexplode → groupBy(pos) min/max.
+def sq8_train(
+    base: DataFrame,
+    vec_col: str = "vec",
+    max_sample_rows: int = 200_000,
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [lo, hi] bounds: posexplode → groupBy(pos) min/max,
+    over at most `max_sample_rows` rows — at 100 TB the full explode would
+    shuffle n×dim rows for two numbers per dimension. Sampled bounds cost
+    nothing in CORRECTNESS (encode clamps to [0, 255], the exact rerank
+    recomputes true distances); out-of-sample extremes only soften rough
+    ordering at the tails.
 
-    One shuffle of (dim) groups; the driver collects dim pairs of doubles.
-    Degenerate dimensions (lo == hi) get width 1 so encode/decode stays
-    finite (every code is 0 there and contributes 0 to distances).
+    The driver collects dim pairs of doubles. Degenerate dimensions
+    (lo == hi) get width 1 so encode stays finite (code 0, zero distance
+    contribution).
     """
+    sample = base.limit(max_sample_rows) if max_sample_rows else base
     stats = (
-        base.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        sample.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
         .groupBy("pos")
         .agg(
             F.min(F.col("x").cast("double")).alias("lo"),
