@@ -181,3 +181,60 @@ def test_bloom_position_math_no_false_negatives(members, probes):
     # no false negatives, ever (false positives are allowed by contract)
     for v in members:
         assert bits(v) <= filt
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=1000))
+def test_asof_backward_matches_pandas_merge_asof(spark, seed):
+    """Random (key, ts) frames: asof_join_backward must agree with pandas'
+    reference merge_asof implementation (direction='backward')."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    nl, nr = 25, 30
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, nl),
+            "ts": rng.randint(0, 100, nl).astype("int64"),
+            "lid": np.arange(nl, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, nr),
+            "ts": rng.randint(0, 100, nr).astype("int64"),
+            "payload": rng.randint(0, 1000, nr).astype("int64"),
+        }
+    )
+    # unique (k, ts) on the right: merge_asof picks the LAST among equal
+    # timestamps by input order, our operator by tie_col — dedupe to make
+    # the reference unambiguous
+    right = right.drop_duplicates(["k", "ts"], keep="last").reset_index(drop=True)
+    right["rid"] = np.arange(len(right), dtype="int64")
+
+    from rabitq_spark.operators.asof import asof_join_backward
+
+    got = (
+        asof_join_backward(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=("payload",),
+            tie_col="rid",
+        )
+        .toPandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+        suffixes=("", "_r"),
+    ).sort_values("lid", ignore_index=True)
+    got_payload = got["asof_payload"].astype("float64")
+    want_payload = want["payload"].astype("float64")
+    assert got_payload.equals(want_payload), (seed, got, want)
