@@ -319,6 +319,60 @@ FROM embeddings WHERE vec_id < {_JL_NQ}"""
     return "\nUNION ALL\n".join(selects)
 
 
+def q_ann_jl_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce-then-index: embeddings project to 16 dims (deterministic JL
+    signs), the IVF+RaBitQ index builds in PROJECTED space, the shortlist
+    comes from projected search, and the exact rerank runs on the ORIGINAL
+    vectors — the standard recipe for very high-dim corpora (project 4096 →
+    a few hundred before quantizing). Registered exhaustively (shortlist =
+    whole table, rerank-all) so the output equals brute force bit-for-bit
+    while the full project→index→search→rerank path executes."""
+    from rabitq_spark.config import RaBitQConfig
+    from rabitq_spark.functions.project import jl_project, jl_signs
+    from rabitq_spark.functions.vector import l2_squared
+    from rabitq_spark.index import build_index, search
+
+    key = (sf_dir, "jl_ivf")
+    if key not in _MODEL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        signs = jl_signs(_JL_K, dim)
+        proj_base = emb.select(
+            F.col("vec_id").alias("id"),
+            jl_project("embedding", signs).cast("array<float>").alias("vec"),
+        )
+        model = build_index(proj_base, RaBitQConfig())
+        model.index_df = model.index_df.cache()
+        _MODEL_CACHE[key] = (model, signs)
+    model, signs = _MODEL_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj_q = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        jl_project("embedding", signs).cast("array<float>").alias("qvec"),
+    )
+    short = search(
+        model, proj_q, topk=10**6, nprobe=model.n_clusters, overfetch=10**6
+    ).select("query_id", "neighbor_id")
+    orig_q = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    orig_b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__bv")
+    )
+    scored = (
+        short.join(orig_b, "neighbor_id")
+        .join(F.broadcast(orig_q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_squared(F.col("__qv"), F.col("__bv")).alias("dist"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], _KNN_K
+    ).select("query_id", "neighbor_id", "dist", "rank")
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate search at default nprobe/overfetch, reported as per-query
     recall@k vs the exact oracle (A8, src/utils.rs:367-379). Not
@@ -4419,6 +4473,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_multibit": q_ann_ivf_multibit,
     "ann_sq8": q_ann_sq8,
     "jl_project": q_jl_project,
+    "ann_jl_ivf": q_ann_jl_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_ivf_cold_index": q_ann_ivf_cold_index,
     "ann_ivf_cosine": q_ann_ivf_cosine,
@@ -4581,6 +4636,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_sq8": _SQL_KNN_EXACT,
     # same md5-derived sign matrix inlined into both engines
     "jl_project": _sql_jl_project(),
+    # project->index->search->exact-rerank, exhaustive == brute force
+    "ann_jl_ivf": _SQL_KNN_EXACT,
     # saved→loaded index, exhaustive == exact brute force (production read path)
     "ann_ivf_cold_index": _SQL_KNN_EXACT,
     # IVF over unit vectors serves cosine; output == brute-force cosine
