@@ -177,6 +177,7 @@ def main() -> None:
         "ann_ivf_cosine",
         "ann_stream_index",
         "ann_stream_cdc",
+        "ann_jl_ivf",
         "curated_retrieval",
         "stream_incremental_agg",
         "neardup_stream",
