@@ -2835,7 +2835,7 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(
             F.concat(
                 F.lit("P6\n8 6\n255\n"),
-                F.substring(F.repeat(F.col("text"), 4), 1, 144),
+                F.rpad(F.repeat(F.col("text"), 2), 144, " "),
             ),
             "UTF-8",
         ).alias("payload"),
@@ -2845,7 +2845,7 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_IMAGE_STATS = """
 WITH body AS (
-  SELECT doc_id AS media_id, substr(repeat(text, 4), 1, 144) AS b
+  SELECT doc_id AS media_id, rpad(repeat(text, 2), 144, ' ') AS b
   FROM documents
 ), px AS (
   SELECT media_id, t.i AS i, ascii(substr(b, t.i + 1, 1)) AS v
@@ -2880,7 +2880,7 @@ def q_audio_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.concat(
             F.lit(bytearray(header)),
-            F.encode(F.substring(F.repeat(F.col("text"), 4), 1, 120), "UTF-8"),
+            F.encode(F.rpad(F.repeat(F.col("text"), 2), 120, " "), "UTF-8"),
         ).alias("payload"),
     )
     return decode_audio_stats(media)
@@ -2888,7 +2888,7 @@ def q_audio_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_AUDIO_STATS = """
 WITH body AS (
-  SELECT doc_id AS media_id, substr(repeat(text, 4), 1, 120) AS b
+  SELECT doc_id AS media_id, rpad(repeat(text, 2), 120, ' ') AS b
   FROM documents
 ), px AS (
   SELECT media_id, ascii(substr(b, t.i + 1, 1)) AS v
@@ -2912,7 +2912,7 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     header = F.lit("P6\n4 4\n255\n")
-    rep = F.repeat(F.col("text"), 4)
+    rep = F.rpad(F.repeat(F.col("text"), 2), 192, " ")
     frames = [
         F.concat(header, F.substring(rep, 1 + 48 * f, 48)) for f in range(4)
     ]
@@ -2925,7 +2925,7 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_VIDEO_STATS = """
 WITH body AS (
-  SELECT doc_id AS media_id, repeat(text, 4) AS r FROM documents
+  SELECT doc_id AS media_id, rpad(repeat(text, 2), 192, ' ') AS r FROM documents
 ), frames AS (
   SELECT media_id, f.f AS frame_no, substr(r, 1 + 48 * f.f, 48) AS b
   FROM body, (SELECT unnest([0, 2]) AS f) f
