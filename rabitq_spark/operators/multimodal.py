@@ -202,14 +202,19 @@ def frame_sample(
     return media.select("media_id", payload_col).mapInPandas(_sample, out_schema)
 
 
-def decode_channel_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_channel_stats(
+    media: DataFrame,
+    payload_col: str = "payload",
+    resize_to: tuple[int, int] | None = None,
+) -> DataFrame:
     """REAL image decode in the pipeline: parse each payload with
-    decode_image (PPM/BMP native) and emit per-channel statistics —
+    decode_image (PPM/BMP native), optionally resize_nearest to
+    `resize_to` = (w, h), and emit per-channel statistics —
     (media_id, width, height, r_mean, g_mean, b_mean). Means are exact
-    integer sums divided once (single IEEE division → engine-portable, the
-    image_channel_stats oracle checks the whole decode path bit-for-bit).
-    Arrow-batched mapInPandas; per-batch numpy, never per-row Python in
-    the driver.
+    integer sums divided once (single IEEE division → engine-portable; the
+    image_channel_stats / image_resize_stats oracles check the decode —
+    and resize index arithmetic — bit-for-bit). Arrow-batched mapInPandas;
+    per-batch numpy, never per-row Python in the driver.
     """
     ensure_package_on_executors(media.sparkSession)
     out_schema = (
@@ -218,7 +223,7 @@ def decode_channel_stats(media: DataFrame, payload_col: str = "payload") -> Data
     )
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from rabitq_spark.operators.multimodal import decode_image
+        from rabitq_spark.operators.multimodal import decode_image, resize_nearest
 
         for pdf in batches:
             if pdf.empty:
@@ -226,6 +231,8 @@ def decode_channel_stats(media: DataFrame, payload_col: str = "payload") -> Data
             ids, ws, hs, rs, gs, bs = [], [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 img = decode_image(bytes(payload))
+                if resize_to is not None:
+                    img = resize_nearest(img, resize_to[0], resize_to[1])
                 h, w = img.shape[:2]
                 sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 npx = float(h * w)

@@ -2862,6 +2862,50 @@ FROM px GROUP BY media_id
 """
 
 
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + RESIZE in the pipeline: the 8×6 PPMs downsample to 4×3
+    with nearest-neighbor (multimodal.py::resize_nearest — resized pixel
+    (x, y) samples source (2x, 2y)); the oracle mirrors that index
+    arithmetic directly, so the resampler itself is hash-checked."""
+    from rabitq_spark.operators.multimodal import decode_channel_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("P6\n8 6\n255\n"),
+                F.rpad(F.repeat(F.col("text"), 2), 144, " "),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return decode_channel_stats(media, resize_to=(4, 3))
+
+
+def _sql_image_resize_stats() -> str:
+    terms = {0: [], 1: [], 2: []}
+    for y in range(3):
+        for x in range(4):
+            src = ((2 * y) * 8 + (2 * x)) * 3  # nearest: source (2x, 2y)
+            for c in range(3):
+                terms[c].append(f"ascii(substr(b, {src + c + 1}, 1))")
+    chans = ",\n       ".join(
+        f"CAST(({' + '.join(terms[c])}) AS DOUBLE) / CAST(12 AS DOUBLE) "
+        f"AS {name}_mean"
+        for c, name in ((0, "r"), (1, "g"), (2, "b"))
+    )
+    return f"""
+WITH body AS (
+  SELECT doc_id AS media_id, rpad(repeat(text, 2), 144, ' ') AS b
+  FROM documents
+)
+SELECT media_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+       {chans}
+FROM body
+"""
+
+
 def q_audio_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decoding: each document's text bytes become the PCM data
     of a valid 8-bit mono RIFF/WAVE payload (constant 44-byte header for
@@ -4550,6 +4594,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "bloom_members": q_bloom_members,
     "image_channel_stats": q_image_channel_stats,
+    "image_resize_stats": q_image_resize_stats,
     "audio_level_stats": q_audio_level_stats,
     "video_frame_stats": q_video_frame_stats,
     "rolling_user_value": q_rolling_user_value,
@@ -4596,6 +4641,8 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_members": _sql_bloom_members(),
     # real PPM parse on the Spark side vs construction-mirror oracle
     "image_channel_stats": _SQL_IMAGE_STATS,
+    # nearest-neighbor resample index arithmetic mirrored both sides
+    "image_resize_stats": _sql_image_resize_stats(),
     # real RIFF chunk walk on the Spark side vs construction-mirror oracle
     "audio_level_stats": _SQL_AUDIO_STATS,
     # real frame-boundary walk + every-2nd sampling vs construction mirror
