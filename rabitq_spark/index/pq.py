@@ -1,0 +1,266 @@
+"""Product-quantization (PQ) shortlist search — the third quantizer family
+beside RaBitQ bit codes (index/build.py) and SQ8 (index/sq8.py).
+
+PQ is the workhorse codec of billion-scale ANN systems (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011; FAISS
+IVFPQ): the vector is split into `m` subspaces, each subspace quantized to
+one of `ksub` learned centroids, so a d-dim float vector compresses to m
+bytes. The reference keeps a single quantizer (src/rabitq.rs); production
+deployments at 100 TB ship PQ beside it because 8–16 bytes/vector is what
+lets the whole corpus's codes stay in memory.
+
+Scheme
+------
+Train:   per-subspace Lloyd k-means on a driver-bounded sample (seeded,
+         fixed iterations — the codebook only shapes shortlist QUALITY;
+         exactness comes from the rerank, so sampling costs nothing in
+         correctness, same argument as sq8_train).
+Encode:  codes[j] = argmin_c ||x_j − C_j[c]||² — Arrow-batched numpy GEMM
+         per subspace (mapInPandas); one narrow scan, no shuffle.
+Search:  asymmetric distance computation (ADC). Each query precomputes a
+         flattened LUT of length m·ksub (squared distance from its j-th
+         subvector to every centroid of subspace j — numpy on the tiny
+         query side). The hot base × query cross join then scores
+
+             d_hat(q, b) = Σ_j LUT[j·ksub + codes[j]]
+
+         as `m` unrolled element_at lookups — pure JVM codegen, no Python
+         in the per-pair path (the same unrolling lesson as
+         sq8_rough_dist_expr). Top-R shortlist per query → exact
+         double-fold rerank → final top-k.
+
+Exactness contract: with shortlist ≥ |base| the rough ADC phase is a
+permutation and the output equals brute-force `knn_exact` bit-for-bit
+(the rerank recomputes every distance with the deterministic fold) — that
+configuration is the DuckDB oracle anchor; bounded shortlists are the
+scale path, recall asserted in tests/test_pq.py.
+
+Scale shape: codes are m ints/row (vs d doubles) — the coded base scan
+reads ~m/(8·d)-th of the raw bytes; the query batch plus LUTs broadcast;
+only O(nq × R) shortlist rows shuffle. At 1000 executors the base never
+moves, exactly like the SQ8 and IVF paths.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from rabitq_spark.functions.vector import l2_squared
+from rabitq_spark.operators.topk import topk_per_group
+
+
+def _kmeans_1sub(x: np.ndarray, ksub: int, seed: int, iters: int) -> np.ndarray:
+    """Seeded Lloyd's k-means for one subspace: deterministic given the
+    sample. Init = a seeded permutation of distinct rows (kmeans++ adds
+    sequential draws for little shortlist gain at ksub=256). Empty clusters
+    are re-seeded to the points farthest from their centroid."""
+    rng = np.random.RandomState(seed)
+    n = x.shape[0]
+    k = min(ksub, n)
+    cent = x[rng.permutation(n)[:k]].astype(np.float64).copy()
+    for _ in range(iters):
+        # assign: ||x||² − 2xC' + ||C||² ; argmin over centroids
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = x[mask].mean(axis=0)
+            else:
+                cent[c] = x[d.min(axis=1).argmax()]
+    if k < ksub:  # degenerate tiny sample: tile so codes stay in range
+        cent = np.vstack([cent, np.repeat(cent[:1], ksub - k, axis=0)])
+    return cent
+
+
+def pq_train(
+    base: DataFrame,
+    vec_col: str = "vec",
+    m: int = 8,
+    ksub: int = 256,
+    max_sample_rows: int = 100_000,
+    seed: int = 7,
+    iters: int = 10,
+) -> np.ndarray:
+    """Train the codebook: (m, ksub, dsub) float64 array. Requires
+    dim % m == 0 (pad upstream otherwise — pad_to_multiple exists).
+    The sample is driver-bounded (limit), like sq8_train: at 100 TB a full
+    k-means pass would shuffle the corpus for a codebook whose only job is
+    shortlist ordering."""
+    rows = base.select(F.col(vec_col).alias("v")).limit(max_sample_rows).collect()
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}; pad the vectors")
+    dsub = dim // m
+    return np.stack(
+        [
+            _kmeans_1sub(x[:, j * dsub : (j + 1) * dsub], ksub, seed + j, iters)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    base: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, vec, code) with code = array<int> of length m — Arrow-batched
+    argmin per subspace (GEMM against the broadcast codebook), the narrow
+    no-shuffle encode scan."""
+    m, ksub, dsub = codebook.shape
+    cb = codebook  # serialized into the task closure (m·ksub·dsub doubles)
+    schema = StructType(
+        [
+            StructField("__bid", base.schema[id_col].dataType),
+            StructField("__bvec", base.schema[vec_col].dataType),
+            StructField("__bcode", ArrayType(IntegerType())),
+        ]
+    )
+    cnorm = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray(list(pdf["__v"]), dtype=np.float64)
+            if x.size == 0:
+                yield pd.DataFrame(
+                    {"__bid": pdf["__i"], "__bvec": pdf["__v"], "__bcode": []}
+                )
+                continue
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                d = cnorm[j][None, :] - 2.0 * (xs @ cb[j].T)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__bid": pdf["__i"],
+                    "__bvec": pdf["__v"],
+                    "__bcode": list(codes),
+                }
+            )
+
+    return base.select(
+        F.col(id_col).alias("__i"), F.col(vec_col).alias("__v")
+    ).mapInPandas(encode, schema)
+
+
+def pq_lut(
+    queries: DataFrame,
+    codebook: np.ndarray,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """(query_id, __qvec, __lut) with __lut the flattened m·ksub ADC table:
+    __lut[j·ksub + c] = ||q_j − C_j[c]||². Query batches are small; this is
+    the only Arrow hop in the search path."""
+    m, ksub, dsub = codebook.shape
+    cb = codebook
+    cnorm = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
+    schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id].dataType),
+            StructField("__qvec", queries.schema[query_vec].dataType),
+            StructField("__lut", ArrayType(DoubleType())),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            q = np.asarray(list(pdf["__v"]), dtype=np.float64)
+            luts: list[np.ndarray] = []
+            for row in q:
+                lut = np.empty(m * ksub, dtype=np.float64)
+                for j in range(m):
+                    qs = row[j * dsub : (j + 1) * dsub]
+                    lut[j * ksub : (j + 1) * ksub] = (
+                        cnorm[j] - 2.0 * (cb[j] @ qs) + (qs @ qs)
+                    )
+                luts.append(lut)
+            yield pd.DataFrame(
+                {"query_id": pdf["__i"], "__qvec": pdf["__v"], "__lut": luts}
+            )
+
+    return queries.select(
+        F.col(query_id).alias("__i"), F.col(query_vec).alias("__v")
+    ).mapInPandas(build, schema)
+
+
+def pq_adc_expr(code: Column | str, lut: Column | str, m: int, ksub: int) -> Column:
+    """Σ_j lut[j·ksub + code[j]] unrolled to m element_at lookups — the
+    whole ADC estimator stays inside whole-stage codegen."""
+    code = F.col(code) if isinstance(code, str) else code
+    lut = F.col(lut) if isinstance(lut, str) else lut
+    total: Column | None = None
+    for j in range(m):
+        term = F.element_at(lut, code[j] + F.lit(j * ksub + 1))
+        total = term if total is None else total + term
+    return F.lit(0.0) if total is None else total
+
+
+def pq_search(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    codebook: np.ndarray,
+    shortlist: int = 64,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    base_id: str = "id",
+    base_vec: str = "vec",
+    coded_base: DataFrame | None = None,
+) -> DataFrame:
+    """Two-phase PQ k-NN: ADC shortlist on m-byte codes → exact rerank.
+
+    Pass `coded_base` (from `pq_encode`, persisted) to amortize encoding
+    across query batches — the serving configuration. Output schema matches
+    `knn_exact`: (query_id, neighbor_id, dist, rank)."""
+    m, ksub, _ = codebook.shape
+    if coded_base is None:
+        coded_base = pq_encode(base, codebook, base_id, base_vec)
+    q = pq_lut(queries, codebook, query_id, query_vec)
+    rough = coded_base.crossJoin(
+        F.broadcast(q.select("query_id", "__lut"))
+    ).select(
+        "query_id",
+        F.col("__bid").alias("neighbor_id"),
+        pq_adc_expr("__bcode", "__lut", m, ksub).alias("__rough"),
+    )
+    short = topk_per_group(
+        rough,
+        ["query_id"],
+        [F.col("__rough").asc(), F.col("neighbor_id").asc()],
+        max(shortlist, k),
+    ).select("query_id", "neighbor_id")
+    bv = coded_base.select(F.col("__bid").alias("neighbor_id"), "__bvec")
+    qv = q.select("query_id", "__qvec")
+    scored = (
+        short.join(bv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    ).select("query_id", "neighbor_id", "dist", "rank")

@@ -278,6 +278,32 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_search(queries, base, _KNN_K, lo, hi, shortlist=10**9)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC shortlist search (index/pq.py) — the third
+    quantizer family (Jégou et al. 2011; the FAISS IVFPQ codec). Registered
+    in its exhaustive configuration (shortlist ≥ |base|) so the exact
+    double-fold rerank covers every row and the output is bit-identical to
+    brute-force `knn_exact` — the whole train→encode→LUT→ADC→rerank path
+    still executes. Bounded-shortlist recall is asserted in
+    tests/test_pq.py."""
+    from rabitq_spark.index.pq import pq_encode, pq_search, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    key = (sf_dir, "pq_codebook")
+    if key not in _MODEL_CACHE:
+        cb = pq_train(base, "vec", m=8, ksub=64, iters=6)
+        coded = pq_encode(base, cb).cache()
+        _MODEL_CACHE[key] = (cb, coded)
+    cb, coded = _MODEL_CACHE[key]
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return pq_search(
+        queries, base, _KNN_K, cb, shortlist=10**9, coded_base=coded
+    )
+
+
 _JL_K, _JL_NQ = 16, 20
 
 
@@ -4516,6 +4542,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_multibit": q_ann_ivf_multibit,
     "ann_sq8": q_ann_sq8,
+    "ann_pq": q_ann_pq,
     "jl_project": q_jl_project,
     "ann_jl_ivf": q_ann_jl_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -4681,6 +4708,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_multibit": _SQL_KNN_EXACT,
     # exhaustive SQ8 shortlist (shortlist >= |base|) == exact brute force
     "ann_sq8": _SQL_KNN_EXACT,
+    "ann_pq": _SQL_KNN_EXACT,
     # same md5-derived sign matrix inlined into both engines
     "jl_project": _sql_jl_project(),
     # project->index->search->exact-rerank, exhaustive == brute force

@@ -1,0 +1,101 @@
+"""PQ quantizer family: codebook shape, code range, encode-vs-numpy ADC
+agreement, exhaustive exactness, bounded-shortlist recall."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rabitq_spark.index.pq import (
+    pq_adc_expr,
+    pq_encode,
+    pq_lut,
+    pq_search,
+    pq_train,
+)
+from rabitq_spark.operators.knn import knn_exact
+
+
+def _base_queries(spark, sf_dir, nq=8):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return base, queries
+
+
+def test_pq_codebook_and_code_range(spark, sf_dir):
+    base, _ = _base_queries(spark, sf_dir)
+    cb = pq_train(base, "vec", m=8, ksub=16, iters=4)
+    assert cb.shape == (8, 16, 8)  # 64-dim testdata embeddings
+    coded = pq_encode(base, cb)
+    mn, mx, sz = coded.select(
+        F.min(F.array_min("__bcode")),
+        F.max(F.array_max("__bcode")),
+        F.min(F.size("__bcode")),
+    ).first()
+    assert 0 <= mn and mx <= 15 and sz == 8
+
+
+def test_pq_adc_matches_numpy(spark, sf_dir):
+    """The JVM-side unrolled ADC expression equals the numpy LUT sum."""
+    base, queries = _base_queries(spark, sf_dir, nq=4)
+    m, ksub = 4, 8
+    cb = pq_train(base, "vec", m=m, ksub=ksub, iters=3)
+    coded = pq_encode(base.limit(50), cb)
+    q = pq_lut(queries, cb)
+    got = (
+        coded.crossJoin(F.broadcast(q.select("query_id", "__lut")))
+        .select(
+            "query_id",
+            F.col("__bid").alias("nid"),
+            F.col("__bcode").alias("code"),
+            F.col("__lut").alias("lut"),
+            pq_adc_expr("__bcode", "__lut", m, ksub).alias("rough"),
+        )
+        .toPandas()
+    )
+    for _, r in got.iterrows():
+        expect = sum(r["lut"][j * ksub + r["code"][j]] for j in range(m))
+        assert abs(r["rough"] - expect) < 1e-9
+
+
+def test_pq_exhaustive_equals_bruteforce(spark, sf_dir):
+    base, queries = _base_queries(spark, sf_dir)
+    cb = pq_train(base, "vec", m=8, ksub=32, iters=4)
+    exact = knn_exact(queries, base, 5).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    pq = pq_search(queries, base, 5, cb, shortlist=10**9).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    assert exact.equals(pq)
+
+
+def test_pq_bounded_shortlist_recall(spark, sf_dir):
+    base, queries = _base_queries(spark, sf_dir, nq=16)
+    cb = pq_train(base, "vec", m=16, ksub=64, iters=6)
+    k = 10
+    exact = knn_exact(queries, base, k).toPandas()
+    pq = pq_search(queries, base, k, cb, shortlist=8 * k).toPandas()
+    truth = set(zip(exact.query_id, exact.neighbor_id))
+    got = set(zip(pq.query_id, pq.neighbor_id))
+    recall = len(truth & got) / len(truth)
+    # 16 subspaces × 64 centroids on 64-dim data: an 8k shortlist should
+    # recover nearly all true neighbors after the exact rerank
+    assert recall >= 0.9, recall
+
+
+def test_pq_lut_values(spark, sf_dir):
+    """LUT entries are true subspace squared distances."""
+    base, queries = _base_queries(spark, sf_dir, nq=2)
+    m, ksub = 4, 8
+    cb = pq_train(base, "vec", m=m, ksub=ksub, iters=3)
+    dsub = cb.shape[2]
+    rows = pq_lut(queries, cb).collect()
+    for r in rows:
+        qv = np.asarray(r["__qvec"], dtype=np.float64)
+        lut = np.asarray(r["__lut"])
+        for j in range(m):
+            qs = qv[j * dsub : (j + 1) * dsub]
+            d = ((cb[j] - qs[None, :]) ** 2).sum(axis=1)
+            assert np.allclose(lut[j * ksub : (j + 1) * ksub], d, atol=1e-9)
