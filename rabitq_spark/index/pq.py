@@ -216,6 +216,185 @@ def pq_adc_expr(code: Column | str, lut: Column | str, m: int, ksub: int) -> Col
     return F.lit(0.0) if total is None else total
 
 
+def ivfpq_train(
+    base: DataFrame,
+    vec_col: str = "vec",
+    n_clusters: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    max_sample_rows: int = 100_000,
+    seed: int = 7,
+    iters: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ training (the FAISS IVFPQ layout): coarse full-dim centroids
+    partition the corpus; the PQ codebook is trained on RESIDUALS
+    (x − centroid), which concentrates the quantizer's dynamic range on the
+    within-cell geometry — the standard accuracy win over flat PQ. Returns
+    (coarse (n_clusters, dim), codebook (m, ksub, dsub))."""
+    rows = base.select(F.col(vec_col).alias("v")).limit(max_sample_rows).collect()
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}; pad the vectors")
+    dsub = dim // m
+    coarse = _kmeans_1sub(x, n_clusters, seed, iters)
+    d = (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ coarse.T)
+        + (coarse * coarse).sum(axis=1)[None, :]
+    )
+    resid = x - coarse[d.argmin(axis=1)]
+    codebook = np.stack(
+        [
+            _kmeans_1sub(resid[:, j * dsub : (j + 1) * dsub], ksub, seed + 1 + j, iters)
+            for j in range(m)
+        ]
+    )
+    return coarse, codebook
+
+
+def ivfpq_encode(
+    base: DataFrame,
+    coarse: np.ndarray,
+    codebook: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(cluster_id, __bid, __bvec, __bcode): coarse-assign then PQ-encode
+    the residual — one Arrow-batched scan, no shuffle. Write the result
+    partitioned by cluster_id for a serving deployment and probe scans
+    become partition-pruned reads, same layout as the RaBitQ index."""
+    m, ksub, dsub = codebook.shape
+    cb, co = codebook, coarse
+    conorm = (co * co).sum(axis=1)
+    cnorm = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
+    schema = StructType(
+        [
+            StructField("cluster_id", IntegerType()),
+            StructField("__bid", base.schema[id_col].dataType),
+            StructField("__bvec", base.schema[vec_col].dataType),
+            StructField("__bcode", ArrayType(IntegerType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray(list(pdf["__v"]), dtype=np.float64)
+            if x.size == 0:
+                continue
+            d = conorm[None, :] - 2.0 * (x @ co.T)
+            assign = d.argmin(axis=1)
+            resid = x - co[assign]
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                rs = resid[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (cnorm[j][None, :] - 2.0 * (rs @ cb[j].T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": assign.astype(np.int32),
+                    "__bid": pdf["__i"],
+                    "__bvec": pdf["__v"],
+                    "__bcode": list(codes),
+                }
+            )
+
+    return base.select(
+        F.col(id_col).alias("__i"), F.col(vec_col).alias("__v")
+    ).mapInPandas(encode, schema)
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    coded_base: DataFrame,
+    k: int,
+    coarse: np.ndarray,
+    codebook: np.ndarray,
+    nprobe: int = 8,
+    shortlist: int = 64,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """IVF-PQ k-NN: per query, probe the `nprobe` nearest coarse cells;
+    each probe carries a residual ADC LUT for (q − centroid), so the hot
+    cluster-keyed join scores codes with the same m unrolled element_at
+    lookups as flat PQ — only rows in probed cells are ever touched (at a
+    partitioned serving table that is a partition-pruned scan). Shortlist →
+    exact rerank → top-k; with nprobe = n_clusters and shortlist ≥ |base|
+    the output equals brute force bit-for-bit (the oracle anchor)."""
+    m, ksub, dsub = codebook.shape
+    cb, co = codebook, coarse
+    nprobe = min(nprobe, co.shape[0])
+    cnorm = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
+    conorm = (co * co).sum(axis=1)
+    schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id].dataType),
+            StructField("cluster_id", IntegerType()),
+            StructField("__qvec", queries.schema[query_vec].dataType),
+            StructField("__lut", ArrayType(DoubleType())),
+        ]
+    )
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for qid, qv in zip(pdf["__i"], pdf["__v"]):
+                q = np.asarray(qv, dtype=np.float64)
+                cd = conorm - 2.0 * (co @ q) + (q @ q)
+                cells = np.argpartition(cd, min(nprobe, len(cd)) - 1)[:nprobe]
+                out_lut = []
+                for c in cells:
+                    r = q - co[c]
+                    lut = np.empty(m * ksub, dtype=np.float64)
+                    for j in range(m):
+                        rs = r[j * dsub : (j + 1) * dsub]
+                        lut[j * ksub : (j + 1) * ksub] = (
+                            cnorm[j] - 2.0 * (cb[j] @ rs) + (rs @ rs)
+                        )
+                    out_lut.append(lut)
+                yield pd.DataFrame(
+                    {
+                        "query_id": [qid] * len(cells),
+                        "cluster_id": cells.astype(np.int32),
+                        "__qvec": [qv] * len(cells),
+                        "__lut": out_lut,
+                    }
+                )
+
+    probe_df = queries.select(
+        F.col(query_id).alias("__i"), F.col(query_vec).alias("__v")
+    ).mapInPandas(probes, schema)
+    # materialize once: referenced by the rough join AND the rerank
+    probe_df = probe_df.localCheckpoint(eager=True)
+    rough = coded_base.join(
+        F.broadcast(probe_df.select("query_id", "cluster_id", "__lut")),
+        "cluster_id",
+    ).select(
+        "query_id",
+        F.col("__bid").alias("neighbor_id"),
+        pq_adc_expr("__bcode", "__lut", m, ksub).alias("__rough"),
+    )
+    short = topk_per_group(
+        rough,
+        ["query_id"],
+        [F.col("__rough").asc(), F.col("neighbor_id").asc()],
+        max(shortlist, k),
+    ).select("query_id", "neighbor_id")
+    bv = coded_base.select(F.col("__bid").alias("neighbor_id"), "__bvec")
+    qv = probe_df.select("query_id", "__qvec").dropDuplicates(["query_id"])
+    scored = (
+        short.join(bv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    ).select("query_id", "neighbor_id", "dist", "rank")
+
+
 def pq_search(
     queries: DataFrame,
     base: DataFrame,

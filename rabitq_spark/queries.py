@@ -304,6 +304,32 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (coarse cells + residual PQ codes — the FAISS IVFPQ layout,
+    index/pq.py::ivfpq_*): probes carry per-(query, cell) residual ADC LUTs,
+    the hot join is cluster-keyed codegen lookups. Registered exhaustively
+    (nprobe = all cells, shortlist ≥ |base|) so the exact rerank makes the
+    output bit-identical to brute force while the whole coarse-assign →
+    residual-encode → probe → ADC → rerank path executes; bounded-budget
+    recall is asserted in tests/test_pq.py."""
+    from rabitq_spark.index.pq import ivfpq_encode, ivfpq_search, ivfpq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    key = (sf_dir, "ivfpq")
+    if key not in _MODEL_CACHE:
+        coarse, cb = ivfpq_train(base, "vec", n_clusters=16, m=8, ksub=64, iters=6)
+        coded = ivfpq_encode(base, coarse, cb).cache()
+        _MODEL_CACHE[key] = (coarse, cb, coded)
+    coarse, cb, coded = _MODEL_CACHE[key]
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_search(
+        queries, coded, _KNN_K, coarse, cb, nprobe=coarse.shape[0], shortlist=10**9
+    )
+
+
 _JL_K, _JL_NQ = 16, 20
 
 
@@ -4543,6 +4569,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_multibit": q_ann_ivf_multibit,
     "ann_sq8": q_ann_sq8,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
     "jl_project": q_jl_project,
     "ann_jl_ivf": q_ann_jl_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -4709,6 +4736,7 @@ ORACLE_SQL: dict[str, str] = {
     # exhaustive SQ8 shortlist (shortlist >= |base|) == exact brute force
     "ann_sq8": _SQL_KNN_EXACT,
     "ann_pq": _SQL_KNN_EXACT,
+    "ann_ivfpq": _SQL_KNN_EXACT,
     # same md5-derived sign matrix inlined into both engines
     "jl_project": _sql_jl_project(),
     # project->index->search->exact-rerank, exhaustive == brute force

