@@ -3428,6 +3428,60 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization run to completion: F.session_window's
+    stateful merging windows (state = open sessions, closed past the
+    watermark) must land exactly where the batch gaps-and-islands
+    `sessionize` lands — merge iff gap ≤ 30 min (boundary verified: an
+    event exactly `gap` later merges), session_end = last_ts + gap."""
+    from rabitq_spark.streaming import read_events_stream, session_window_stream
+
+    stream = session_window_stream(
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_sessionize_{_STREAM_SEQ[0]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream_sessionize query did not finish in 180s")
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+_SQL_STREAM_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: for each purchase, count/sum the same user's clicks in
     the preceding 30 minutes (binned-bucket plan, no quadratic scan)."""
@@ -4633,6 +4687,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "rollup_revenue": q_rollup_revenue,
     "stream_window": q_stream_window,
+    "stream_sessionize": q_stream_sessionize,
     "minhash_lsh_mllib": q_minhash_lsh_mllib,
     "brp_lsh_mllib": q_brp_lsh_mllib,
     "chunk_documents": q_chunk_documents,
@@ -4717,6 +4772,7 @@ ORACLE_SQL: dict[str, str] = {
     "rollup_revenue": _SQL_ROLLUP,
     # streaming run-to-completion must equal the batch aggregate
     "stream_window": _SQL_WINDOW_EVENTS,
+    "stream_sessionize": _SQL_STREAM_SESSIONIZE,
     "similarity_join": _SQL_SIMILARITY_JOIN,
     "multimodal_features": _SQL_MULTIMODAL,
     "asof_purchase_click": _SQL_ASOF,

@@ -86,6 +86,34 @@ def windowed_counts_stream(
     )
 
 
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via F.session_window — the stateful
+    merging-window operator (state is open sessions per user, closed and
+    emitted once the watermark passes session_end). Semantics probe
+    (verified on this Spark): an event exactly `gap` after the previous one
+    MERGES (new session iff diff > gap), identical to the batch
+    operators.events.sessionize islands formulation; window end is
+    last_ts + gap. The streaming twin of `sessionize` — same oracle shape
+    with session_end shifted by the gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup on event_id with bounded state."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(

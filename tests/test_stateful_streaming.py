@@ -57,3 +57,48 @@ def test_stateful_running_totals_converge_to_batch(spark, sf_dir, tmp_path):
     pd.testing.assert_series_equal(
         got["sum_value"], want["sum_value"], rtol=1e-9, check_exact=False
     )
+
+
+def test_session_window_stream_equals_batch_sessionize(spark, sf_dir, tmp_path):
+    """F.session_window streamed across several micro-batches must land
+    exactly where the batch gaps-and-islands sessionize lands (end shifted
+    by the gap) — including sessions whose events straddle batch files."""
+    from rabitq_spark.operators.events import sessionize
+    from rabitq_spark.streaming.pipeline import (
+        run_complete_to_memory,
+        session_window_stream,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "ev_sess")
+    raw.repartition(8).write.parquet(src)
+
+    got = (
+        run_complete_to_memory(
+            session_window_stream(read_events_stream(spark, src)),
+            "sess_stream_test",
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+        .sort_values(["user_id", "start_us"], ignore_index=True)
+    )
+    want = (
+        sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            (F.unix_micros("session_end") + 30 * 60 * 1_000_000).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+        .sort_values(["user_id", "start_us"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
