@@ -457,3 +457,46 @@ def bigram_coherence(
         .otherwise(F.lit(0.0))
         .alias("coherence"),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Vocabulary-coverage audit: build the top-`vocab_size` token
+    vocabulary by global frequency (count desc, token asc — deterministic),
+    then per group report total tokens, out-of-vocabulary tokens, and the
+    OOV rate (one division — bit-exact). The tokenizer-fairness check a
+    multilingual pretraining pipeline runs before fixing a vocabulary:
+    minority languages' OOV rates reveal vocabulary skew.
+
+    Plan: one explode feeds BOTH the vocabulary top-k (WindowGroupLimit)
+    and the per-group count; the vocabulary (vocab_size rows) broadcasts
+    back for a null-producing left join — the token stream shuffles once,
+    keyed by token, and once keyed by group."""
+    from rabitq_spark.functions.text import tokens
+    from rabitq_spark.operators.topk import topk_per_group
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = topk_per_group(
+        counts.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("cnt").desc(), F.col("token").asc()],
+        vocab_size,
+    ).select("token", F.lit(1).alias("__in_vocab"))
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("__in_vocab").isNull()).cast("bigint")).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+        )
+    )

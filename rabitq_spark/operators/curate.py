@@ -411,3 +411,79 @@ def dedup_keep_best(
             (F.col("__rk") == 1).cast("int").alias("keep"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): row i draws u_i from an md5 hash of (salt, id) and gets
+    key_i = ln(u_i)/w_i (the log of the classic u^(1/w) key — same order,
+    no pow); the k LARGEST keys are an exact weight-proportional sample.
+    The pretraining use: quality- or length-weighted corpus subsampling
+    that is reproducible across runs, partitionings, and engines — unlike
+    rand()-based sampling.
+
+    Scale shape: one scan computes the key in codegen; selection is a
+    global top-k (WindowGroupLimit — only k rows survive each partition's
+    local sort before the single-reducer final pick). Rows with
+    non-positive weight never win (key −∞ via a NULL filter).
+
+    Determinism note: ln() is the one transcendental in this repo's
+    oracle-checked surface; Spark (Java Math.log) and DuckDB (libm) may
+    disagree in the last ulp, but only the ORDER of keys matters and
+    md5-derived keys are ~1/n² apart — flips need two keys within 1e-16
+    relative, never observed and vanishing in probability."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    keyed = docs.filter(F.col(weight_col) > 0).withColumn(
+        "__key", F.log(u) / F.col(weight_col).cast("double")
+    )
+    w = Window.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__key", "__rn")
+    )
+
+
+def source_quota(
+    docs: DataFrame,
+    quota: int,
+    source_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap — the domain-cap staple of crawl curation
+    (no domain may contribute more than `quota` docs; keep the best by
+    `order_col` descending, id ascending as the deterministic tiebreak).
+    One shuffle keyed by source; rank ≤ quota compiles to WindowGroupLimit
+    so each map task forwards at most `quota` rows per source before the
+    reduce — at 100 TB the shuffle carries O(sources × quota), not the
+    corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

@@ -2565,6 +2565,85 @@ WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 1000 END
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (operators/curate.py::weighted_sample): 500 docs drawn
+    length-proportionally with md5-derived keys — the reproducible
+    weight-aware subsampler (df.sample can do neither weights nor
+    partitioning-independence)."""
+    from rabitq_spark.operators.curate import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return weighted_sample(docs, k=500, weight_col="n_chars")
+
+
+_SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+           ORDER BY ln((CAST(concat('0x', substring(md5(concat('ws-v1|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0)
+                    / CAST(n_chars AS DOUBLE) DESC,
+                    doc_id
+         ) AS rn
+  FROM documents WHERE n_chars > 0
+) t WHERE rn <= 500
+"""
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/curate.py::source_quota): no
+    source contributes more than 400 docs, keeping the longest (the
+    domain-cap staple of crawl curation). WindowGroupLimit keeps the
+    shuffle at O(sources × quota)."""
+    from rabitq_spark.operators.curate import source_quota
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return source_quota(docs, quota=400)
+
+
+_SQL_SOURCE_QUOTA = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) t WHERE rn <= 400
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit (operators/corpus.py::oov_rate): fix the
+    global top-1000 token vocabulary, report per-language OOV rates — the
+    tokenizer-fairness check before freezing a vocab."""
+    from rabitq_spark.operators.corpus import oov_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=1000)
+
+
+_SQL_OOV_RATE = """
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM counts
+  ) r WHERE rk <= 1000
+)
+SELECT t.lang, COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (v.token IS NULL) AS n_oov,
+       CAST(COUNT(*) FILTER (v.token IS NULL) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.lang
+"""
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: daily event counts spread across event-type columns."""
     ev = load_table(spark, sf_dir, "events")
@@ -4693,6 +4772,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
+    "source_quota": q_source_quota,
+    "oov_rate": q_oov_rate,
     "pivot_events": q_pivot_events,
     "incremental_agg": q_incremental_agg,
     "stream_incremental_agg": q_stream_incremental_agg,
@@ -4732,6 +4814,9 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_documents": _SQL_CHUNKS,
     "hash_split": _SQL_HASH_SPLIT,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+    "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+    "source_quota": _SQL_SOURCE_QUOTA,
+    "oov_rate": _SQL_OOV_RATE,
     "pivot_events": _SQL_PIVOT_EVENTS,
     # increment-merged state == full recompute (self-maintainable aggregates)
     "incremental_agg": _SQL_INCREMENTAL_AGG,

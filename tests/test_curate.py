@@ -186,3 +186,54 @@ def test_dedup_keep_best_keeps_highest_quality_member(spark):
     }
     assert q[1] > q[0]
     assert rows[1].quality == q[1]
+
+
+def test_weighted_sample_respects_weights_and_determinism(spark):
+    from rabitq_spark.operators.curate import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 1) for i in range(1050)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(df, k=100, weight_col="w")
+    ids = {r.doc_id for r in got.collect()}
+    assert len(ids) == 100
+    # the 50 heavy rows (weight 1000 vs 1) virtually all make the sample
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 45
+    # partitioning-independence: same sample from a different layout
+    ids2 = {r.doc_id for r in weighted_sample(df.repartition(7), 100, "w").collect()}
+    assert ids == ids2
+    # zero/negative weights never win
+    df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "doc_id long, w long")
+    assert {r.doc_id for r in weighted_sample(df2, 3, "w").collect()} == {3}
+
+
+def test_source_quota_caps_and_keeps_best(spark):
+    from rabitq_spark.operators.curate import source_quota
+
+    rows = [(i, "a" if i < 20 else "b", i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = source_quota(df, quota=5).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert len(by_src["a"]) == 5 and len(by_src["b"]) == 5
+    # keeps the LONGEST docs of the capped source
+    assert sorted(by_src["a"]) == [15, 16, 17, 18, 19]
+
+
+def test_oov_rate_hand_computed(spark):
+    from rabitq_spark.operators.corpus import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "a a a b"),
+            (1, "en", "a b c"),
+            (2, "de", "x y a"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    # global counts: a=5, b=2, c=1, x=1, y=1 -> vocab_size=2 keeps {a, b}
+    got = {r.lang: r for r in oov_rate(docs, vocab_size=2).collect()}
+    assert got["en"].n_tokens == 7 and got["en"].n_oov == 1
+    assert got["de"].n_tokens == 3 and got["de"].n_oov == 2
+    assert abs(got["de"].oov_rate - 2 / 3) < 1e-15
