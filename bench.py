@@ -178,6 +178,8 @@ def main() -> None:
         "ann_stream_index",
         "ann_stream_cdc",
         "ann_jl_ivf",
+        "ann_pq",
+        "ann_ivfpq",
         "curated_retrieval",
         "stream_incremental_agg",
         "neardup_stream",

@@ -2565,6 +2565,69 @@ WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 1000 END
 """
 
 
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated scalar subquery ("the supplier whose
+    price IS the minimum for that part within a region"), decorrelated the
+    way every modern optimizer executes it: compute the per-part min as a
+    keyed aggregate and equi-join it back (price = min_price). Small dims
+    (supplier⋈nation⋈region) broadcast; the only corpus-sized shuffle is
+    the per-part aggregate. Ties (several suppliers at the min price) keep
+    all rows in both engines — set semantics, no arbitrary pick."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = li.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", "s_name", "n_name", "l_extendedprice")
+    minp = offers.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    parts = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    return (
+        offers.join(
+            minp,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(F.col("l_partkey").alias("partkey"), "s_name", "n_name", "min_price")
+        .join(
+            F.broadcast(parts.select("p_partkey", "p_name")),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .select("partkey", "p_name", "s_name", "n_name", "min_price")
+    )
+
+
+_SQL_MIN_PRICE_SUPPLIER = """
+SELECT l.l_partkey AS partkey, p.p_name, s.s_name, n.n_name,
+       l.l_extendedprice AS min_price
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE r.r_name = 'EUROPE' AND p.p_size <= 5
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = l.l_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement
     (operators/curate.py::weighted_sample): 500 docs drawn
@@ -4717,6 +4780,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_stream_cdc": q_ann_stream_cdc,
     "curated_retrieval": q_curated_retrieval,
     "large_volume_orders": q_large_volume_orders,
+    "min_price_supplier": q_min_price_supplier,
     "ann_stream_index": q_ann_stream_index,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
@@ -4907,6 +4971,7 @@ ORACLE_SQL: dict[str, str] = {
     "curated_retrieval": _sql_curated_retrieval(),
     # TPC-H Q18 shape: aggregate-HAVING semi join + detail joins
     "large_volume_orders": _SQL_Q18,
+    "min_price_supplier": _SQL_MIN_PRICE_SUPPLIER,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
