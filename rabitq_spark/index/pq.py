@@ -303,6 +303,36 @@ def ivfpq_encode(
     ).mapInPandas(encode, schema)
 
 
+def ivfpq_save(
+    path: str, coarse: np.ndarray, codebook: np.ndarray, coded: DataFrame
+) -> None:
+    """Persist an IVF-PQ index: codes Parquet partitioned by cluster_id
+    (probe-filtered reads prune partitions — the same serving layout as
+    RaBitQModel.save, index/model.py) + a numpy sidecar for the small
+    driver-held state (coarse centroids, codebook)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    (
+        coded.repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{path}/codes")
+    )
+    np.savez(f"{path}/arrays.npz", coarse=coarse, codebook=codebook)
+
+
+def ivfpq_load(spark, path: str) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """(coarse, codebook, coded) from `ivfpq_save` output. The coded
+    DataFrame is lazy: a subsequent probe-pruned search reads only the
+    probed cluster_id partitions."""
+    arrays = np.load(f"{path}/arrays.npz")
+    coded = spark.read.parquet(f"{path}/codes").select(
+        "cluster_id", "__bid", "__bvec", "__bcode"
+    )
+    return arrays["coarse"], arrays["codebook"], coded
+
+
 def ivfpq_search(
     queries: DataFrame,
     coded_base: DataFrame,
@@ -365,6 +395,17 @@ def ivfpq_search(
     ).mapInPandas(probes, schema)
     # materialize once: referenced by the rough join AND the rerank
     probe_df = probe_df.localCheckpoint(eager=True)
+    if nprobe < co.shape[0]:
+        # static partition pruning: the probed cell set is tiny (≤ nq ×
+        # nprobe ids) — an IN-filter on the scan side prunes cluster_id
+        # partitions of a saved index before any join runs, same as the
+        # RaBitQ search path (index/search.py). Collecting it reads the
+        # already-checkpointed probe table, not the query pipeline.
+        cells = [
+            r["cluster_id"]
+            for r in probe_df.select("cluster_id").distinct().collect()
+        ]
+        coded_base = coded_base.filter(F.col("cluster_id").isin(cells))
     rough = coded_base.join(
         F.broadcast(probe_df.select("query_id", "cluster_id", "__lut")),
         "cluster_id",

@@ -486,6 +486,42 @@ def q_ann_ivf_cold_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ persistence lifecycle: train → encode → save (cluster_id-
+    partitioned codes + numpy sidecar) → LOAD → exhaustive search. Equals
+    brute force bit-for-bit, oracle-checking the whole save/load round
+    trip; the bounded-nprobe partition pruning on the loaded table is a
+    plan-level pytest (tests/test_pq.py)."""
+    from rabitq_spark.index.pq import (
+        ivfpq_encode,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search,
+        ivfpq_train,
+    )
+
+    key = (sf_dir, "ivfpq_cold")
+    if key not in _MODEL_CACHE:
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        coarse, cb = ivfpq_train(base, "vec", n_clusters=16, m=8, ksub=64, iters=6)
+        path = tempfile.mkdtemp(prefix="ivfpq_cold_")
+        ivfpq_save(path, coarse, cb, ivfpq_encode(base, coarse, cb))
+        _MODEL_CACHE[key] = ivfpq_load(spark, path)
+    coarse, cb, coded = _MODEL_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_search(
+        queries, coded, _KNN_K, coarse, cb, nprobe=coarse.shape[0], shortlist=10**9
+    )
+
+
 def _get_stream_model(spark: SparkSession, sf_dir: str):
     """Bootstrap an index on the first half of the embeddings, then stream
     the second half in through Structured Streaming index maintenance
@@ -4766,6 +4802,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq8": q_ann_sq8,
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
+    "ann_ivfpq_cold": q_ann_ivfpq_cold,
     "jl_project": q_jl_project,
     "ann_jl_ivf": q_ann_jl_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -4942,6 +4979,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_sq8": _SQL_KNN_EXACT,
     "ann_pq": _SQL_KNN_EXACT,
     "ann_ivfpq": _SQL_KNN_EXACT,
+    "ann_ivfpq_cold": _SQL_KNN_EXACT,
     # same md5-derived sign matrix inlined into both engines
     "jl_project": _sql_jl_project(),
     # project->index->search->exact-rerank, exhaustive == brute force

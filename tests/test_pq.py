@@ -135,3 +135,44 @@ def test_ivfpq_bounded_recall_and_pruning(spark, sf_dir):
     # the rough join only touches probed cells: every scored neighbor's
     # cluster must be among its query's probes
     coded.unpersist()
+
+
+def test_ivfpq_save_load_and_partition_pruning(spark, sf_dir, tmp_path):
+    """Cold-start serving: save -> load -> bounded search must (a) equal the
+    in-memory bounded search and (b) prune the codes scan to the probed
+    cluster_id partitions (PartitionFilters in the plan)."""
+    import contextlib
+    import io
+    import re
+
+    from rabitq_spark.index.pq import (
+        ivfpq_encode,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search,
+        ivfpq_train,
+    )
+
+    base, queries = _base_queries(spark, sf_dir, nq=6)
+    coarse, cb = ivfpq_train(base, "vec", n_clusters=8, m=8, ksub=32, iters=4)
+    coded = ivfpq_encode(base, coarse, cb)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_save(path, coarse, cb, coded)
+    lco, lcb, lcoded = ivfpq_load(spark, path)
+    assert np.allclose(lco, coarse) and np.allclose(lcb, cb)
+
+    want = (
+        ivfpq_search(queries, coded, 5, coarse, cb, nprobe=3, shortlist=40)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    result = ivfpq_search(queries, lcoded, 5, lco, lcb, nprobe=3, shortlist=40)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        result.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "cluster_id" in m.group(1), m.group(1)
+    got = result.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    assert want.equals(got)
