@@ -2601,6 +2601,75 @@ WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 1000 END
 """
 
 
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/dbt-style data-quality gate (operators/audit.py): PK
+    uniqueness, FK integrity, null and range rules over the warehouse
+    tables, one (constraint, violations) row each — including a rule
+    (tight quantity ceiling) that genuinely fires so non-zero counts are
+    exercised."""
+    from rabitq_spark.operators.audit import (
+        constraint_report,
+        fk_violations,
+        null_violations,
+        pk_violations,
+        predicate_violations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    documents = load_table(spark, sf_dir, "documents")
+    return constraint_report(
+        [
+            ("pk_orders_unique", pk_violations(orders, ["o_orderkey"])),
+            (
+                "fk_orders_customer",
+                fk_violations(orders, "o_custkey", customer, "c_custkey"),
+            ),
+            (
+                "fk_lineitem_orders",
+                fk_violations(lineitem, "l_orderkey", orders, "o_orderkey"),
+            ),
+            ("not_null_doc_text", null_violations(documents, "text")),
+            (
+                "discount_in_range",
+                predicate_violations(
+                    lineitem,
+                    (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+                ),
+            ),
+            (
+                "quantity_under_45",
+                predicate_violations(lineitem, F.col("l_quantity") <= 45),
+            ),
+        ]
+    )
+
+
+_SQL_CONSTRAINT_AUDIT = """
+SELECT 'pk_orders_unique' AS constraint, COALESCE(SUM(n), 0) AS violations
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1) t
+UNION ALL
+SELECT 'fk_orders_customer', COUNT(*) FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'fk_lineitem_orders', COUNT(*) FROM lineitem l
+WHERE l.l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'not_null_doc_text', SUM(CAST(text IS NULL AS BIGINT)) FROM documents
+UNION ALL
+SELECT 'discount_in_range',
+       SUM(CAST(NOT COALESCE(l_discount >= 0 AND l_discount <= 0.1, FALSE) AS BIGINT))
+FROM lineitem
+UNION ALL
+SELECT 'quantity_under_45',
+       SUM(CAST(NOT COALESCE(l_quantity <= 45, FALSE) AS BIGINT))
+FROM lineitem
+"""
+
+
 def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape — the correlated scalar subquery ("the supplier whose
     price IS the minimum for that part within a region"), decorrelated the
@@ -4818,6 +4887,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curated_retrieval": q_curated_retrieval,
     "large_volume_orders": q_large_volume_orders,
     "min_price_supplier": q_min_price_supplier,
+    "constraint_audit": q_constraint_audit,
     "ann_stream_index": q_ann_stream_index,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
@@ -5010,6 +5080,7 @@ ORACLE_SQL: dict[str, str] = {
     # TPC-H Q18 shape: aggregate-HAVING semi join + detail joins
     "large_volume_orders": _SQL_Q18,
     "min_price_supplier": _SQL_MIN_PRICE_SUPPLIER,
+    "constraint_audit": _SQL_CONSTRAINT_AUDIT,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
