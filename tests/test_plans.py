@@ -221,3 +221,57 @@ def test_sq8_rough_distance_is_codegen(spark, sf_dir):
     # higher-order aggregate/transform fold in the scoring projection
     assert "aggregate(" not in plan
     assert "CartesianProduct" not in plan  # query side broadcasts
+
+
+def test_source_quota_uses_window_group_limit(spark, sf_dir):
+    """rank <= quota must compile to WindowGroupLimit so map tasks forward
+    at most quota rows per source before the shuffle."""
+    from rabitq_spark.operators.curate import source_quota
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    plan = _fmt(source_quota(docs, quota=10))
+    assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_single_scan_topk(spark, sf_dir):
+    """The E-S key is computed in a project over ONE scan; global top-k via
+    WindowGroupLimit, no self-join."""
+    from rabitq_spark.operators.curate import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    import re
+
+    plan = _fmt(weighted_sample(docs, k=10, weight_col="n_chars"))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # global (unpartitioned) top-k compiles to TakeOrderedAndProject — each
+    # task forwards its local k, the driver merges; per-group variants get
+    # WindowGroupLimit. Either way, no full global sort.
+    assert "TakeOrdered" in plan or "WindowGroupLimit" in plan
+
+
+def test_pq_adc_is_codegen_lookups(spark, sf_dir):
+    """The ADC estimator is m element_at lookups in a projection — no
+    higher-order fold, no cartesian on the base side."""
+    from rabitq_spark.index.pq import pq_adc_expr, pq_encode, pq_lut, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    cb = pq_train(base, "vec", m=8, ksub=16, iters=2)
+    coded = pq_encode(base, cb)
+    q = pq_lut(
+        emb.limit(1).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        cb,
+    )
+    plan = _fmt(
+        coded.crossJoin(F.broadcast(q.select("query_id", "__lut"))).select(
+            pq_adc_expr("__bcode", "__lut", 8, 16).alias("d")
+        )
+    )
+    assert "aggregate(" not in plan
+    assert "CartesianProduct" not in plan
