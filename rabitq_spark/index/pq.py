@@ -343,6 +343,8 @@ def ivfpq_search(
     shortlist: int = 64,
     query_id: str = "query_id",
     query_vec: str = "qvec",
+    broadcast_probes: bool | None = None,
+    broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """IVF-PQ k-NN: per query, probe the `nprobe` nearest coarse cells;
     each probe carries a residual ADC LUT for (q − centroid), so the hot
@@ -406,8 +408,18 @@ def ivfpq_search(
             for r in probe_df.select("cluster_id").distinct().collect()
         ]
         coded_base = coded_base.filter(F.col("cluster_id").isin(cells))
+    if broadcast_probes is None:
+        # each probe row carries an m·ksub-double LUT (~64 KB at m=32,
+        # ksub=256); a large query batch × nprobe makes the probe table far
+        # too big to broadcast — the count on the checkpointed probe table
+        # is a local scan, and past the byte budget the rough join flips to
+        # a shuffle keyed by cluster_id (the J2 dispatch of the RaBitQ
+        # path, index/search.py)
+        lut_bytes = m * ksub * 8
+        broadcast_probes = probe_df.count() * lut_bytes <= broadcast_max_bytes
+    probe_sel = probe_df.select("query_id", "cluster_id", "__lut")
     rough = coded_base.join(
-        F.broadcast(probe_df.select("query_id", "cluster_id", "__lut")),
+        F.broadcast(probe_sel) if broadcast_probes else probe_sel,
         "cluster_id",
     ).select(
         "query_id",

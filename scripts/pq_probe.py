@@ -69,14 +69,26 @@ def main() -> None:
         .cache()
     )
     queries.count()
+    # flat-scan families (SQ8, flat PQ) pay O(n) rough work PER QUERY —
+    # at 1M x 256 a 1000-query batch is 10^9 scored pairs, so they run at
+    # NQ_FLAT queries (cost scales linearly in nq; the per-query number is
+    # the honest unit). IVF-PQ probes a fraction of cells and runs the
+    # full batch.
+    NQ_FLAT = 100
+    qflat = queries.limit(NQ_FLAT).cache()
+    qflat.count()
     t0 = time.perf_counter()
     exact = knn_exact_fast(queries, base, TOPK).toPandas()
-    print(f"brute: {time.perf_counter() - t0:.2f}s")
+    print(f"brute nq=1000: {time.perf_counter() - t0:.2f}s", flush=True)
+    t0 = time.perf_counter()
+    knn_exact_fast(qflat, base, TOPK).write.format("noop").mode("overwrite").save()
+    print(f"brute nq={NQ_FLAT}: {time.perf_counter() - t0:.2f}s", flush=True)
     truth = exact[["query_id", "neighbor_id"]]
 
     def recall(approx) -> float:
-        return len(approx.merge(truth, on=["query_id", "neighbor_id"])) / max(
-            len(truth), 1
+        sub = truth[truth.query_id.isin(set(approx.query_id))]
+        return len(approx.merge(sub, on=["query_id", "neighbor_id"])) / max(
+            len(sub), 1
         )
 
     # --- SQ8
@@ -90,15 +102,15 @@ def main() -> None:
         .alias("__bcode"),
     ).cache()
     coded.count()
-    print(f"sq8 train+encode: {time.perf_counter() - t0:.2f}s")
+    print(f"sq8 train+encode: {time.perf_counter() - t0:.2f}s", flush=True)
     for sl in (64, 32):
         t0 = time.perf_counter()
         got = sq8_search(
-            queries, base, TOPK, lo, hi, shortlist=sl, coded_base=coded
+            qflat, base, TOPK, lo, hi, shortlist=sl, coded_base=coded
         ).toPandas()
         print(
-            f"sq8 shortlist={sl}: search={time.perf_counter() - t0:.2f}s "
-            f"recall={recall(got):.4f}"
+            f"sq8 nq={NQ_FLAT} shortlist={sl}: search={time.perf_counter() - t0:.2f}s "
+            f"recall={recall(got):.4f}", flush=True
         )
     coded.unpersist()
 
@@ -107,15 +119,15 @@ def main() -> None:
     cb = pq_train(base, "vec", m=32, ksub=256, iters=8)
     pcoded = pq_encode(base, cb).cache()
     pcoded.count()
-    print(f"pq train+encode: {time.perf_counter() - t0:.2f}s")
+    print(f"pq train+encode: {time.perf_counter() - t0:.2f}s", flush=True)
     for sl in (64, 32):
         t0 = time.perf_counter()
         got = pq_search(
-            queries, base, TOPK, cb, shortlist=sl, coded_base=pcoded
+            qflat, base, TOPK, cb, shortlist=sl, coded_base=pcoded
         ).toPandas()
         print(
-            f"pq m=32 shortlist={sl}: search={time.perf_counter() - t0:.2f}s "
-            f"recall={recall(got):.4f}"
+            f"pq m=32 nq={NQ_FLAT} shortlist={sl}: search={time.perf_counter() - t0:.2f}s "
+            f"recall={recall(got):.4f}", flush=True
         )
     pcoded.unpersist()
 
@@ -127,15 +139,16 @@ def main() -> None:
     )
     icoded = ivfpq_encode(base, coarse, rcb).cache()
     icoded.count()
-    print(f"ivfpq train+encode ({n_clusters} cells): {time.perf_counter() - t0:.2f}s")
+    print(f"ivfpq train+encode ({n_clusters} cells): {time.perf_counter() - t0:.2f}s", flush=True)
     for nprobe, sl in ((n_clusters // 16, 64), (n_clusters // 32, 64)):
         t0 = time.perf_counter()
         got = ivfpq_search(
             queries, icoded, TOPK, coarse, rcb, nprobe=nprobe, shortlist=sl
         ).toPandas()
         print(
-            f"ivfpq nprobe={nprobe}/{n_clusters} shortlist={sl}: "
-            f"search={time.perf_counter() - t0:.2f}s recall={recall(got):.4f}"
+            f"ivfpq nq=1000 nprobe={nprobe}/{n_clusters} shortlist={sl}: "
+            f"search={time.perf_counter() - t0:.2f}s recall={recall(got):.4f}",
+            flush=True,
         )
     spark.stop()
 

@@ -176,3 +176,26 @@ def test_ivfpq_save_load_and_partition_pruning(spark, sf_dir, tmp_path):
     assert "cluster_id" in m.group(1), m.group(1)
     got = result.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
     assert want.equals(got)
+
+
+def test_ivfpq_shuffle_probe_path_equals_broadcast(spark, sf_dir):
+    """Past the LUT byte budget the rough join flips to a shuffle keyed by
+    cluster_id — results must be identical to the broadcast path."""
+    from rabitq_spark.index.pq import ivfpq_encode, ivfpq_search, ivfpq_train
+
+    base, queries = _base_queries(spark, sf_dir, nq=6)
+    coarse, cb = ivfpq_train(base, "vec", n_clusters=8, m=8, ksub=16, iters=3)
+    coded = ivfpq_encode(base, coarse, cb).cache()
+    kw = dict(nprobe=4, shortlist=30)
+    a = (
+        ivfpq_search(queries, coded, 5, coarse, cb, broadcast_probes=True, **kw)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    b = (
+        ivfpq_search(queries, coded, 5, coarse, cb, broadcast_max_bytes=1, **kw)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert a.equals(b)
+    coded.unpersist()
