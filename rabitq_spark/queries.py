@@ -2601,6 +2601,70 @@ WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 1000 END
 """
 
 
+def q_sft_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-structure validation (operators/sft.py) over chat data
+    CONSTRUCTED from document text (5-token turns, alternating roles, with
+    deterministically injected faults: every (doc_id+i)%13==0 turn forces
+    role 'assistant' and every (doc_id*7+i)%17==0 turn an empty content —
+    so repeats, bad starts, and empty-turn rules all genuinely fire). The
+    oracle mirrors only the CONSTRUCTION; the nested higher-order
+    validation (filter/zip_with/aggregate over array<struct>) runs
+    independently in each engine and must agree bit-for-bit."""
+    from rabitq_spark.functions.text import tokens
+    from rabitq_spark.operators.sft import conversation_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_t = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    conv = F.transform(
+        F.sequence(F.lit(0), n_t - 1),
+        lambda i: F.struct(
+            F.when((F.col("doc_id") + i) % 13 == 0, F.lit("assistant"))
+            .when(i % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.when((F.col("doc_id") * 7 + i) % 17 == 0, F.lit(""))
+            .otherwise(F.array_join(F.slice(toks, i * 5 + 1, 5), " "))
+            .alias("content"),
+        ),
+    )
+    convs = docs.filter(F.size(toks) > 0).select("doc_id", conv.alias("conv"))
+    return conversation_stats(convs, "conv")
+
+
+_SQL_SFT_TURN_STATS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks) / 5.0) AS INT)),
+    i -> struct_pack(
+      role := CASE WHEN (doc_id + i) % 13 = 0 THEN 'assistant'
+                   WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+      content := CASE WHEN (doc_id * 7 + i) % 17 = 0 THEN ''
+                 ELSE array_to_string(toks[i*5+1 : i*5+5], ' ') END)) AS conv
+  FROM t WHERE len(toks) > 0
+), s AS (
+  SELECT doc_id,
+         len(conv) AS n_turns,
+         len(list_filter(conv, x -> x['role'] = 'user')) AS n_user,
+         len(conv) - len(list_filter(conv, x -> x['role'] = 'user')) AS n_assistant,
+         CAST(conv[1]['role'] = 'user' AS INT) AS starts_user,
+         len(list_filter(range(2, len(conv) + 1),
+                         i -> conv[i]['role'] = conv[i-1]['role'])) AS n_role_repeats,
+         len(list_filter(conv, x -> length(x['content']) = 0)) AS n_empty,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(conv, x -> CAST(length(x['content']) AS BIGINT))),
+             (a, x) -> a + x) AS total_chars
+  FROM c
+)
+SELECT *,
+       CAST(starts_user = 1 AND n_role_repeats = 0 AND n_empty = 0
+            AND n_turns >= 2 AS INT) AS valid
+FROM s
+"""
+
+
 def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ/dbt-style data-quality gate (operators/audit.py): PK
     uniqueness, FK integrity, null and range rules over the warehouse
@@ -4888,6 +4952,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_orders": q_large_volume_orders,
     "min_price_supplier": q_min_price_supplier,
     "constraint_audit": q_constraint_audit,
+    "sft_turn_stats": q_sft_turn_stats,
     "ann_stream_index": q_ann_stream_index,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
@@ -5081,6 +5146,7 @@ ORACLE_SQL: dict[str, str] = {
     "large_volume_orders": _SQL_Q18,
     "min_price_supplier": _SQL_MIN_PRICE_SUPPLIER,
     "constraint_audit": _SQL_CONSTRAINT_AUDIT,
+    "sft_turn_stats": _SQL_SFT_TURN_STATS,
     # ann_ivf_recall: intentionally no oracle (depends on trained model state)
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
