@@ -714,3 +714,45 @@ def _embedding_neardup_blocked(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def neardup_incremental(
+    old_docs: DataFrame,
+    delta_docs: DataFrame,
+    old_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    n_bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup maintenance: the updated pair set after a delta
+    batch lands, WITHOUT re-banding the existing corpus against itself —
+
+        pairs(old ∪ delta) = old_pairs ∪ pairs(delta, delta) ∪ pairs(delta, old)
+
+    The identity is exact (not approximate): banded candidacy is a pure
+    per-document function (share a (band, key) or not), so splitting the
+    corpus cannot create or destroy candidate pairs, and the Jaccard verify
+    is per-pair. Per-batch work is O(delta × bucket) — the banded self-join
+    on the delta plus ONE cross join of the delta's keys against the
+    existing corpus's keys; at 100 TB the corpus side's keys are
+    precomputed state and the nightly crawl batch touches only its buckets.
+    `old_pairs` is prior state (materialize it before calling — a second
+    same-family invocation retires this module's cache generation).
+
+    Oracle contract (queries.py::ann `neardup_incremental`): equals the
+    full-corpus recompute bit-for-bit.
+    """
+    self_pairs = neardup_minhash_pairs(
+        delta_docs, id_col, text_col, shingle_words, n_bands, threshold
+    )
+    cross = neardup_minhash_pairs_cross(
+        delta_docs, old_docs, id_col, text_col, shingle_words, n_bands, threshold
+    )
+    cross_norm = cross.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "jaccard",
+    )
+    return old_pairs.unionByName(self_pairs).unionByName(cross_norm)

@@ -1352,6 +1352,31 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance (operators/dedup.py::
+    neardup_incremental): 90% of the corpus is existing state with its pair
+    set already materialized; the 10% delta batch contributes only
+    delta×delta and delta×old banded work. The oracle is the FULL-corpus
+    recompute — bit-equality proves the incremental identity, the shape
+    that makes nightly crawl dedup O(delta) instead of O(corpus)."""
+    from rabitq_spark.operators.dedup import (
+        neardup_incremental,
+        neardup_minhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    # prior-state pairs: materialized BEFORE the delta path runs (its
+    # same-family invocation retires this call's cache generation)
+    old_pairs = neardup_minhash_pairs(
+        old, shingle_words=3, n_bands=8, threshold=0.8
+    ).localCheckpoint(eager=True)
+    return neardup_incremental(
+        old, delta, old_pairs, shingle_words=3, n_bands=8, threshold=0.8
+    )
+
+
 def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: connected components over the minhash pair graph —
     the step that turns pairs into droppable duplicates. Iterative min-label
@@ -4962,6 +4987,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_events": q_zorder_events,
     "quality_classifier": q_quality_classifier,
     "neardup_minhash": q_neardup_minhash,
+    "neardup_incremental": q_neardup_incremental,
     "neardup_ngram": q_neardup_ngram,
     "neardup_groups": q_neardup_groups,
     "pagerank_neardup": q_pagerank_neardup,
@@ -5204,6 +5230,7 @@ FROM customer a JOIN customer b
   ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
 """,
     "neardup_minhash": _SQL_NEARDUP_MINHASH,
+    "neardup_incremental": _SQL_NEARDUP_MINHASH,
     "neardup_ngram": _SQL_NEARDUP_NGRAM,
     "neardup_groups": _sql_neardup_groups(),
     # 5-iteration PageRank: ordered folds + single IEEE scalar ops both sides

@@ -98,3 +98,38 @@ def test_streaming_index_maintenance_equals_bruteforce(spark, sf_dir, tmp_path):
         model, queries, topk=5, nprobe=model.n_clusters, overfetch=10**6
     ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
     pd.testing.assert_frame_equal(got, exact, check_exact=True)
+
+
+def test_neardup_incremental_equals_full_recompute(spark):
+    """Splitting the corpus into state + delta must reproduce the full
+    banded recompute exactly, including pairs that straddle the split."""
+    from rabitq_spark.operators.dedup import (
+        neardup_incremental,
+        neardup_minhash_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today"
+    )
+    rows = []
+    for i in range(40):
+        # clusters of 4 near-identical docs; members land in both halves
+        text = base + f" cluster {i // 4} variant"
+        rows.append((i, text + (" extra" if i % 4 == 3 else "")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.id_a, r.id_b)
+        for r in neardup_minhash_pairs(docs, threshold=0.5).collect()
+    }
+    old = docs.filter("doc_id % 3 != 0")
+    delta = docs.filter("doc_id % 3 = 0")
+    old_pairs = neardup_minhash_pairs(old, threshold=0.5).localCheckpoint()
+    inc = {
+        (r.id_a, r.id_b)
+        for r in neardup_incremental(
+            old, delta, old_pairs, threshold=0.5
+        ).collect()
+    }
+    assert full == inc and len(full) > 0
+    # straddling pairs exist (one side divisible by 3, the other not)
+    assert any((a % 3 == 0) != (b % 3 == 0) for a, b in full)
