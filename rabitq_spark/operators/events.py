@@ -104,3 +104,48 @@ def funnel_counts(events: DataFrame) -> DataFrame:
             F.col("did_signup") * F.col("did_click") * F.col("did_purchase")
         ).alias("n_full_funnel"),
     )
+
+
+def funnel_ordered(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("signup", "click", "purchase"),
+    ts_col: str = "ts_us",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ORDER-SENSITIVE funnel (MATCH_RECOGNIZE-lite): stage k counts only
+    if it occurs AFTER stage k-1 was reached — a click before the signup
+    does not advance the funnel (funnel_counts, by contrast, only asks
+    "did each event ever happen"). Per user, the reached stage 0..len(stages).
+
+    Execution: one shuffle keyed by user builds the time-ordered event-type
+    sequence (ties broken by type string, mirrored in the oracle); the
+    pattern automaton is a codegen fold over that array — events map to
+    stage codes, the accumulator advances on exactly code == acc+1. No
+    per-event joins, no window cascades: sequence-pattern matching as a
+    single aggregate."""
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
+        ),
+        lambda x: x["et"],
+    )
+    coded = F.transform(seq, lambda x: _stage_code(x, stages))
+    return (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.aggregate(
+                coded,
+                F.lit(0),
+                lambda acc, x: F.when(x == acc + 1, acc + 1).otherwise(acc),
+            ).alias("stage")
+        )
+    )
+
+
+def _stage_code(x, stages: tuple[str, ...]):
+    out = None
+    for i, s in enumerate(stages):
+        clause = F.when(x == s, F.lit(i + 1))
+        out = clause if out is None else out.when(x == s, F.lit(i + 1))
+    return out.otherwise(F.lit(0))

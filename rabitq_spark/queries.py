@@ -2555,6 +2555,34 @@ FROM per_user
 """
 
 
+def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive funnel (operators/events.py::funnel_ordered):
+    per-user reached stage where click only counts after signup and
+    purchase only after that click — the codegen fold automaton
+    (MATCH_RECOGNIZE-lite). Compact output: users per reached stage."""
+    from rabitq_spark.operators.events import funnel_ordered
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts_us") % 7 < 2)
+    # the deterministic ~29% event slice keeps the funnel discriminating
+    # (on the full stream every user completes all three stages)
+    per_user = funnel_ordered(ev)
+    return per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_SQL_FUNNEL_ORDERED = """
+WITH per_user AS (
+  SELECT user_id,
+         list_reduce(list_prepend(0, list_transform(
+             list(event_type ORDER BY epoch_us(ts), event_type),
+             x -> CASE x WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'purchase' THEN 3 ELSE 0 END)),
+           (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1 ELSE acc END) AS stage
+  FROM events WHERE epoch_us(ts) % 7 < 2 GROUP BY user_id
+)
+SELECT stage, COUNT(*) AS n_users FROM per_user GROUP BY stage
+"""
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete percentiles (p50/p90/p99) of event value per event_type via
     the explicit order-statistic formula (k-th smallest, k = ceil(q·n)) —
@@ -5018,6 +5046,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_events": q_window_events,
     "sessionize": q_sessionize,
     "funnel": q_funnel,
+    "funnel_ordered": q_funnel_ordered,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -5130,6 +5159,7 @@ ORACLE_SQL: dict[str, str] = {
     "interval_join": _SQL_INTERVAL_JOIN,
     "kmv_distinct_users": _SQL_KMV,
     "funnel": _SQL_FUNNEL,
+    "funnel_ordered": _SQL_FUNNEL_ORDERED,
     "json_props": _SQL_JSON_PROPS,
     "knn_exact": _SQL_KNN_EXACT,
     # exhaustive IVF+RaBitQ == exact brute force (see q_ann_ivf_exhaustive)

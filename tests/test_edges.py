@@ -84,3 +84,24 @@ def test_sq8_constant_dimension(spark):
         ["query_id", "rank"], ignore_index=True
     )
     assert exact.equals(sq)
+
+
+def test_funnel_ordered_vs_unordered(spark):
+    """Order sensitivity: a purchase BEFORE the click chain must not count;
+    funnel_counts (existence-only) sees it, funnel_ordered does not."""
+    from rabitq_spark.operators.events import funnel_ordered
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "purchase"),  # too early — before signup/click
+            (1, 2, "signup"),
+            (1, 3, "click"),
+            (2, 1, "signup"),
+            (2, 2, "click"),
+            (2, 3, "purchase"),
+            (3, 1, "view"),
+        ],
+        "user_id long, ts_us long, event_type string",
+    )
+    got = {r.user_id: r.stage for r in funnel_ordered(df).collect()}
+    assert got == {1: 2, 2: 3, 3: 0}
