@@ -199,3 +199,33 @@ def test_ivfpq_shuffle_probe_path_equals_broadcast(spark, sf_dir):
     )
     assert a.equals(b)
     coded.unpersist()
+
+
+def test_pq_arrow_impl_equals_bruteforce_and_jvm(spark, sf_dir):
+    from rabitq_spark.index.pq import pq_encode, pq_search, pq_train
+
+    base, queries = _base_queries(spark, sf_dir)
+    cb = pq_train(base, "vec", m=8, ksub=32, iters=4)
+    coded = pq_encode(base, cb).cache()
+    exact = knn_exact(queries, base, 5).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    arrow = (
+        pq_search(queries, base, 5, cb, shortlist=10**9, coded_base=coded, impl="arrow")
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert exact.equals(arrow)
+    # bounded shortlists: the two impls agree on the reranked output
+    a = (
+        pq_search(queries, base, 5, cb, shortlist=64, coded_base=coded, impl="arrow")
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    j = (
+        pq_search(queries, base, 5, cb, shortlist=64, coded_base=coded, impl="jvm")
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert a.equals(j)
+    coded.unpersist()
