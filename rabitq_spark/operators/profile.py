@@ -69,3 +69,60 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             "min_num", "max_num", "min_str", "max_str",
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip values to the exact [p_lo, p_hi]
+    order-statistic fences (k-th smallest, k = ceil(q·n) — the same
+    engine-portable discrete-percentile rule as value_percentiles; no
+    interpolation, so the fences are values that actually occur and the
+    clip is bit-exact across engines).
+
+    The training-data use: tame heavy-tailed numeric features (token
+    counts, scores, durations) before they feed normalization or mixing
+    weights. Plan: one ranked window per group (shuffle keyed by group),
+    fences reduce to one row per group and broadcast back onto a second
+    scan — the corpus itself shuffles once.
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+        ).alias("__rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    fences = ranked.groupBy("__g").agg(
+        F.min(
+            F.when(
+                F.col("__rk") == F.ceil(F.lit(lo_q) * F.col("__n")).cast("bigint"),
+                F.col("__v"),
+            )
+        ).alias("__lo"),
+        F.min(
+            F.when(
+                F.col("__rk") == F.ceil(F.lit(hi_q) * F.col("__n")).cast("bigint"),
+                F.col("__v"),
+            )
+        ).alias("__hi"),
+    )
+    return (
+        df.join(
+            F.broadcast(fences), F.col(group_col) == F.col("__g")
+        )
+        .select(
+            *df.columns,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")).alias(
+                f"{value_col}_winsorized"
+            ),
+        )
+    )

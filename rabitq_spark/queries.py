@@ -2555,6 +2555,51 @@ FROM per_user
 """
 
 
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization (operators/profile.py::winsorize):
+    values clipped to the exact p05/p95 order-statistic fences. Compact
+    deterministic output: per type, the fences plus DECIMAL-exact sums of
+    raw and clipped values over a deterministic event slice."""
+    from rabitq_spark.operators.profile import winsorize
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    clipped = winsorize(ev, "value", "event_type", "event_id")
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value_winsorized").alias("lo_fence_min"),
+        F.max("value_winsorized").alias("hi_fence_max"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_raw"),
+        F.sum(F.col("value_winsorized").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_clipped"),
+    )
+
+
+_SQL_WINSORIZE = """
+WITH ev AS (
+  SELECT * FROM events WHERE event_id % 5 = 0
+), ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), fences AS (
+  SELECT event_type,
+         MIN(CASE WHEN rk = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS lo,
+         MIN(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n,
+       MIN(least(greatest(e.value, f.lo), f.hi)) AS lo_fence_min,
+       MAX(least(greatest(e.value, f.lo), f.hi)) AS hi_fence_max,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_raw,
+       CAST(SUM(CAST(least(greatest(e.value, f.lo), f.hi) AS DECIMAL(38,6))) AS DOUBLE) AS sum_clipped
+FROM ev e JOIN fences f ON e.event_type = f.event_type
+GROUP BY e.event_type
+"""
+
+
 def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive funnel (operators/events.py::funnel_ordered):
     per-user reached stage where click only counts after signup and
@@ -5047,6 +5092,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "funnel": q_funnel,
     "funnel_ordered": q_funnel_ordered,
+    "winsorize_values": q_winsorize_values,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -5160,6 +5206,7 @@ ORACLE_SQL: dict[str, str] = {
     "kmv_distinct_users": _SQL_KMV,
     "funnel": _SQL_FUNNEL,
     "funnel_ordered": _SQL_FUNNEL_ORDERED,
+    "winsorize_values": _SQL_WINSORIZE,
     "json_props": _SQL_JSON_PROPS,
     "knn_exact": _SQL_KNN_EXACT,
     # exhaustive IVF+RaBitQ == exact brute force (see q_ann_ivf_exhaustive)

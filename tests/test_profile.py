@@ -28,3 +28,16 @@ def test_profile_column_subset(spark):
     df = spark.createDataFrame([(1, "x")], ["a", "b"])
     out = profile_table(df, columns=["b"]).collect()
     assert [r["column"] for r in out] == ["b"]
+
+
+def test_winsorize_clips_to_exact_fences(spark):
+    from rabitq_spark.operators.profile import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(1, 101)]  # values 1..100
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = winsorize(df, "value", "event_type", "event_id").collect()
+    clipped = {r.event_id: r.value_winsorized for r in out}
+    # fences: ceil(0.05*100)=5 -> 5.0, ceil(0.95*100)=95 -> 95.0
+    assert clipped[1] == 5.0 and clipped[4] == 5.0 and clipped[5] == 5.0
+    assert clipped[50] == 50.0
+    assert clipped[95] == 95.0 and clipped[96] == 95.0 and clipped[100] == 95.0
