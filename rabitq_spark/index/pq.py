@@ -345,6 +345,7 @@ def ivfpq_search(
     query_vec: str = "qvec",
     broadcast_probes: bool | None = None,
     broadcast_max_bytes: int = 256 * 1024 * 1024,
+    impl: str = "jvm",
 ) -> DataFrame:
     """IVF-PQ k-NN: per query, probe the `nprobe` nearest coarse cells;
     each probe carries a residual ADC LUT for (q − centroid), so the hot
@@ -356,6 +357,11 @@ def ivfpq_search(
     m, ksub, dsub = codebook.shape
     cb, co = codebook, coarse
     nprobe = min(nprobe, co.shape[0])
+    if impl == "arrow":
+        return _ivfpq_search_arrow(
+            queries, coded_base, k, coarse, codebook, nprobe,
+            max(shortlist, k), query_id, query_vec,
+        )
     cnorm = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
     conorm = (co * co).sum(axis=1)
     schema = StructType(
@@ -595,3 +601,118 @@ def _pq_arrow_shortlist(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
     )
     return short, qv
+
+
+def _ivfpq_search_arrow(
+    queries: DataFrame,
+    coded_base: DataFrame,
+    k: int,
+    coarse: np.ndarray,
+    codebook: np.ndarray,
+    nprobe: int,
+    shortlist: int,
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """Large-batch IVF-PQ: ship QUERY VECTORS (2 KB each), not LUTs (64 KB
+    per probe row) — the materialized-LUT plan is O(nq × nprobe × m × ksub)
+    bytes and killed an 8 GB driver at nq=1000, nprobe=62, m=32
+    (scripts/pq_probe.py). Here the driver computes only the probe
+    ASSIGNMENT (nq × n_clusters argpartition — trivial), broadcasts
+    (query ids, query matrix, cell → query-index lists, codebooks), and
+    each scoring task builds the residual LUT per (cell, probing-queries)
+    on the fly, gathers rough distances columnar, and keeps a local top-R
+    per (cell, query). Shuffle = O(Σ_cell probes(cell) × R) candidate rows.
+    Exact rerank restores exactness exactly as the jvm path."""
+    import pandas as _pd
+
+    m, ksub, dsub = codebook.shape
+    cb, co = codebook, coarse
+    spark = queries.sparkSession
+    qpd = queries.select(query_id, query_vec).toPandas()
+    q_ids = np.asarray(qpd[query_id].values, dtype=np.int64)
+    q_mat = np.ascontiguousarray(np.vstack(qpd[query_vec].values).astype(np.float64))
+    cd = (
+        (q_mat * q_mat).sum(axis=1)[:, None]
+        - 2.0 * (q_mat @ co.T)
+        + (co * co).sum(axis=1)[None, :]
+    )
+    nq = q_mat.shape[0]
+    npb = min(nprobe, co.shape[0])
+    probe_cells = np.argpartition(cd, npb - 1, axis=1)[:, :npb]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(nq):
+        for c in probe_cells[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_mat, {c: np.asarray(v) for c, v in cell_to_q.items()})
+    )
+    cnorm = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, cmap = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for c, grp in pdf.groupby("cluster_id"):
+                qidx = cmap.get(int(c))
+                if qidx is None:
+                    continue
+                C = np.vstack(grp["__bcode"].values).astype(np.int64)
+                b_ids = np.asarray(grp["__bid"].values, dtype=np.int64)
+                rows = C.shape[0]
+                resid = mat_b[qidx] - co[int(c)][None, :]
+                lut = np.empty((len(qidx), m, ksub), dtype=np.float64)
+                for j in range(m):
+                    rs = resid[:, j * dsub : (j + 1) * dsub]
+                    lut[:, j, :] = (
+                        cnorm[j][None, :]
+                        - 2.0 * (rs @ cb[j].T)
+                        + (rs * rs).sum(axis=1)[:, None]
+                    )
+                acc = np.zeros((len(qidx), rows), dtype=np.float64)
+                for j in range(m):
+                    acc += lut[:, j, :][:, C[:, j]]
+                kk = min(shortlist, rows)
+                part = np.argpartition(acc, kk - 1, axis=1)[:, :kk]
+                rws = np.repeat(np.arange(len(qidx)), kk)
+                cols = part.ravel()
+                yield _pd.DataFrame(
+                    {
+                        "query_id": ids_b[qidx][rws],
+                        "neighbor_id": b_ids[cols],
+                        "__rough": acc[rws, cols],
+                    }
+                )
+
+    # cells contiguous per task: one small shuffle of the CODES (m ints +
+    # id per row) so each cell's LUT is built once, not once per Arrow
+    # batch that happens to contain a slice of it
+    slim = coded_base.select("cluster_id", "__bid", "__bcode").repartition(
+        spark.sparkContext.defaultParallelism, "cluster_id"
+    )
+    local = slim.mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, __rough double"
+    )
+    short = topk_per_group(
+        local,
+        ["query_id"],
+        [F.col("__rough").asc(), F.col("neighbor_id").asc()],
+        shortlist,
+    ).select("query_id", "neighbor_id")
+    bv = coded_base.select(F.col("__bid").alias("neighbor_id"), "__bvec")
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
+    )
+    scored = (
+        short.join(bv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    ).select("query_id", "neighbor_id", "dist", "rank")

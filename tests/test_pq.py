@@ -229,3 +229,38 @@ def test_pq_arrow_impl_equals_bruteforce_and_jvm(spark, sf_dir):
     )
     assert a.equals(j)
     coded.unpersist()
+
+
+def test_ivfpq_arrow_impl_matches_jvm(spark, sf_dir):
+    from rabitq_spark.index.pq import ivfpq_encode, ivfpq_search, ivfpq_train
+
+    base, queries = _base_queries(spark, sf_dir, nq=8)
+    coarse, cb = ivfpq_train(base, "vec", n_clusters=8, m=8, ksub=32, iters=4)
+    coded = ivfpq_encode(base, coarse, cb).cache()
+    # exhaustive: both impls == brute force
+    exact = knn_exact(queries, base, 5).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    arrow = (
+        ivfpq_search(
+            queries, coded, 5, coarse, cb, nprobe=8, shortlist=10**9, impl="arrow"
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert exact.equals(arrow)
+    # bounded: arrow == jvm at the same budget
+    a = (
+        ivfpq_search(
+            queries, coded, 5, coarse, cb, nprobe=4, shortlist=40, impl="arrow"
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    j = (
+        ivfpq_search(queries, coded, 5, coarse, cb, nprobe=4, shortlist=40)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert a.equals(j)
+    coded.unpersist()
