@@ -2763,6 +2763,79 @@ FROM s
 """
 
 
+_MMR_NQ, _MMR_R, _MMR_K, _MMR_LAM = 8, 30, 10, 0.7
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/mmr.py): fold-exact dot
+    shortlist (top-30 per query), then the greedy λ-tradeoff pick of 10 —
+    the ITERATIVE greedy is hash-checked end to end against a DuckDB
+    recursive-CTE + LATERAL argmax oracle (the pagerank/components
+    treatment: sequential algorithms are oracle-checkable when every float
+    op is mirrored)."""
+    from rabitq_spark.functions.vector import dot
+    from rabitq_spark.operators.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    b = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("vec"))
+    scored = b.crossJoin(F.broadcast(q)).select(
+        "query_id", "cand_id", "vec", dot(F.col("qvec"), F.col("vec")).alias("rel")
+    )
+    shortlist = topk_per_group(
+        scored, ["query_id"], [F.col("rel").desc(), F.col("cand_id").asc()], _MMR_R
+    ).select("query_id", "cand_id", "rel", "vec")
+    return mmr_rerank(shortlist, k=_MMR_K, lam=_MMR_LAM)
+
+
+def _sql_mmr() -> str:
+    lam, oml = _MMR_LAM, 1.0 - _MMR_LAM
+    dot_qc = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(range(1, len(vec) + 1),"
+        " i -> CAST(qvec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE))), (a, x) -> a + x)"
+    )
+    dot_cs = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(range(1, len(v) + 1),"
+        " i -> CAST(c.vec[i] AS DOUBLE) * CAST(v[i] AS DOUBLE))), (a, x) -> a + x)"
+    )
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {_MMR_NQ}
+), b AS (
+  SELECT vec_id AS cand_id, embedding AS vec FROM embeddings
+), scored AS (
+  SELECT query_id, cand_id, vec, {dot_qc} AS rel FROM b, q
+), cand AS (
+  SELECT query_id, cand_id, vec, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) AS rn
+    FROM scored) r WHERE rn <= {_MMR_R}
+), sel(query_id, step, ids, vecs) AS (
+  SELECT query_id, 1, [cand_id], [vec] FROM (
+    SELECT query_id, cand_id, vec,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand_id) AS rn
+    FROM cand) r WHERE rn = 1
+  UNION ALL
+  SELECT s.query_id, s.step + 1, list_append(s.ids, p.cand_id),
+         list_append(s.vecs, p.vec)
+  FROM sel s, LATERAL (
+    SELECT c.cand_id, c.vec
+    FROM cand c
+    WHERE c.query_id = s.query_id AND NOT list_contains(s.ids, c.cand_id)
+    ORDER BY {lam!r} * c.rel - {oml!r} * list_max(list_transform(s.vecs,
+             v -> {dot_cs})) DESC, c.cand_id
+    LIMIT 1) p
+  WHERE s.step < {_MMR_K}
+)
+SELECT query_id, ids[step] AS cand_id, CAST(step AS INT) AS rank FROM sel
+"""
+
+
 def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ/dbt-style data-quality gate (operators/audit.py): PK
     uniqueness, FK integrity, null and range rules over the warehouse
@@ -5093,6 +5166,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "funnel_ordered": q_funnel_ordered,
     "winsorize_values": q_winsorize_values,
+    "mmr_rerank": q_mmr_rerank,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -5207,6 +5281,7 @@ ORACLE_SQL: dict[str, str] = {
     "funnel": _SQL_FUNNEL,
     "funnel_ordered": _SQL_FUNNEL_ORDERED,
     "winsorize_values": _SQL_WINSORIZE,
+    "mmr_rerank": _sql_mmr(),
     "json_props": _SQL_JSON_PROPS,
     "knn_exact": _SQL_KNN_EXACT,
     # exhaustive IVF+RaBitQ == exact brute force (see q_ann_ivf_exhaustive)
