@@ -2763,6 +2763,198 @@ FROM s
 """
 
 
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resampling with LOCF (operators/timeseries.py): per-user
+    hourly buckets spanning each user's [first, last] event with explicit
+    gap rows (n_events = 0) and the last observed bucket sum carried
+    forward — the regularization step before any windowed feature model."""
+    from rabitq_spark.operators.timeseries import resample_locf
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return resample_locf(ev)
+
+
+_SQL_RESAMPLE_LOCF = """
+WITH hourly AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket_idx,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+  FROM events WHERE user_id < 40 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(bucket_idx) AS lo, MAX(bucket_idx) AS hi
+  FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket_idx FROM bounds
+)
+SELECT g.user_id, g.bucket_idx,
+       COALESCE(h.n_events, 0) AS n_events,
+       h.sum_value,
+       last_value(h.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_idx
+         ROWS UNBOUNDED PRECEDING) AS locf_value
+FROM grid g LEFT JOIN hourly h
+  ON g.user_id = h.user_id AND g.bucket_idx = h.bucket_idx
+"""
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: counts and DECIMAL-exact sums over every subset of
+    (event_type, weekday) — all four grouping levels in ONE pass (the
+    Expand operator), completing the rollup/pivot/grouping-sets ladder."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("ts_us DIV 86400000000") % 7).alias("weekday"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("weekday", F.lit(-1)).alias("weekday"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SQL_CUBE_EVENTS = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(weekday, -1) AS weekday,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS weekday, value
+  FROM events
+) t
+GROUP BY CUBE(event_type, weekday)
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: 20 bins over the global [min, max] of event
+    value, per event type — bin edges data-derived, the bin index a single
+    mirrored double expression (floor((v − lo) / w), last edge clamped)."""
+    ev = load_table(spark, sf_dir, "events")
+    lohi = ev.agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+    )
+    n_bins = 20
+    return (
+        ev.crossJoin(F.broadcast(lohi))
+        .select(
+            "event_type",
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("value").cast("double") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins)))
+                ).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_VALUE_HISTOGRAM = """
+WITH lohi AS (
+  SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi
+  FROM events
+)
+SELECT event_type,
+       LEAST(19, CAST(FLOOR((CAST(value AS DOUBLE) - lo)
+                            / ((hi - lo) / 20.0)) AS INT)) AS bin,
+       COUNT(*) AS n
+FROM events, lohi
+GROUP BY 1, 2
+"""
+
+
+def q_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust dispersion
+    statistic behind outlier fences. Both medians use the explicit
+    order-statistic rule (k = ceil(n/2)-th smallest, ties broken by id),
+    so the whole two-pass computation is engine-portable and bit-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("double").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        ev.select(
+            "event_type",
+            "v",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rk") == F.ceil(F.col("n") / 2).cast("bigint"), F.col("v")
+                )
+            ).alias("median")
+        )
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", F.abs(F.col("v") - F.col("median")).alias("d"),
+        "median",
+    )
+    w2 = Window.partitionBy("event_type").orderBy("d", "event_id")
+    return (
+        dev.select(
+            "event_type",
+            "median",
+            "d",
+            F.row_number().over(w2).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("median").alias("median"),
+            F.min(
+                F.when(
+                    F.col("rk") == F.ceil(F.col("n") / 2).cast("bigint"), F.col("d")
+                )
+            ).alias("mad"),
+        )
+    )
+
+
+_SQL_VALUE_MAD = """
+WITH ev AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
+), med AS (
+  SELECT event_type,
+         MIN(CASE WHEN rk = CAST(ceil(n / 2.0) AS BIGINT) THEN v END) AS median
+  FROM (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM ev) r
+  GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.event_id, m.median, ABS(e.v - m.median) AS d
+  FROM ev e JOIN med m ON e.event_type = m.event_type
+)
+SELECT event_type, MAX(median) AS median,
+       MIN(CASE WHEN rk = CAST(ceil(n / 2.0) AS BIGINT) THEN d END) AS mad
+FROM (
+  SELECT event_type, median, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev) r
+GROUP BY event_type
+"""
+
+
 _MMR_NQ, _MMR_R, _MMR_K, _MMR_LAM = 8, 30, 10, 0.7
 
 
@@ -5167,6 +5359,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_ordered": q_funnel_ordered,
     "winsorize_values": q_winsorize_values,
     "mmr_rerank": q_mmr_rerank,
+    "resample_locf": q_resample_locf,
+    "cube_events": q_cube_events,
+    "value_histogram": q_value_histogram,
+    "value_mad": q_value_mad,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -5282,6 +5478,10 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_ordered": _SQL_FUNNEL_ORDERED,
     "winsorize_values": _SQL_WINSORIZE,
     "mmr_rerank": _sql_mmr(),
+    "resample_locf": _SQL_RESAMPLE_LOCF,
+    "cube_events": _SQL_CUBE_EVENTS,
+    "value_histogram": _SQL_VALUE_HISTOGRAM,
+    "value_mad": _SQL_VALUE_MAD,
     "json_props": _SQL_JSON_PROPS,
     "knn_exact": _SQL_KNN_EXACT,
     # exhaustive IVF+RaBitQ == exact brute force (see q_ann_ivf_exhaustive)
