@@ -2955,6 +2955,133 @@ GROUP BY event_type
 """
 
 
+_RM_NQ, _RM_K = 20, 10
+
+
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness, itself oracle-checked: how well does
+    the 16-dim JL projection ROUTE queries to their true (64-dim) nearest
+    neighbor? Per query: the exact NN, its rank in the projected top-10
+    (0 = missed), reciprocal rank, hit flag. Both rankings are
+    SQL-expressible (inlined sign matrix, mirrored folds), so the metric
+    computation — the thing eval harnesses usually can't verify — is
+    bit-exact vs the oracle. Rational values only (1/rank), no
+    transcendentals."""
+    from rabitq_spark.functions.project import jl_project, jl_signs
+    from rabitq_spark.functions.vector import l2_squared
+
+    signs = jl_signs(_JL_K, 64)
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id", "embedding", jl_project("embedding", signs).alias("p")
+    )
+    q = proj.filter(F.col("vec_id") < _RM_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("p").alias("qp"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("vec"),
+        F.col("p").alias("bp"),
+    )
+    pairs = b.crossJoin(F.broadcast(q)).filter(F.col("cand_id") != F.col("query_id"))
+    pd_ = pairs.select(
+        "query_id", "cand_id", l2_squared(F.col("qp"), F.col("bp")).alias("d")
+    )
+    from pyspark.sql import Window
+
+    prank = pd_.select(
+        "query_id",
+        "cand_id",
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy("d", "cand_id"))
+        .alias("rk"),
+    )
+    ed = pairs.select(
+        "query_id", "cand_id", l2_squared(F.col("qvec"), F.col("vec")).alias("d")
+    )
+    nn = topk_per_group(ed, ["query_id"], [F.col("d").asc(), F.col("cand_id").asc()], 1)
+    pr = prank.select(
+        F.col("query_id").alias("pq"), F.col("cand_id").alias("pc"), "rk"
+    )
+    out = (
+        nn.select("query_id", F.col("cand_id").alias("nn_id"))
+        .join(
+            pr,
+            (F.col("query_id") == F.col("pq")) & (F.col("nn_id") == F.col("pc")),
+            "left",
+        )
+        .drop("pq", "pc")
+    )
+    in_top = F.col("rk").isNotNull() & (F.col("rk") <= _RM_K)
+    return out.select(
+        "query_id",
+        "nn_id",
+        F.when(in_top, F.col("rk")).otherwise(F.lit(0)).cast("int").alias("proj_rank"),
+        F.when(in_top, F.lit(1.0) / F.col("rk")).otherwise(F.lit(0.0)).alias("rr"),
+        in_top.cast("int").alias("hit"),
+    )
+
+
+def _sql_retrieval_metrics() -> str:
+    from rabitq_spark.functions.project import jl_signs
+
+    signs = jl_signs(_JL_K, 64)
+    scale = 1.0 / (_JL_K ** 0.5)
+    rows = ", ".join("[" + ", ".join(repr(v) for v in row) + "]" for row in signs)
+    return f"""
+WITH proj AS (
+  SELECT vec_id, embedding,
+         list_transform([{rows}],
+           row -> CAST({scale!r} AS DOUBLE) * list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * row[i])),
+             (a, x) -> a + x)) AS p
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, p AS qp FROM proj
+  WHERE vec_id < {_RM_NQ}
+), b AS (
+  SELECT vec_id AS cand_id, embedding AS vec, p AS bp FROM proj
+), pairs AS (
+  SELECT query_id, cand_id, qvec, vec, qp, bp FROM b, q
+  WHERE cand_id <> query_id
+), prank AS (
+  SELECT query_id, cand_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY d, cand_id) AS rk
+  FROM (
+    SELECT query_id, cand_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, {_JL_K + 1}),
+               i -> (qp[i] - bp[i]) * (qp[i] - bp[i]))),
+             (a, x) -> a + x) AS d
+    FROM pairs) t
+), nn AS (
+  SELECT query_id, cand_id AS nn_id FROM (
+    SELECT query_id, cand_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY d, cand_id) AS rn
+    FROM (
+      SELECT query_id, cand_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+                 i -> (CAST(qvec[i] AS DOUBLE) - CAST(vec[i] AS DOUBLE))
+                      * (CAST(qvec[i] AS DOUBLE) - CAST(vec[i] AS DOUBLE)))),
+               (a, x) -> a + x) AS d
+      FROM pairs) t) r WHERE rn = 1
+)
+SELECT n.query_id, n.nn_id,
+       CAST(CASE WHEN p.rk IS NOT NULL AND p.rk <= {_RM_K} THEN p.rk
+                 ELSE 0 END AS INT) AS proj_rank,
+       CASE WHEN p.rk IS NOT NULL AND p.rk <= {_RM_K} THEN 1.0 / p.rk
+            ELSE 0.0 END AS rr,
+       CAST(p.rk IS NOT NULL AND p.rk <= {_RM_K} AS INT) AS hit
+FROM nn n LEFT JOIN prank p
+  ON n.query_id = p.query_id AND n.nn_id = p.cand_id
+"""
+
+
 _MMR_NQ, _MMR_R, _MMR_K, _MMR_LAM = 8, 30, 10, 0.7
 
 
@@ -5359,6 +5486,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_ordered": q_funnel_ordered,
     "winsorize_values": q_winsorize_values,
     "mmr_rerank": q_mmr_rerank,
+    "retrieval_metrics": q_retrieval_metrics,
     "resample_locf": q_resample_locf,
     "cube_events": q_cube_events,
     "value_histogram": q_value_histogram,
@@ -5478,6 +5606,7 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_ordered": _SQL_FUNNEL_ORDERED,
     "winsorize_values": _SQL_WINSORIZE,
     "mmr_rerank": _sql_mmr(),
+    "retrieval_metrics": _sql_retrieval_metrics(),
     "resample_locf": _SQL_RESAMPLE_LOCF,
     "cube_events": _SQL_CUBE_EVENTS,
     "value_histogram": _SQL_VALUE_HISTOGRAM,
