@@ -2955,6 +2955,57 @@ GROUP BY event_type
 """
 
 
+def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card in one pass: per (source, lang) — docs, token volume,
+    mean quality (floor-scaled integer sum → one division, bit-portable),
+    and exact-duplicate count (docs minus distinct fingerprints). The
+    summary a pipeline publishes next to a training-data manifest."""
+    from rabitq_spark.functions.text import fingerprint, quality_score, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(tokens("text")).alias("ntok"),
+        F.floor(quality_score("text") * F.lit(1e6)).cast("bigint").alias("q6"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+        (F.sum("q6").cast("double") / F.count(F.lit(1))).alias("mean_quality_e6"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+    )
+
+
+_SQL_DATASET_MANIFEST = """
+WITH t AS (
+  SELECT source, lang,
+         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT source, lang, fp, len(w) AS ntok,
+         CAST(FLOOR((least(CAST(len(w) AS DOUBLE) / 30.0, 1.0) * 0.4
+           + (CASE WHEN len(w) = 0 THEN 0.0
+                   ELSE CAST(len(list_distinct(w)) AS DOUBLE)
+                        / CAST(len(w) AS DOUBLE) END) * 0.4
+           + (CASE WHEN len(w) > 0
+                    AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                        / CAST(len(w) AS DOUBLE) >= 3.0
+                    AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                        / CAST(len(w) AS DOUBLE) <= 8.0
+               THEN 1.0 ELSE 0.5 END) * 0.2) * 1e6) AS BIGINT) AS q6
+  FROM t
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST(SUM(q6) AS DOUBLE) / COUNT(*) AS mean_quality_e6,
+       COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
+FROM m GROUP BY source, lang
+"""
+
+
 _RM_NQ, _RM_K = 20, 10
 
 
@@ -5487,6 +5538,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_values": q_winsorize_values,
     "mmr_rerank": q_mmr_rerank,
     "retrieval_metrics": q_retrieval_metrics,
+    "dataset_manifest": q_dataset_manifest,
     "resample_locf": q_resample_locf,
     "cube_events": q_cube_events,
     "value_histogram": q_value_histogram,
@@ -5607,6 +5659,7 @@ ORACLE_SQL: dict[str, str] = {
     "winsorize_values": _SQL_WINSORIZE,
     "mmr_rerank": _sql_mmr(),
     "retrieval_metrics": _sql_retrieval_metrics(),
+    "dataset_manifest": _SQL_DATASET_MANIFEST,
     "resample_locf": _SQL_RESAMPLE_LOCF,
     "cube_events": _SQL_CUBE_EVENTS,
     "value_histogram": _SQL_VALUE_HISTOGRAM,
