@@ -2955,6 +2955,55 @@ GROUP BY event_type
 """
 
 
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: a projected orders slice written to CSV (header,
+    explicit schema on read-back — never inference in a pipeline) must
+    aggregate identically to the Parquet original. Exercises the text
+    source/sink family the lakehouse edges still speak."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_")
+    orders.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).option("header", "true").csv(path)
+    return _roundtrip_agg(back)
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source twin of q_csv_roundtrip."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="json_rt_")
+    orders.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).json(path)
+    return _roundtrip_agg(back)
+
+
+_SQL_ORDERS_ROUNDTRIP = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card in one pass: per (source, lang) — docs, token volume,
     mean quality (floor-scaled integer sum → one division, bit-portable),
@@ -5539,6 +5588,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "retrieval_metrics": q_retrieval_metrics,
     "dataset_manifest": q_dataset_manifest,
+    "csv_roundtrip": q_csv_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
     "resample_locf": q_resample_locf,
     "cube_events": q_cube_events,
     "value_histogram": q_value_histogram,
@@ -5660,6 +5711,8 @@ ORACLE_SQL: dict[str, str] = {
     "mmr_rerank": _sql_mmr(),
     "retrieval_metrics": _sql_retrieval_metrics(),
     "dataset_manifest": _SQL_DATASET_MANIFEST,
+    "csv_roundtrip": _SQL_ORDERS_ROUNDTRIP,
+    "json_roundtrip": _SQL_ORDERS_ROUNDTRIP,
     "resample_locf": _SQL_RESAMPLE_LOCF,
     "cube_events": _SQL_CUBE_EVENTS,
     "value_histogram": _SQL_VALUE_HISTOGRAM,
