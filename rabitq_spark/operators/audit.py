@@ -43,7 +43,9 @@ def fk_violations(
 
 def null_violations(df: DataFrame, col: str) -> DataFrame:
     return df.agg(
-        F.sum(F.col(col).isNull().cast("bigint")).alias("violations")
+        F.coalesce(F.sum(F.col(col).isNull().cast("bigint")), F.lit(0)).alias(
+            "violations"
+        )
     )
 
 
@@ -51,8 +53,8 @@ def predicate_violations(df: DataFrame, predicate: Column) -> DataFrame:
     """Rows FAILING the predicate (nulls count as failures — a range rule
     a null silently passes is a broken rule)."""
     return df.agg(
-        F.sum(
-            (~F.coalesce(predicate, F.lit(False))).cast("bigint")
+        F.coalesce(
+            F.sum((~F.coalesce(predicate, F.lit(False))).cast("bigint")), F.lit(0)
         ).alias("violations")
     )
 

@@ -105,3 +105,38 @@ def test_funnel_ordered_vs_unordered(spark):
     )
     got = {r.user_id: r.stage for r in funnel_ordered(df).collect()}
     assert got == {1: 2, 2: 3, 3: 0}
+
+
+def test_round4_ops_on_empty_inputs(spark):
+    """Empty frames must produce empty (or zero-row) results, not errors."""
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.operators.audit import pk_violations, predicate_violations
+    from rabitq_spark.operators.curate import source_quota, weighted_sample
+    from rabitq_spark.operators.events import funnel_ordered
+    from rabitq_spark.operators.mmr import mmr_rerank
+    from rabitq_spark.operators.sft import conversation_stats
+    from rabitq_spark.operators.timeseries import resample_locf
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, source string, n_chars long"
+    )
+    assert weighted_sample(empty_docs, 5, "n_chars").count() == 0
+    assert source_quota(empty_docs, 5).count() == 0
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, ts_us long, event_type string, value double"
+    )
+    assert funnel_ordered(empty_ev).count() == 0
+    assert resample_locf(empty_ev).count() == 0
+    empty_conv = spark.createDataFrame(
+        [], "doc_id long, conv array<struct<role string, content string>>"
+    )
+    assert conversation_stats(empty_conv, "conv").count() == 0
+    empty_cand = spark.createDataFrame(
+        [], "query_id long, cand_id long, rel double, vec array<double>"
+    )
+    assert mmr_rerank(empty_cand, 3).count() == 0
+    # aggregate checks on empty tables report 0 violations (not NULL)
+    assert pk_violations(empty_docs, ["doc_id"]).first()["violations"] == 0
+    v = predicate_violations(empty_docs, F.col("n_chars") > 0).first()["violations"]
+    assert v == 0  # empty table = zero violations, never NULL
