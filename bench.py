@@ -180,6 +180,8 @@ def main() -> None:
         "ann_jl_ivf",
         "ann_pq",
         "ann_ivfpq",
+        "ann_ivfpq_filtered",
+        "ann_ivfpq_append",
         "curated_retrieval",
         "stream_incremental_agg",
         "neardup_stream",

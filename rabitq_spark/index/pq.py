@@ -259,13 +259,17 @@ def ivfpq_encode(
     codebook: np.ndarray,
     id_col: str = "id",
     vec_col: str = "vec",
+    attr_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(cluster_id, __bid, __bvec, __bcode): coarse-assign then PQ-encode
-    the residual — one Arrow-batched scan, no shuffle. Write the result
-    partitioned by cluster_id for a serving deployment and probe scans
-    become partition-pruned reads, same layout as the RaBitQ index."""
+    """(cluster_id, __bid, __bvec, __bcode[, attrs...]): coarse-assign then
+    PQ-encode the residual — one Arrow-batched scan, no shuffle. Write the
+    result partitioned by cluster_id for a serving deployment and probe
+    scans become partition-pruned reads, same layout as the RaBitQ index.
+    `attr_cols` ride the coded rows so metadata predicates filter the scan
+    itself (the filtered-ANN surface, same design as build_index)."""
     m, ksub, dsub = codebook.shape
     cb, co = codebook, coarse
+    attr_cols = attr_cols or []
     conorm = (co * co).sum(axis=1)
     cnorm = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
     schema = StructType(
@@ -274,6 +278,7 @@ def ivfpq_encode(
             StructField("__bid", base.schema[id_col].dataType),
             StructField("__bvec", base.schema[vec_col].dataType),
             StructField("__bcode", ArrayType(IntegerType())),
+            *[StructField(a, base.schema[a].dataType) for a in attr_cols],
         ]
     )
 
@@ -289,17 +294,18 @@ def ivfpq_encode(
             for j in range(m):
                 rs = resid[:, j * dsub : (j + 1) * dsub]
                 codes[:, j] = (cnorm[j][None, :] - 2.0 * (rs @ cb[j].T)).argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "cluster_id": assign.astype(np.int32),
-                    "__bid": pdf["__i"],
-                    "__bvec": pdf["__v"],
-                    "__bcode": list(codes),
-                }
-            )
+            out = {
+                "cluster_id": assign.astype(np.int32),
+                "__bid": pdf["__i"],
+                "__bvec": pdf["__v"],
+                "__bcode": list(codes),
+            }
+            for a in attr_cols:
+                out[a] = pdf[a]
+            yield pd.DataFrame(out)
 
     return base.select(
-        F.col(id_col).alias("__i"), F.col(vec_col).alias("__v")
+        F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"), *attr_cols
     ).mapInPandas(encode, schema)
 
 
@@ -322,14 +328,40 @@ def ivfpq_save(
     np.savez(f"{path}/arrays.npz", coarse=coarse, codebook=codebook)
 
 
+def ivfpq_append(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    attr_cols: list[str] | None = None,
+) -> None:
+    """Frozen-codebook incremental ingest: encode a new batch with the
+    SAVED coarse centroids + codebook and append its coded rows into the
+    cluster_id partitions — O(batch) work, no index rewrite, the PQ twin
+    of append_to_index (index/build.py). Codebooks stay frozen by design:
+    the exact rerank keeps results correct; re-train only when drift
+    degrades the rough ordering (monitor via operators/embstats.py)."""
+    arrays = np.load(f"{path}/arrays.npz")
+    coded_new = ivfpq_encode(
+        new_rows, arrays["coarse"], arrays["codebook"], id_col, vec_col, attr_cols
+    )
+    (
+        coded_new.repartition("cluster_id")
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(f"{path}/codes")
+    )
+
+
 def ivfpq_load(spark, path: str) -> tuple[np.ndarray, np.ndarray, DataFrame]:
     """(coarse, codebook, coded) from `ivfpq_save` output. The coded
     DataFrame is lazy: a subsequent probe-pruned search reads only the
     probed cluster_id partitions."""
     arrays = np.load(f"{path}/arrays.npz")
-    coded = spark.read.parquet(f"{path}/codes").select(
-        "cluster_id", "__bid", "__bvec", "__bcode"
-    )
+    raw = spark.read.parquet(f"{path}/codes")
+    head = ["cluster_id", "__bid", "__bvec", "__bcode"]
+    coded = raw.select(*head, *[c for c in raw.columns if c not in head])
     return arrays["coarse"], arrays["codebook"], coded
 
 
@@ -346,6 +378,7 @@ def ivfpq_search(
     broadcast_probes: bool | None = None,
     broadcast_max_bytes: int = 256 * 1024 * 1024,
     impl: str = "jvm",
+    predicate: Column | None = None,
 ) -> DataFrame:
     """IVF-PQ k-NN: per query, probe the `nprobe` nearest coarse cells;
     each probe carries a residual ADC LUT for (q − centroid), so the hot
@@ -357,6 +390,14 @@ def ivfpq_search(
     m, ksub, dsub = codebook.shape
     cb, co = codebook, coarse
     nprobe = min(nprobe, co.shape[0])
+    if predicate is not None:
+        # metadata-filtered ANN: the predicate restricts the CODES SCAN
+        # before any scoring (attrs ride the coded rows, ivfpq_encode
+        # attr_cols) — on a saved index this composes with cluster_id
+        # partition pruning into one pruned, filtered Parquet read. With
+        # exhaustive settings the result provably equals brute force over
+        # the filtered base.
+        coded_base = coded_base.filter(predicate)
     if impl == "arrow":
         return _ivfpq_search_arrow(
             queries, coded_base, k, coarse, codebook, nprobe,

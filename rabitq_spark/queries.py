@@ -522,6 +522,73 @@ def q_ann_ivfpq_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered IVF-PQ (label < 5 rides the coded rows via
+    ivfpq_encode attr_cols; the predicate restricts the codes scan before
+    any scoring). Exhaustive config == brute force over the filtered base —
+    the filtered-ANN surface at PQ parity with the RaBitQ family."""
+    from rabitq_spark.index.pq import ivfpq_encode, ivfpq_search, ivfpq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    key = (sf_dir, "ivfpq_attr")
+    if key not in _MODEL_CACHE:
+        coarse, cb = ivfpq_train(base, "vec", n_clusters=16, m=8, ksub=64, iters=6)
+        coded = ivfpq_encode(base, coarse, cb, attr_cols=["label"]).cache()
+        _MODEL_CACHE[key] = (coarse, cb, coded)
+    coarse, cb, coded = _MODEL_CACHE[key]
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_search(
+        queries, coded, _KNN_K, coarse, cb,
+        nprobe=coarse.shape[0], shortlist=10**9,
+        predicate=F.col("label") < 5,
+    )
+
+
+def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-codebook incremental ingest: train + save on HALF the
+    corpus, ivfpq_append the other half (encoded with the saved codebooks,
+    appended into cluster_id partitions — no rewrite), load, search
+    exhaustively. Equals brute force over the FULL corpus bit-for-bit, so
+    the whole append path is oracle-checked."""
+    from rabitq_spark.index.pq import (
+        ivfpq_append,
+        ivfpq_encode,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search,
+        ivfpq_train,
+    )
+
+    key = (sf_dir, "ivfpq_append")
+    if key not in _MODEL_CACHE:
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        first = base.filter(F.col("id") % 2 == 0)
+        second = base.filter(F.col("id") % 2 == 1)
+        coarse, cb = ivfpq_train(first, "vec", n_clusters=16, m=8, ksub=64, iters=6)
+        path = tempfile.mkdtemp(prefix="ivfpq_append_")
+        ivfpq_save(path, coarse, cb, ivfpq_encode(first, coarse, cb))
+        ivfpq_append(spark, path, second)
+        _MODEL_CACHE[key] = ivfpq_load(spark, path)
+    coarse, cb, coded = _MODEL_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_search(
+        queries, coded, _KNN_K, coarse, cb, nprobe=coarse.shape[0], shortlist=10**9
+    )
+
+
 def _get_stream_model(spark: SparkSession, sf_dir: str):
     """Bootstrap an index on the first half of the embeddings, then stream
     the second half in through Structured Streaming index maintenance
@@ -5526,6 +5593,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
     "ann_ivfpq_cold": q_ann_ivfpq_cold,
+    "ann_ivfpq_filtered": q_ann_ivfpq_filtered,
+    "ann_ivfpq_append": q_ann_ivfpq_append,
     "jl_project": q_jl_project,
     "ann_jl_ivf": q_ann_jl_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -5728,6 +5797,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_pq": _SQL_KNN_EXACT,
     "ann_ivfpq": _SQL_KNN_EXACT,
     "ann_ivfpq_cold": _SQL_KNN_EXACT,
+    "ann_ivfpq_filtered": _SQL_KNN_FILTERED,
+    "ann_ivfpq_append": _SQL_KNN_EXACT,
     # same md5-derived sign matrix inlined into both engines
     "jl_project": _sql_jl_project(),
     # project->index->search->exact-rerank, exhaustive == brute force

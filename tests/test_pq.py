@@ -264,3 +264,74 @@ def test_ivfpq_arrow_impl_matches_jvm(spark, sf_dir):
     )
     assert a.equals(j)
     coded.unpersist()
+
+
+def test_ivfpq_filtered_bounded_only_matching(spark, sf_dir):
+    """At bounded budgets the filtered search must never return a row
+    failing the predicate, and must equal brute force over the filtered
+    subset at exhaustive settings."""
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.index.pq import ivfpq_encode, ivfpq_search, ivfpq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    coarse, cb = ivfpq_train(base, "vec", n_clusters=8, m=8, ksub=32, iters=4)
+    coded = ivfpq_encode(base, coarse, cb, attr_cols=["label"]).cache()
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = ivfpq_search(
+        queries, coded, 5, coarse, cb, nprobe=4, shortlist=40,
+        predicate=F.col("label") < 3,
+    )
+    ok_labels = {
+        r.id for r in base.filter(F.col("label") < 3).select("id").collect()
+    }
+    assert all(r.neighbor_id in ok_labels for r in got.collect())
+    exact = knn_exact(
+        queries, base.filter(F.col("label") < 3), 5
+    ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    full = (
+        ivfpq_search(
+            queries, coded, 5, coarse, cb, nprobe=8, shortlist=10**9,
+            predicate=F.col("label") < 3,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert exact.equals(full)
+    coded.unpersist()
+
+
+def test_ivfpq_append_equals_full_build(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.index.pq import (
+        ivfpq_append,
+        ivfpq_encode,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search,
+        ivfpq_train,
+    )
+
+    base, queries = _base_queries(spark, sf_dir, nq=6)
+    first = base.filter(F.col("id") % 2 == 0)
+    second = base.filter(F.col("id") % 2 == 1)
+    coarse, cb = ivfpq_train(first, "vec", n_clusters=8, m=8, ksub=32, iters=4)
+    path = str(tmp_path / "ivfpq_app")
+    ivfpq_save(path, coarse, cb, ivfpq_encode(first, coarse, cb))
+    ivfpq_append(spark, path, second)
+    lco, lcb, lcoded = ivfpq_load(spark, path)
+    got = (
+        ivfpq_search(queries, lcoded, 5, lco, lcb, nprobe=8, shortlist=10**9)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    exact = knn_exact(queries, base, 5).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    assert exact.equals(got)
