@@ -2667,6 +2667,47 @@ GROUP BY e.event_type
 """
 
 
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1-hour windows every 30
+    minutes — each event lands in exactly two windows. Completes the
+    windowing family (tumbling `window_events`, session `sessionize` /
+    `stream_sessionize`, hopping here). Oracle: explicit two-start
+    unnest, start ∈ {floor30(t), floor30(t) − 30 min}."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SQL_HOPPING_WINDOW = """
+SELECT window_start_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT unnest([epoch_us(ts) - (epoch_us(ts) % 1800000000),
+                 epoch_us(ts) - (epoch_us(ts) % 1800000000) - 1800000000])
+           AS window_start_us,
+         event_type, value
+  FROM events
+) t
+GROUP BY 1, 2
+"""
+
+
 def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive funnel (operators/events.py::funnel_ordered):
     per-user reached stage where click only counts after signup and
@@ -5652,6 +5693,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_events": q_window_events,
     "sessionize": q_sessionize,
     "funnel": q_funnel,
+    "hopping_window": q_hopping_window,
     "funnel_ordered": q_funnel_ordered,
     "winsorize_values": q_winsorize_values,
     "mmr_rerank": q_mmr_rerank,
@@ -5775,6 +5817,7 @@ ORACLE_SQL: dict[str, str] = {
     "interval_join": _SQL_INTERVAL_JOIN,
     "kmv_distinct_users": _SQL_KMV,
     "funnel": _SQL_FUNNEL,
+    "hopping_window": _SQL_HOPPING_WINDOW,
     "funnel_ordered": _SQL_FUNNEL_ORDERED,
     "winsorize_values": _SQL_WINSORIZE,
     "mmr_rerank": _sql_mmr(),
