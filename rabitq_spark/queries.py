@@ -2667,6 +2667,125 @@ GROUP BY e.event_type
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week;
+    for offsets 0..4, how many were active again w weeks later and the
+    retention rate (single integer division — bit-exact). One shuffle to
+    per-user-week activity, one to the cohort grid."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.expr("ts_us DIV 604800000000").alias("week")
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = weeks.join(first, "user_id").select(
+        "user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.filter(F.col("offset") <= 4)
+        .groupBy("cohort_week", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .withColumn(
+            "retention",
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
+        )
+    )
+
+
+_SQL_COHORT_RETENTION = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+), joined AS (
+  SELECT w.user_id, f.cohort_week, w.week - f.cohort_week AS "offset"
+  FROM weeks w JOIN first f ON w.user_id = f.user_id
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM first GROUP BY cohort_week
+)
+SELECT j.cohort_week, j."offset", COUNT(*) AS n_active, s.cohort_size,
+       CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM joined j JOIN sizes s ON j.cohort_week = s.cohort_week
+WHERE j."offset" <= 4
+GROUP BY j.cohort_week, j."offset", s.cohort_size
+"""
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, the first purchase AFTER the first
+    signup; per cohort week, converting users and the exact median latency
+    (k = ceil(n/2) order statistic, microseconds — integer throughout)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_us")
+    )
+    conv = (
+        purchases.join(first_signup, "user_id")
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id", "signup_us")
+        .agg(F.min("p_us").alias("first_purchase_us"))
+        .select(
+            "user_id",
+            F.expr("signup_us DIV 604800000000").alias("cohort_week"),
+            (F.col("first_purchase_us") - F.col("signup_us")).alias("latency_us"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("latency_us", "user_id")
+    wn = Window.partitionBy("cohort_week")
+    return (
+        conv.select(
+            "cohort_week",
+            "latency_us",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("cohort_week")
+        .agg(
+            F.max("n").alias("n_converted"),
+            F.min(
+                F.when(
+                    F.col("rk") == F.ceil(F.col("n") / 2).cast("bigint"),
+                    F.col("latency_us"),
+                )
+            ).alias("median_latency_us"),
+        )
+    )
+
+
+_SQL_CONVERSION_LATENCY = """
+WITH first_signup AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS signup_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, f.signup_us // 604800000000 AS cohort_week,
+         MIN(epoch_us(e.ts)) - f.signup_us AS latency_us
+  FROM events e JOIN first_signup f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.signup_us
+  GROUP BY e.user_id, f.signup_us
+), ranked AS (
+  SELECT cohort_week, latency_us,
+         row_number() OVER (PARTITION BY cohort_week
+                            ORDER BY latency_us, user_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cohort_week) AS n
+  FROM conv
+)
+SELECT cohort_week, MAX(n) AS n_converted,
+       MIN(CASE WHEN rk = CAST(ceil(n / 2.0) AS BIGINT)
+                THEN latency_us END) AS median_latency_us
+FROM ranked GROUP BY cohort_week
+"""
+
+
 def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) window aggregation: 1-hour windows every 30
     minutes — each event lands in exactly two windows. Completes the
@@ -5694,6 +5813,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "funnel": q_funnel,
     "hopping_window": q_hopping_window,
+    "cohort_retention": q_cohort_retention,
+    "conversion_latency": q_conversion_latency,
     "funnel_ordered": q_funnel_ordered,
     "winsorize_values": q_winsorize_values,
     "mmr_rerank": q_mmr_rerank,
@@ -5818,6 +5939,8 @@ ORACLE_SQL: dict[str, str] = {
     "kmv_distinct_users": _SQL_KMV,
     "funnel": _SQL_FUNNEL,
     "hopping_window": _SQL_HOPPING_WINDOW,
+    "cohort_retention": _SQL_COHORT_RETENTION,
+    "conversion_latency": _SQL_CONVERSION_LATENCY,
     "funnel_ordered": _SQL_FUNNEL_ORDERED,
     "winsorize_values": _SQL_WINSORIZE,
     "mmr_rerank": _sql_mmr(),
