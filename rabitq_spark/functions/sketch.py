@@ -201,3 +201,77 @@ def bloom_probe(
             "maybe_member"
         )
     )
+
+
+def histogram_quantiles(
+    df,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = 256,
+):
+    """Mergeable histogram-based quantile SKETCH — the 100 TB alternative
+    to exact order-statistic percentiles (value_percentiles /
+    quality_filter_quantile need a per-group sort or distinct-value window;
+    this needs ONE pass to bin counts, and shards merge by adding
+    counters, so it composes with incremental/streaming maintenance like
+    every sketch in this module).
+
+    Estimate: global [lo, hi] fixed-width bins; quantile q = the UPPER
+    EDGE of the first bin where the cumulative count reaches ceil(q·n) —
+    a deterministic, engine-portable rule (no interpolation), with error
+    bounded by one bin width (hi−lo)/n_bins. All arithmetic is integer
+    counts plus one mirrored double expression per edge.
+
+    Returns (group, n, q_0.5, q_0.9, ... as est_p50-style columns).
+    """
+    from pyspark.sql import Window, functions as F
+
+    lohi = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    )
+    binned = (
+        df.crossJoin(F.broadcast(lohi))
+        .select(
+            F.col(group_col).alias("grp"),
+            "lo",
+            "hi",
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins)))
+                ).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("grp", "lo", "hi", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("grp")
+    cum = binned.select(
+        "grp",
+        "lo",
+        "hi",
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    edge = F.col("lo") + (F.col("bin") + 1) * ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins)))
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        name = f"est_p{str(q).replace('0.', '').ljust(2, '0')}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                    edge,
+                )
+            ).alias(name)
+        )
+    return cum.groupBy(F.col("grp").alias(group_col)).agg(*aggs)

@@ -2667,6 +2667,46 @@ GROUP BY e.event_type
 """
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch (functions/sketch.py::
+    histogram_quantiles): one binning pass + additive counters instead of
+    the per-group sort exact percentiles need — the scale path for
+    percentile monitoring, with error ≤ one bin width. The ESTIMATOR
+    itself is oracle-checked (256 bins, p50/p90/p99 per event type)."""
+    from rabitq_spark.functions.sketch import histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "value", "event_type")
+
+
+_SQL_QUANTILE_SKETCH = """
+WITH lohi AS (
+  SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi
+  FROM events
+), binned AS (
+  SELECT event_type AS grp, lo, hi,
+         LEAST(255, CAST(FLOOR((CAST(value AS DOUBLE) - lo)
+                               / ((hi - lo) / 256.0)) AS INT)) AS bin,
+         COUNT(*) AS c
+  FROM events, lohi GROUP BY 1, 2, 3, 4
+), cum AS (
+  SELECT grp, lo, hi, bin,
+         SUM(c) OVER (PARTITION BY grp ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM binned
+)
+SELECT grp AS event_type, MAX(n) AS n,
+       MIN(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+                THEN lo + (bin + 1) * ((hi - lo) / 256.0) END) AS est_p50,
+       MIN(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+                THEN lo + (bin + 1) * ((hi - lo) / 256.0) END) AS est_p90,
+       MIN(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT)
+                THEN lo + (bin + 1) * ((hi - lo) / 256.0) END) AS est_p99
+FROM cum GROUP BY grp
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week;
     for offsets 0..4, how many were active again w weeks later and the
@@ -5813,6 +5853,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "funnel": q_funnel,
     "hopping_window": q_hopping_window,
+    "quantile_sketch": q_quantile_sketch,
     "cohort_retention": q_cohort_retention,
     "conversion_latency": q_conversion_latency,
     "funnel_ordered": q_funnel_ordered,
@@ -5939,6 +5980,7 @@ ORACLE_SQL: dict[str, str] = {
     "kmv_distinct_users": _SQL_KMV,
     "funnel": _SQL_FUNNEL,
     "hopping_window": _SQL_HOPPING_WINDOW,
+    "quantile_sketch": _SQL_QUANTILE_SKETCH,
     "cohort_retention": _SQL_COHORT_RETENTION,
     "conversion_latency": _SQL_CONVERSION_LATENCY,
     "funnel_ordered": _SQL_FUNNEL_ORDERED,

@@ -87,3 +87,25 @@ def test_bloom_no_false_negatives_and_merge(spark):
         r["bit"] for r in bits.collect()
     )
 
+
+
+def test_histogram_quantiles_error_bound_and_merge(spark):
+    """Sketch estimates land within one bin width of the exact quantile,
+    and the bins merge additively across shards (same estimate either way)."""
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.functions.sketch import histogram_quantiles
+
+    rows = [(i, "g", float(i)) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = histogram_quantiles(df, "v", "grp", qs=(0.5, 0.9), n_bins=100).first()
+    width = (1000.0 - 1.0) / 100
+    # exact p50 = 500, p90 = 900 (k = ceil(q*n)-th smallest)
+    assert abs(got["est_p50"] - 500.0) <= width
+    assert abs(got["est_p90"] - 900.0) <= width
+    # partition-independence (the merge property in action: Spark sums the
+    # same counters whatever the shard layout)
+    got2 = histogram_quantiles(
+        df.repartition(7), "v", "grp", qs=(0.5, 0.9), n_bins=100
+    ).first()
+    assert got["est_p50"] == got2["est_p50"] and got["est_p90"] == got2["est_p90"]
