@@ -2667,6 +2667,58 @@ GROUP BY e.event_type
 """
 
 
+_HN_SKIP, _HN_K = 3, 10
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    nearest `_HN_SKIP` neighbors are presumed positives/duplicates and
+    skipped; the next `_HN_K` (near but not identical) are the hard
+    negatives. One exact ranking pass reused from the kNN machinery;
+    at corpus scale the ANN shortlist replaces the exhaustive scorer and
+    the rank-band select is unchanged."""
+    from rabitq_spark.operators.knn import knn_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    nn = knn_exact(queries, base, _HN_SKIP + _HN_K)
+    return (
+        nn.filter(F.col("rank") > _HN_SKIP)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("negative_id"),
+            "dist",
+            (F.col("rank") - _HN_SKIP).cast("int").alias("rank"),
+        )
+    )
+
+
+_SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {_KNN_NQ}
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, len(b.embedding) + 1),
+             i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM embeddings b, q
+)
+SELECT query_id, neighbor_id AS negative_id, dist,
+       CAST(rank - {_HN_SKIP} AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank > {_HN_SKIP} AND rank <= {_HN_SKIP + _HN_K}
+"""
+
+
 _JEST_K, _JEST_NDOCS = 16, 60
 
 
@@ -4690,6 +4742,37 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping windows run to completion — F.window with a slide
+    under a watermark must land exactly where the batch hopping aggregate
+    (and its two-start unnest oracle) lands."""
+    from rabitq_spark.streaming import read_events_stream, windowed_counts_stream
+
+    stream = windowed_counts_stream(
+        read_events_stream(spark, f"{sf_dir}/events.parquet"),
+        window="1 hour",
+        slide="30 minutes",
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_hopping_{_STREAM_SEQ[0]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream_hopping query did not finish in 180s")
+    return spark.sql(f"SELECT * FROM {name}").select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization run to completion: F.session_window's
     stateful merging windows (state = open sessions, closed past the
@@ -5949,6 +6032,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hopping_window": q_hopping_window,
     "quantile_sketch": q_quantile_sketch,
     "jaccard_estimate": q_jaccard_estimate,
+    "hard_negatives": q_hard_negatives,
     "cohort_retention": q_cohort_retention,
     "conversion_latency": q_conversion_latency,
     "funnel_ordered": q_funnel_ordered,
@@ -5973,6 +6057,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "stream_window": q_stream_window,
     "stream_sessionize": q_stream_sessionize,
+    "stream_hopping": q_stream_hopping,
     "minhash_lsh_mllib": q_minhash_lsh_mllib,
     "brp_lsh_mllib": q_brp_lsh_mllib,
     "chunk_documents": q_chunk_documents,
@@ -6064,6 +6149,7 @@ ORACLE_SQL: dict[str, str] = {
     # streaming run-to-completion must equal the batch aggregate
     "stream_window": _SQL_WINDOW_EVENTS,
     "stream_sessionize": _SQL_STREAM_SESSIONIZE,
+    "stream_hopping": _SQL_HOPPING_WINDOW,
     "similarity_join": _SQL_SIMILARITY_JOIN,
     "multimodal_features": _SQL_MULTIMODAL,
     "asof_purchase_click": _SQL_ASOF,
@@ -6077,6 +6163,7 @@ ORACLE_SQL: dict[str, str] = {
     "hopping_window": _SQL_HOPPING_WINDOW,
     "quantile_sketch": _SQL_QUANTILE_SKETCH,
     "jaccard_estimate": _sql_jaccard_estimate(),
+    "hard_negatives": _SQL_HARD_NEGATIVES,
     "cohort_retention": _SQL_COHORT_RETENTION,
     "conversion_latency": _SQL_CONVERSION_LATENCY,
     "funnel_ordered": _SQL_FUNNEL_ORDERED,

@@ -69,13 +69,19 @@ def read_events_stream(
 
 
 def windowed_counts_stream(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window count/sum with late-data watermark — the streaming
-    twin of operators.events.tumbling_window_agg."""
+    twin of operators.events.tumbling_window_agg. Pass `slide` for hopping
+    windows (each event lands in window/slide overlapping windows; state
+    grows by the same factor, still watermark-bounded)."""
+    win = F.window("ts", window) if slide is None else F.window("ts", window, slide)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
