@@ -2667,6 +2667,61 @@ GROUP BY e.event_type
 """
 
 
+_PREFIX_TOKENS = 20
+
+
+def q_prefix_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection: documents sharing the same first-20
+    -token prefix but different full fingerprints — the crawl artifact
+    (page truncated at different lengths) that full-document exact dedup
+    misses and shingle near-dup only catches at high overlap. One keyed
+    shuffle on the prefix hash; pairs carry both lengths so the pipeline
+    can keep the longest."""
+    from rabitq_spark.functions.text import fingerprint, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(tokens("text"), 1, _PREFIX_TOKENS), " ")
+        ).alias("pfx"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(tokens("text")).alias("n_tok"),
+    ).filter(F.size(tokens("text")) >= _PREFIX_TOKENS)
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), "pfx",
+        F.col("fp").alias("fp_a"), F.col("n_tok").alias("len_a"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("pfx").alias("pfx_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("n_tok").alias("len_b"),
+    )
+    return (
+        a.join(b, (F.col("pfx") == F.col("pfx_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(F.col("fp_a") != F.col("fp_b"))
+        .select("id_a", "id_b", "len_a", "len_b")
+    )
+
+
+_SQL_PREFIX_DUP = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_filter(string_split(text, ' '),
+                                         x -> x <> '')[1:{_PREFIX_TOKENS}], ' ')) AS pfx,
+         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= {_PREFIX_TOKENS}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_tok AS len_a, b.n_tok AS len_b
+FROM keyed a JOIN keyed b
+  ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+WHERE a.fp <> b.fp
+"""
+
+
 _HN_SKIP, _HN_K = 3, 10
 
 
@@ -6033,6 +6088,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_sketch": q_quantile_sketch,
     "jaccard_estimate": q_jaccard_estimate,
     "hard_negatives": q_hard_negatives,
+    "prefix_dup_pairs": q_prefix_dup_pairs,
     "cohort_retention": q_cohort_retention,
     "conversion_latency": q_conversion_latency,
     "funnel_ordered": q_funnel_ordered,
@@ -6164,6 +6220,7 @@ ORACLE_SQL: dict[str, str] = {
     "quantile_sketch": _SQL_QUANTILE_SKETCH,
     "jaccard_estimate": _sql_jaccard_estimate(),
     "hard_negatives": _SQL_HARD_NEGATIVES,
+    "prefix_dup_pairs": _SQL_PREFIX_DUP,
     "cohort_retention": _SQL_COHORT_RETENTION,
     "conversion_latency": _SQL_CONVERSION_LATENCY,
     "funnel_ordered": _SQL_FUNNEL_ORDERED,
