@@ -756,3 +756,215 @@ def neardup_incremental(
         "jaccard",
     )
     return old_pairs.unionByName(self_pairs).unionByName(cross_norm)
+
+
+class NearDupState:
+    """Materialized-state incremental near-dup (the production form of
+    neardup_incremental, which recomputes pairs(old) every call).
+
+    State = three parquet tables per corpus: `hashes` (doc_id, hs — the
+    60-bit shingle hash sets the Jaccard verify needs), `keys` (doc_id,
+    b, k — exploded banded minhash keys, the candidate-join side), and
+    `pairs` (id_a, id_b, jaccard — the accumulated accepted pairs). The
+    state is LAYERED: `base_dir` holds the bootstrap corpus (read-only
+    after bootstrap), `delta_dir` receives per-batch appends, and reads
+    union the layers — so a caller can bootstrap once, then run many
+    idempotent delta sessions against fresh delta dirs.
+
+    `apply_delta` pays only the Δ terms of
+
+        pairs(old ∪ Δ) = pairs(old) ∪ pairs(Δ, Δ) ∪ pairs(Δ, old):
+
+    the Δ batch is hashed and banded (Δ-proportional), its key table —
+    the small side — broadcasts against the saved keys, so the
+    corpus-sized state is SCANNED once and never shuffled; candidate
+    pairs (banded collisions only) join back to the saved hash sets for
+    the exact Jaccard verify, and the accepted pairs + Δ hashes/keys
+    append to `delta_dir`. The identity is exact, not approximate:
+    banded candidacy is a pure per-document function, so splitting the
+    corpus cannot create or destroy candidate pairs (bit-equality vs
+    the full recompute is oracle-checked by queries.py::q_neardup_state
+    and tests/test_dedup.py). At 100 TB, bucket the saved `keys` table
+    by k (sources/tables.py::write_bucketed) to also skip the scan's
+    exchange on the rare oversized-Δ batch that exceeds the broadcast
+    threshold.
+    """
+
+    def __init__(
+        self,
+        spark,
+        base_dir: str,
+        delta_dir: str | None = None,
+        shingle_words: int = 3,
+        n_bands: int = 8,
+        threshold: float = 0.8,
+    ) -> None:
+        self.spark = spark
+        self.base_dir = base_dir.rstrip("/")
+        self.delta_dir = delta_dir.rstrip("/") if delta_dir else None
+        self.shingle_words = shingle_words
+        self.n_bands = n_bands
+        self.threshold = threshold
+        # which delta subtables have been appended this session (parquet
+        # reads fail on empty dirs; single-driver mutation, no lock needed)
+        self._delta_written: set[str] = set()
+
+    # -- state table IO -------------------------------------------------
+    def _paths(self, table: str) -> list[str]:
+        paths = [f"{self.base_dir}/{table}"]
+        if self.delta_dir and table in self._delta_written:
+            paths.append(f"{self.delta_dir}/{table}")
+        return paths
+
+    def _read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(*self._paths(table))
+
+    def _append(self, df: DataFrame, table: str) -> None:
+        if self.delta_dir is None:
+            raise ValueError(
+                "NearDupState needs delta_dir to accept delta batches"
+            )
+        df.write.mode("append").parquet(f"{self.delta_dir}/{table}")
+        self._delta_written.add(table)
+
+    def pairs(self) -> DataFrame:
+        """All accepted near-dup pairs in the current state."""
+        return self._read("pairs")
+
+    # -- hashing (identical transforms to neardup_minhash_pairs) --------
+    def _hashed(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        from rabitq_spark.functions.text import combine_word_hashes, word_hashes
+
+        wh = _widen(docs).select(
+            F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("h")
+        )
+        return wh.select(
+            "doc_id",
+            combine_word_hashes("h", self.shingle_words).alias("hs"),
+        ).filter(F.size("hs") > 0)
+
+    def _keyed(self, hashed: DataFrame) -> DataFrame:
+        from rabitq_spark.functions.text import banded_minhash_key
+
+        wide = hashed.select(
+            "doc_id",
+            *[
+                banded_minhash_key("hs", b).alias(f"k{b}")
+                for b in range(self.n_bands)
+            ],
+        )
+        return wide.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("b"), F.col(f"k{b}").alias("k"))
+                        for b in range(self.n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+
+    def _verify(self, cand: DataFrame, hashes: DataFrame) -> DataFrame:
+        sa = hashes.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+        sb = hashes.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+        return (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", jaccard("hs_a", "hs_b").alias("jaccard"))
+            .filter(F.col("jaccard") >= self.threshold)
+        )
+
+    # -- lifecycle ------------------------------------------------------
+    def bootstrap(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        """One-time full build of the state tables into base_dir: hash +
+        band the corpus, materialize both projections, run the banded
+        self-join once for the initial pair set. Every later batch is
+        apply_delta and never repeats this corpus-sized work."""
+        scope = _begin_scope("neardup_state")
+        hashed = _scoped_cache(self._hashed(docs, id_col, text_col), scope)
+        hashed.write.mode("overwrite").parquet(f"{self.base_dir}/hashes")
+        keyed = _scoped_cache(self._keyed(hashed), scope)
+        keyed.write.mode("overwrite").parquet(f"{self.base_dir}/keys")
+        l, r = keyed.alias("l"), keyed.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.b") == F.col("r.b"))
+                & (F.col("l.k") == F.col("r.k"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+            .distinct()
+        )
+        self._verify(cand, hashed).write.mode("overwrite").parquet(
+            f"{self.base_dir}/pairs"
+        )
+
+    def apply_delta(
+        self,
+        delta_docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Fold one Δ batch into the state; returns the NEW pairs it
+        contributed (already appended, with Δ hashes/keys, to delta_dir).
+        Reads the pre-batch state lazily, so sequential batches in one
+        session compose (batch 2's cross join sees batch 1's appends)."""
+        scope = _begin_scope("neardup_state_delta")
+        d_hashed = _scoped_cache(self._hashed(delta_docs, id_col, text_col), scope)
+        d_keyed = _scoped_cache(self._keyed(d_hashed), scope)
+
+        # Δ×Δ candidates: tiny self-join inside the batch
+        l, r = d_keyed.alias("l"), d_keyed.alias("r")
+        self_cand = (
+            l.join(
+                r,
+                (F.col("l.b") == F.col("r.b"))
+                & (F.col("l.k") == F.col("r.k"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+            .distinct()
+        )
+        self_pairs = self._verify(self_cand, d_hashed)
+
+        # Δ×old candidates: broadcast the Δ keys so the saved key table is
+        # scanned without an exchange; MUST be materialized (localCheckpoint)
+        # before the appends below mutate the very state they read
+        old_keys = self._read("keys")
+        cross_cand = (
+            F.broadcast(
+                d_keyed.select(
+                    F.col("doc_id").alias("id_d"), "b", "k"
+                )
+            )
+            .join(old_keys.select(F.col("doc_id").alias("id_o"), "b", "k"), ["b", "k"])
+            .select("id_d", "id_o")
+            .distinct()
+        )
+        old_hashes = self._read("hashes")
+        d_side = d_hashed.select(
+            F.col("doc_id").alias("id_d"), F.col("hs").alias("hs_d")
+        )
+        o_side = old_hashes.select(
+            F.col("doc_id").alias("id_o"), F.col("hs").alias("hs_o")
+        )
+        cross_pairs = (
+            cross_cand.join(F.broadcast(d_side), "id_d")
+            .join(o_side, "id_o")
+            .select(
+                F.least("id_d", "id_o").alias("id_a"),
+                F.greatest("id_d", "id_o").alias("id_b"),
+                jaccard("hs_d", "hs_o").alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+        )
+        new_pairs = self_pairs.unionByName(cross_pairs).localCheckpoint(eager=True)
+
+        self._append(d_hashed, "hashes")
+        self._append(d_keyed, "keys")
+        self._append(new_pairs, "pairs")
+        return new_pairs

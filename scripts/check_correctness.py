@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -62,9 +63,11 @@ def main() -> int:
             "err": None,
         }
         report[name] = row
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
             row["spark_rows"] = len(sdf)
+            row["spark_sec"] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: spark error: {e}")
             row["err"] = f"spark_error: {e}"
@@ -127,7 +130,7 @@ def main() -> int:
                         print(f"    spark={sv[i]!r} oracle={ov[i]!r}")
         row["hash_match"] = exact
         if exact:
-            print(f"[OK] {name}: {len(s)} rows, bit-exact")
+            print(f"[OK] {name}: {len(s)} rows, bit-exact ({row['spark_sec']}s)")
     spark.stop()
     if not only:
         with open("/root/repo/CORRECTNESS_LOCAL.json", "w") as f:

@@ -1,0 +1,56 @@
+"""Materialized-state incremental near-dup: NearDupState's layered
+bootstrap+delta sessions must reproduce the one-shot full recompute
+bit-for-bit (the banded-candidacy split identity, round-4 verdict item 5)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rabitq_spark.operators.dedup import NearDupState, neardup_minhash_pairs
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def test_two_delta_batches_equal_full_recompute(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = _norm(neardup_minhash_pairs(docs).toPandas())
+
+    base_dir = str(tmp_path / "base")
+    boot = NearDupState(spark, base_dir)
+    boot.bootstrap(docs.filter(F.col("doc_id") % 10 >= 2))
+
+    state = NearDupState(spark, base_dir, str(tmp_path / "delta"))
+    d1 = state.apply_delta(docs.filter(F.col("doc_id") % 10 == 0))
+    d2 = state.apply_delta(docs.filter(F.col("doc_id") % 10 == 1))
+    got = _norm(state.pairs().toPandas())
+    pd.testing.assert_frame_equal(got, full, check_exact=True)
+
+    # each batch's return value is exactly its contribution: disjoint from
+    # the bootstrap pairs and from each other, union = the delta layers
+    boot_pairs = _norm(NearDupState(spark, base_dir).pairs().toPandas())
+    contributed = _norm(pd.concat([d1.toPandas(), d2.toPandas()]))
+    merged = _norm(pd.concat([boot_pairs, contributed]))
+    pd.testing.assert_frame_equal(merged, full, check_exact=True)
+    assert len(merged) == len(merged.drop_duplicates(["id_a", "id_b"]))
+
+
+def test_fresh_delta_session_is_idempotent(spark, sf_dir, tmp_path):
+    """A second delta session against the SAME bootstrap dir (the
+    production nightly-batch shape: state on disk, new session per batch)
+    must see only the bootstrap layer, not a prior session's appends."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_dir = str(tmp_path / "base")
+    NearDupState(spark, base_dir).bootstrap(
+        docs.filter(F.col("doc_id") % 10 >= 2)
+    )
+    delta = docs.filter(F.col("doc_id") % 10 < 2)
+
+    s1 = NearDupState(spark, base_dir, str(tmp_path / "d1"))
+    s1.apply_delta(delta)
+    p1 = _norm(s1.pairs().toPandas())
+
+    s2 = NearDupState(spark, base_dir, str(tmp_path / "d2"))
+    s2.apply_delta(delta)
+    p2 = _norm(s2.pairs().toPandas())
+    pd.testing.assert_frame_equal(p1, p2, check_exact=True)
