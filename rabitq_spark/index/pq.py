@@ -139,10 +139,19 @@ def pq_encode(
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             x = np.asarray(list(pdf["__v"]), dtype=np.float64)
             if x.size == 0:
+                # non-empty batch of zero-length vectors: emit a same-length
+                # empty code per row (a [] literal would length-mismatch the
+                # id series and raise inside the executor)
                 yield pd.DataFrame(
-                    {"__bid": pdf["__i"], "__bvec": pdf["__v"], "__bcode": []}
+                    {
+                        "__bid": pdf["__i"],
+                        "__bvec": pdf["__v"],
+                        "__bcode": [[] for _ in range(len(pdf))],
+                    }
                 )
                 continue
             codes = np.empty((x.shape[0], m), dtype=np.int32)
@@ -343,9 +352,31 @@ def ivfpq_append(
     the exact rerank keeps results correct; re-train only when drift
     degrades the rough ordering (monitor via operators/embstats.py)."""
     arrays = np.load(f"{path}/arrays.npz")
+    # the saved codes schema is the append contract: a narrower batch (e.g.
+    # attr_cols omitted on an index saved WITH attributes) would write
+    # narrower parquet files that a later predicate search silently
+    # null-filters. Default attr_cols from the saved schema and fail loudly
+    # on any remaining mismatch instead.
+    saved_cols = [
+        f.name
+        for f in spark.read.parquet(f"{path}/codes").schema.fields
+        if f.name != "cluster_id"
+    ]
+    saved_attrs = [
+        c for c in saved_cols if c not in ("__bid", "__bvec", "__bcode")
+    ]
+    if attr_cols is None:
+        attr_cols = saved_attrs
     coded_new = ivfpq_encode(
         new_rows, arrays["coarse"], arrays["codebook"], id_col, vec_col, attr_cols
     )
+    new_cols = [c for c in coded_new.columns if c != "cluster_id"]
+    if sorted(new_cols) != sorted(saved_cols):
+        raise ValueError(
+            f"ivfpq_append schema mismatch: saved codes have columns "
+            f"{sorted(saved_cols)}, new batch encodes {sorted(new_cols)}; "
+            f"pass attr_cols matching the saved index"
+        )
     (
         coded_new.repartition("cluster_id")
         .write.mode("append")

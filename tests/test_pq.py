@@ -335,3 +335,51 @@ def test_ivfpq_append_equals_full_build(spark, sf_dir, tmp_path):
         ["query_id", "rank"], ignore_index=True
     )
     assert exact.equals(got)
+
+
+def test_ivfpq_append_schema_guard(spark, sf_dir, tmp_path):
+    """Appending to an index saved WITH attr columns must default the
+    batch's attrs from the saved schema (so predicate search keeps working
+    on appended rows) and fail loudly on a genuine column mismatch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.index.pq import (
+        ivfpq_append,
+        ivfpq_encode,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search,
+        ivfpq_train,
+    )
+
+    base, queries = _base_queries(spark, sf_dir, nq=4)
+    base = base.withColumn("label", (F.col("id") % 5).cast("int"))
+    first = base.filter(F.col("id") % 2 == 0)
+    second = base.filter(F.col("id") % 2 == 1)
+    coarse, cb = ivfpq_train(first, "vec", n_clusters=8, m=8, ksub=32, iters=4)
+    path = str(tmp_path / "ivfpq_attrs")
+    ivfpq_save(
+        path, coarse, cb, ivfpq_encode(first, coarse, cb, attr_cols=["label"])
+    )
+    # attr_cols omitted -> defaulted from the saved schema, appended rows
+    # keep their label and survive a predicate search
+    ivfpq_append(spark, path, second)
+    lco, lcb, lcoded = ivfpq_load(spark, path)
+    got = (
+        ivfpq_search(
+            queries, lcoded, 5, lco, lcb, nprobe=8, shortlist=10**9,
+            predicate=F.col("label") < 3,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    exact = (
+        knn_exact(queries, base.filter(F.col("label") < 3), 5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert exact.equals(got)
+    # a batch that cannot provide the saved columns fails loudly
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ivfpq_append(spark, path, second.drop("label"), attr_cols=[])
