@@ -32,12 +32,44 @@ def _bucket_col(df: DataFrame, col: str, bits: int) -> DataFrame:
     """(value → bucket) map for one column: bucket = floor(cum_before/N ·
     2^bits), cum_before = rows with a strictly smaller value. Monotone in
     the value, balanced for distinct-heavy columns, and every tie lands in
-    one bucket."""
+    one bucket.
+
+    The cumulative sum is a TWO-LEVEL range-partitioned prefix scan
+    (round-4 verdict: a global Window.orderBy over the distinct-value
+    histogram ran in ONE task — for distinct-heavy columns the histogram
+    is corpus-sized). Level 1: range-partition the histogram by value and
+    cum-sum WITHIN each partition (parallel, corpus-scale). Level 2: a
+    window over the per-partition totals — n_parts rows, bounded by
+    cluster parallelism, never by data. cum_before = local + partition
+    offset is exact regardless of where the range boundaries fall, so the
+    output stays a pure function of the data (bit-equal to the old global
+    window; the zorder_events oracle still hash-matches)."""
     hist = df.groupBy(F.col(col).alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    return hist.select(
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # lazy localCheckpoint: both the local-scan and the totals branch read
+    # the SAME materialized range layout (one shuffle, no recompute drift)
+    ranged = (
+        hist.repartitionByRange(n_parts, "__v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.select(
         "__v",
-        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__cum_before"),
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_local), F.lit(0)).alias("__local"),
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("__c").alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off")
+    )
+    return local.join(F.broadcast(offsets), "__pid").select(
+        "__v", (F.col("__local") + F.col("__off")).alias("__cum_before")
     )
 
 

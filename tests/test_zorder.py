@@ -87,3 +87,21 @@ def test_layout_locality_beats_hash_layout(spark):
 def test_zorder_layout_drops_debug_columns(spark, grid):
     out = zorder_layout(grid, ["x", "y"], bits=8, n_files=4)
     assert set(out.columns) == {"id", "x", "y", "zvalue"}
+
+
+def test_bucket_stage_has_no_corpus_scale_global_window(spark, sf_dir):
+    """Round-4 verdict: the per-column cumulative histogram ran as ONE
+    global Window.orderBy task — corpus-sized for distinct-heavy columns.
+    Now every window ordered by the distinct value (__v) must carry a
+    partition spec (__pid range partitions); the only unpartitioned window
+    allowed is the per-partition-totals offset scan (n_parts rows)."""
+    from rabitq_spark.operators.zorder import zorder_code
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = zorder_code(df, ["user_id", "value"], bits=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # an unpartitioned window puts the ORDER key first inside
+    # windowspecdefinition(...); over __v that is the corpus-scale shape
+    assert "windowspecdefinition(__v" not in plan
+    # the partitioned form must be present (local prefix scan per __pid)
+    assert "windowspecdefinition(__pid" in plan
