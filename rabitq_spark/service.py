@@ -53,9 +53,23 @@ class SearchService:
     # -- request handling --------------------------------------------------
 
     def _query(self, payload: dict) -> dict:
+        # arg surface mirrors the reference service (top_k/probe are u32 in
+        # crates/service/src/main.rs:55-60 — negatives are unrepresentable
+        # there; reject them and out-of-range probes here with a 400)
         vec = payload["query"]
+        if not isinstance(vec, list) or len(vec) == 0:
+            raise ValueError("query must be a non-empty array of numbers")
+        dim = getattr(self.model, "dim", None)
+        if dim is not None and len(vec) != dim:
+            raise ValueError(f"query dim {len(vec)} != model dim {dim}")
         topk = int(payload.get("top_k", self.default_topk))
+        if topk < 1:
+            raise ValueError("top_k must be >= 1")
         nprobe = int(payload.get("probe", self.default_nprobe))
+        if not 1 <= nprobe <= self.model.n_clusters:
+            raise ValueError(
+                f"probe must be in [1, {self.model.n_clusters}]"
+            )
         qdf = self.spark.createDataFrame(
             [(0, [float(x) for x in vec])], "query_id long, qvec array<double>"
         )
