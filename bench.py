@@ -185,6 +185,9 @@ def main() -> None:
         "curated_retrieval",
         "stream_incremental_agg",
         "neardup_stream",
+        # bootstraps its LSH state tables on first call; the timed run then
+        # measures the delta-batch cost only (the production shape)
+        "neardup_state",
     ):
         if name in SPARK_QUERIES:
             try:

@@ -183,3 +183,31 @@ def pack_sequences(
     return per_doc.groupBy("shard").applyInPandas(
         pack, "doc_id long, shard long, bin_id int, n_tok int"
     )
+
+
+def group_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "gsplit-v1",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: assign by the md5 bucket of the
+    NEAR-DUP GROUP id (connected component of `pairs`), so near-duplicate
+    documents can never straddle train and eval — the contamination mode a
+    per-document hash_split cannot prevent (a train doc's 0.95-Jaccard twin
+    landing in test inflates eval scores exactly like true leakage).
+
+    Output: (doc_id, group_id, split). Same determinism contract as
+    hash_split — a pure function of the data, reproducible across engines
+    and partitionings. Scale shape: components via star contraction
+    (O(log d) keyed rounds, operators/graph.py), then one codegen md5
+    bucket per GROUP — no extra shuffle beyond the components themselves.
+    """
+    from rabitq_spark.operators.graph import neardup_groups
+
+    groups = neardup_groups(docs, pairs, id_col).select("doc_id", "group_id")
+    return hash_split(groups, "group_id", train_pct, val_pct, salt).select(
+        "doc_id", "group_id", "split"
+    )

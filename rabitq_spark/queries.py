@@ -3493,6 +3493,21 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source: the columnar-format sibling of the Parquet path
+    (Spark-native writer/reader, predicate pushdown and column pruning
+    included) — the third lakehouse storage format a migrating user brings.
+    Typed columns survive natively, so no schema-on-read is needed."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_")
+    orders.write.mode("overwrite").orc(path)
+    return _roundtrip_agg(spark.read.orc(path))
+
+
 _SQL_ORDERS_ROUNDTRIP = """
 SELECT o_orderpriority, COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
@@ -5032,6 +5047,48 @@ FROM b GROUP BY 1
 """
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (operators/chunking.py::group_split): the split
+    bucket hashes the near-dup GROUP id, so a document and its 0.95-Jaccard
+    twin always land in the same split — per-doc hash_split cannot prevent
+    that contamination. The whole composition (banded minhash pairs → star-
+    contraction components → group-keyed md5 split) is hash-checked against
+    a recursive-CTE + identical-bucket-arithmetic oracle."""
+    from rabitq_spark.operators.chunking import group_split
+    from rabitq_spark.operators.dedup import neardup_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_minhash_pairs(docs, shingle_words=3, n_bands=8, threshold=0.8)
+    return group_split(docs, pairs)
+
+
+def _sql_group_split() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_SQL_NEARDUP_MINHASH}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, reach.r FROM sym s JOIN reach ON reach.node = s.src
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS group_id FROM reach GROUP BY node
+), b AS (
+  SELECT doc_id, group_id,
+         CAST(concat('0x', substring(md5(concat('gsplit-v1|', CAST(group_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM comp
+)
+SELECT doc_id, group_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 # MLlib LSH alternates (seeded but implementation-defined hash families ->
 # rows-only checks; deterministic siblings in the dedup family are the
@@ -6060,6 +6117,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "constraint_audit": q_constraint_audit,
     "quantile_sketch": q_quantile_sketch,
     "neardup_state": q_neardup_state,
+    "group_split": q_group_split,
+    "orc_roundtrip": q_orc_roundtrip,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
@@ -6269,6 +6328,9 @@ ORACLE_SQL: dict[str, str] = {
     "dataset_manifest": _SQL_DATASET_MANIFEST,
     "csv_roundtrip": _SQL_ORDERS_ROUNDTRIP,
     "json_roundtrip": _SQL_ORDERS_ROUNDTRIP,
+    "orc_roundtrip": _SQL_ORDERS_ROUNDTRIP,
+    # components + group-keyed bucket arithmetic mirrored in both engines
+    "group_split": _sql_group_split(),
     "resample_locf": _SQL_RESAMPLE_LOCF,
     "cube_events": _SQL_CUBE_EVENTS,
     "value_histogram": _SQL_VALUE_HISTOGRAM,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import sys
+import threading
 import time
 
 import duckdb
@@ -63,6 +64,25 @@ def main() -> int:
             "err": None,
         }
         report[name] = row
+        # overlap the DuckDB oracle with the Spark run (duckdb releases the
+        # GIL; Spark blocks on the py4j socket) — roughly halves sweep wall
+        # time, the round-4 verdict's sweep-budget item
+        oracle_box: dict = {}
+        othread = None
+        if name in oracles:
+            sql = oracles[name]
+
+            def run_oracle(sql=sql, box=oracle_box):
+                cur = con.cursor()
+                try:
+                    box["df"] = cur.execute(sql).df()
+                except Exception as e:  # noqa: BLE001
+                    box["err"] = e
+                finally:
+                    cur.close()
+
+            othread = threading.Thread(target=run_oracle)
+            othread.start()
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
@@ -72,12 +92,20 @@ def main() -> int:
             print(f"[FAIL] {name}: spark error: {e}")
             row["err"] = f"spark_error: {e}"
             failed.append(name)
+            if othread is not None:
+                othread.join()
             continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows")
             row["err"] = "no_oracle"
             continue
-        odf = con.execute(oracles[name]).df()
+        othread.join()
+        if "err" in oracle_box:
+            print(f"[FAIL] {name}: oracle error: {oracle_box['err']}")
+            row["err"] = f"oracle_error: {oracle_box['err']}"
+            failed.append(name)
+            continue
+        odf = oracle_box["df"]
         row["oracle_rows"] = len(odf)
         s, o = normalize(sdf), normalize(odf)
         row["schema_match"] = list(s.columns) == list(o.columns)
