@@ -832,11 +832,21 @@ class NearDupState:
         return self._read("pairs")
 
     # -- hashing (identical transforms to neardup_minhash_pairs) --------
-    def _hashed(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    def _hashed(
+        self, docs: DataFrame, id_col: str, text_col: str, scope: list
+    ) -> DataFrame:
         from rabitq_spark.functions.text import combine_word_hashes, word_hashes
 
-        wh = _widen(docs).select(
-            F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("h")
+        # the word-hash array MUST be materialized (scoped cache) before the
+        # shingle combiner reads it — inlined, CollapseProject re-evaluates
+        # the md5 transform once per shingle element (measured 41 s vs 1 s
+        # at 5k docs; same barrier as neardup_minhash_pairs)
+        wh = _scoped_cache(
+            _widen(docs).select(
+                F.col(id_col).alias("doc_id"),
+                word_hashes(F.col(text_col)).alias("h"),
+            ),
+            scope,
         )
         return wh.select(
             "doc_id",
@@ -884,7 +894,7 @@ class NearDupState:
         self-join once for the initial pair set. Every later batch is
         apply_delta and never repeats this corpus-sized work."""
         scope = _begin_scope("neardup_state")
-        hashed = _scoped_cache(self._hashed(docs, id_col, text_col), scope)
+        hashed = _scoped_cache(self._hashed(docs, id_col, text_col, scope), scope)
         hashed.write.mode("overwrite").parquet(f"{self.base_dir}/hashes")
         keyed = _scoped_cache(self._keyed(hashed), scope)
         keyed.write.mode("overwrite").parquet(f"{self.base_dir}/keys")
@@ -914,7 +924,9 @@ class NearDupState:
         Reads the pre-batch state lazily, so sequential batches in one
         session compose (batch 2's cross join sees batch 1's appends)."""
         scope = _begin_scope("neardup_state_delta")
-        d_hashed = _scoped_cache(self._hashed(delta_docs, id_col, text_col), scope)
+        d_hashed = _scoped_cache(
+            self._hashed(delta_docs, id_col, text_col, scope), scope
+        )
         d_keyed = _scoped_cache(self._keyed(d_hashed), scope)
 
         # Δ×Δ candidates: tiny self-join inside the batch
@@ -952,9 +964,15 @@ class NearDupState:
         o_side = old_hashes.select(
             F.col("doc_id").alias("id_o"), F.col("hs").alias("hs_o")
         )
+        # verify-join shape: the old-hashes scan STREAMS (never shuffles,
+        # never broadcasts — its hash arrays are the corpus-sized payload);
+        # what broadcasts is small by construction — the bare candidate id
+        # pairs (two longs per row) and the Δ-batch hash table. Attaching
+        # hs_d to the candidate broadcast instead measured ~1.5 GB at a
+        # 923k-candidate sf1.0 batch; ids-only is ~15 MB.
         cross_pairs = (
-            cross_cand.join(F.broadcast(d_side), "id_d")
-            .join(o_side, "id_o")
+            o_side.join(F.broadcast(cross_cand), "id_o")
+            .join(F.broadcast(d_side), "id_d")
             .select(
                 F.least("id_d", "id_o").alias("id_a"),
                 F.greatest("id_d", "id_o").alias("id_b"),
@@ -968,3 +986,25 @@ class NearDupState:
         self._append(d_keyed, "keys")
         self._append(new_pairs, "pairs")
         return new_pairs
+
+    def compact(self, target_dir: str) -> "NearDupState":
+        """Merge the base + delta layers into a fresh single-layer state at
+        `target_dir` (returned ready for new delta sessions). Run this when
+        the delta layer has grown past a few percent of the base — appends
+        accumulate small parquet files, and nightly compaction keeps the
+        per-batch state scan at one healthy-file-size pass. Pure rewrite:
+        no recomputation of hashes, keys, or pairs."""
+        target_dir = target_dir.rstrip("/")
+        if target_dir in (self.base_dir, self.delta_dir):
+            raise ValueError("compact target must be a fresh directory")
+        for table in ("hashes", "keys", "pairs"):
+            self._read(table).write.mode("overwrite").parquet(
+                f"{target_dir}/{table}"
+            )
+        return NearDupState(
+            self.spark,
+            target_dir,
+            shingle_words=self.shingle_words,
+            n_bands=self.n_bands,
+            threshold=self.threshold,
+        )

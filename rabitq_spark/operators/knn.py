@@ -231,14 +231,23 @@ def maxsim_search(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    per_slot = (
-        q.crossJoin(d)
-        .select("query_id", "doc_id", "qslot", dot.alias("dot"))
-        .groupBy("query_id", "doc_id", "qslot")
-        .agg(F.max("dot").alias("best"))
+    per_token = q.crossJoin(d).select(
+        "query_id", "doc_id", "qslot", dot.alias("dot")
     )
-    # fixed-order sum over slots: conditional-aggregation pivot, then an
-    # explicit left-to-right + chain (slot count is a small constant)
+    return _maxsim_score_tail(per_token, n_query_vecs, k)
+
+
+def _maxsim_score_tail(
+    per_token: DataFrame, n_query_vecs: int, k: int
+) -> DataFrame:
+    """Shared MaxSim scoring tail over (query_id, doc_id, qslot, dot)
+    token-pair rows: per-slot max, fixed-order sum over slots (conditional-
+    aggregation pivot, then an explicit left-to-right + chain — never a
+    float groupBy-sum whose partial order could differ between engines),
+    then the top-k window."""
+    per_slot = per_token.groupBy("query_id", "doc_id", "qslot").agg(
+        F.max("dot").alias("best")
+    )
     slot_cols = [
         F.max(F.when(F.col("qslot") == i, F.col("best"))).alias(f"s{i}")
         for i in range(n_query_vecs)
@@ -254,3 +263,78 @@ def maxsim_search(
         order_by=[F.desc("score"), F.asc("doc_id")],
         k=k,
     ).select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+def maxsim_search_ivf(
+    queries: DataFrame,
+    base: DataFrame,
+    model,
+    k: int = 10,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_query_vecs: int = 4,
+    nprobe: int | None = None,
+    per_token_k: int = 32,
+    token_id_col: str = "token_id",
+) -> DataFrame:
+    """Index-accelerated MaxSim (the PLAID/ColBERTv2 shape): phase 1 runs
+    each query TOKEN through the token-level IVF+RaBitQ index for its
+    `per_token_k` nearest base tokens; the hit tokens' parent documents
+    form the candidate set. Phase 2 scores candidates EXACTLY with the
+    same fixed-order MaxSim tail as maxsim_search — so widening the
+    budgets to exhaustive (nprobe = n_clusters, per_token_k >= all base
+    tokens) reproduces the brute-force result bit-for-bit, which is how
+    the `maxsim_ivf` oracle query checks this whole two-phase plan.
+
+    `base` must carry `token_id_col` matching the ids the `model` was
+    built over (one row per token vector). Scale: phase 1 is the standard
+    probe-pruned token search (index side never moves); phase 2's cost is
+    |candidates| × n_query_vecs × m dots instead of |Q|·|D| — the
+    candidate join shuffles keyed by (query, doc), no crossJoin anywhere.
+    Recall knob = per_token_k × nprobe (a doc can only be missed if NONE
+    of its tokens reach any query token's shortlist)."""
+    from rabitq_spark.index.search import search
+
+    q_tokens = queries.select(
+        (
+            F.col(group_col).cast("long") * n_query_vecs + F.col("slot")
+        ).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+    )
+    hits = search(
+        model,
+        q_tokens,
+        topk=per_token_k,
+        nprobe=nprobe or model.config.nprobe,
+        overfetch=10**6 if per_token_k >= 10**6 else None,
+    )
+    tok2doc = base.select(
+        F.col(token_id_col).alias("neighbor_id"),
+        F.col(group_col).alias("doc_id"),
+    )
+    cand = (
+        hits.join(tok2doc, "neighbor_id")
+        .select(
+            F.expr(f"query_id DIV {n_query_vecs}").alias("query_id"), "doc_id"
+        )
+        .distinct()
+    )
+    qt = queries.select(
+        F.col(group_col).alias("query_id"),
+        F.col("slot").alias("qslot"),
+        F.col(vec_col).alias("qvec"),
+    )
+    dt = base.select(
+        F.col(group_col).alias("doc_id"), F.col(vec_col).alias("dvec")
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "dvec", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_token = (
+        cand.join(qt, "query_id")
+        .join(dt, "doc_id")
+        .select("query_id", "doc_id", "qslot", dot.alias("dot"))
+    )
+    return _maxsim_score_tail(per_token, n_query_vecs, k)

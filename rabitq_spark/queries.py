@@ -2079,6 +2079,35 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated late interaction (operators/knn.py::
+    maxsim_search_ivf — the PLAID/ColBERTv2 shape): query TOKENS probe the
+    token-level IVF+RaBitQ index for candidate documents, exact fixed-order
+    MaxSim scores candidates only. Exhaustive budgets (nprobe = n_clusters,
+    unbounded per-token shortlist) make the candidate set complete, so the
+    entire two-phase plan must reproduce brute-force MaxSim bit-for-bit —
+    the same oracle contract as ann_ivf_exhaustive."""
+    from rabitq_spark.operators.knn import maxsim_search_ivf
+
+    model = _get_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    mv = emb.select(
+        F.floor(F.col("vec_id") / _MAXSIM_M).cast("bigint").alias("doc_id"),
+        (F.col("vec_id") % _MAXSIM_M).cast("int").alias("slot"),
+        F.col("vec_id").alias("token_id"),
+        "embedding",
+    )
+    return maxsim_search_ivf(
+        mv.filter(F.col("doc_id") < _MAXSIM_NQ),
+        mv,
+        model,
+        k=10,
+        n_query_vecs=_MAXSIM_M,
+        nprobe=model.n_clusters,
+        per_token_k=10**6,
+    )
+
+
 def _sql_maxsim() -> str:
     slots = ",\n         ".join(
         f"max(CASE WHEN qslot = {i} THEN best END) AS s{i}"
@@ -6119,6 +6148,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_state": q_neardup_state,
     "group_split": q_group_split,
     "orc_roundtrip": q_orc_roundtrip,
+    "maxsim_ivf": q_maxsim_ivf,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
@@ -6457,6 +6487,8 @@ FROM customer a JOIN customer b
     "diversity_sample": _sql_diversity_sample(),
     "bigram_coherence": _SQL_BIGRAM_COHERENCE,
     "maxsim_search": _sql_maxsim(),
+    # exhaustive two-phase (probe -> candidates -> exact) == brute MaxSim
+    "maxsim_ivf": _sql_maxsim(),
     "training_pipeline": _sql_training_pipeline(),
     "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,

@@ -54,3 +54,33 @@ def test_fresh_delta_session_is_idempotent(spark, sf_dir, tmp_path):
     s2.apply_delta(delta)
     p2 = _norm(s2.pairs().toPandas())
     pd.testing.assert_frame_equal(p1, p2, check_exact=True)
+
+
+def test_compact_then_delta_equals_full_recompute(spark, sf_dir, tmp_path):
+    """compact() merges layers without recomputation: a delta applied on
+    the compacted single-layer state must still land exactly on the full
+    recompute."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = _norm(neardup_minhash_pairs(docs).toPandas())
+
+    base_dir = str(tmp_path / "base")
+    NearDupState(spark, base_dir).bootstrap(
+        docs.filter(F.col("doc_id") % 10 >= 2)
+    )
+    s1 = NearDupState(spark, base_dir, str(tmp_path / "d1"))
+    s1.apply_delta(docs.filter(F.col("doc_id") % 10 == 0))
+
+    compacted = s1.compact(str(tmp_path / "compacted"))
+    # compaction is a pure rewrite: same pairs before new deltas
+    pd.testing.assert_frame_equal(
+        _norm(compacted.pairs().toPandas()), _norm(s1.pairs().toPandas()),
+        check_exact=True,
+    )
+
+    s2 = NearDupState(
+        spark, str(tmp_path / "compacted"), str(tmp_path / "d2")
+    )
+    s2.apply_delta(docs.filter(F.col("doc_id") % 10 == 1))
+    pd.testing.assert_frame_equal(
+        _norm(s2.pairs().toPandas()), full, check_exact=True
+    )
