@@ -1472,6 +1472,50 @@ def q_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.pairs()
 
 
+def q_neardup_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_neardup_state (streaming/neardup_stream.py::
+    neardup_state_maintenance_stream): the delta docs arrive as a
+    Structured-Streaming file source and every micro-batch is one
+    `apply_delta` against the materialized state. The oracle is the
+    full-corpus recompute — bit-equality proves the split identity is
+    associative over micro-batches (ANY partitioning of the delta drains
+    to the same pair set)."""
+    import tempfile
+
+    from rabitq_spark.operators.dedup import NearDupState
+    from rabitq_spark.streaming.neardup_stream import (
+        neardup_state_maintenance_stream,
+        read_doc_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (sf_dir, "neardup_state_base")  # bootstrap shared with q_neardup_state
+    if key not in _MODEL_CACHE:
+        base_dir = tempfile.mkdtemp(prefix="neardup_state_")
+        NearDupState(spark, base_dir).bootstrap(
+            docs.filter(F.col("doc_id") % 10 >= 2)
+        )
+        _MODEL_CACHE[key] = base_dir
+    stream_in = tempfile.mkdtemp(prefix="nds_stream_in_")
+    for r in (0, 1):
+        (
+            docs.filter(F.col("doc_id") % 10 == r)
+            .select("doc_id", "text")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stream_in)
+        )
+    state = NearDupState(
+        spark, _MODEL_CACHE[key], tempfile.mkdtemp(prefix="nds_delta_")
+    )
+    neardup_state_maintenance_stream(
+        state,
+        read_doc_stream(spark, stream_in, max_files_per_trigger=1),
+        checkpoint=tempfile.mkdtemp(prefix="nds_ckpt_"),
+    )
+    return state.pairs()
+
+
 def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: connected components over the minhash pair graph —
     the step that turns pairs into droppable duplicates. Iterative min-label
@@ -6146,6 +6190,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "constraint_audit": q_constraint_audit,
     "quantile_sketch": q_quantile_sketch,
     "neardup_state": q_neardup_state,
+    "neardup_state_stream": q_neardup_state_stream,
     "group_split": q_group_split,
     "orc_roundtrip": q_orc_roundtrip,
     "maxsim_ivf": q_maxsim_ivf,
@@ -6470,6 +6515,8 @@ FROM customer a JOIN customer b
     "neardup_incremental": _SQL_NEARDUP_MINHASH,
     # two chained delta batches over materialized state == full recompute
     "neardup_state": _SQL_NEARDUP_MINHASH,
+    # streamed micro-batch maintenance drains to the same pair set
+    "neardup_state_stream": _SQL_NEARDUP_MINHASH,
     "neardup_ngram": _SQL_NEARDUP_NGRAM,
     "neardup_groups": _sql_neardup_groups(),
     # 5-iteration PageRank: ordered folds + single IEEE scalar ops both sides

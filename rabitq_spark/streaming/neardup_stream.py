@@ -195,3 +195,40 @@ def neardup_maintenance_stream(
             f"{timeout_sec}s; the store at {store_path} is incomplete"
         )
     return q
+
+
+def neardup_state_maintenance_stream(
+    state,
+    doc_stream: DataFrame,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_sec: int = 300,
+):
+    """Structured-Streaming maintenance of a materialized NearDupState
+    (operators/dedup.py): every micro-batch is one `apply_delta`, so the
+    state's pair set after the stream drains equals the batch recompute
+    over bootstrap ∪ streamed docs — bit-exactly, for ANY micro-batch
+    partitioning of the delta (the split identity
+    pairs(old ∪ Δ) = pairs(old) ∪ pairs(Δ,Δ) ∪ pairs(Δ,old) is associative
+    over batches, which is what the `neardup_state_stream` oracle query
+    checks). This is the nightly-crawl shape run continuously: per batch,
+    Δ-proportional hashing + two broadcast probes of the on-disk state,
+    never a corpus shuffle.
+    """
+    q = (
+        doc_stream.writeStream.foreachBatch(
+            lambda batch_df, _bid: state.apply_delta(batch_df, id_col, text_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        # same loud-failure contract as maintain_index_stream: a partial
+        # drain would leave the state silently missing streamed documents
+        q.stop()
+        raise TimeoutError(
+            f"neardup state maintenance did not finish within {timeout_sec}s"
+        )
+    return q

@@ -84,3 +84,39 @@ def test_compact_then_delta_equals_full_recompute(spark, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(
         _norm(s2.pairs().toPandas()), full, check_exact=True
     )
+
+
+def test_streamed_maintenance_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Structured-Streaming micro-batch maintenance (one apply_delta per
+    batch, availableNow drain) lands on the batch recompute bit-exactly —
+    the split identity is associative over any micro-batch partitioning."""
+    from rabitq_spark.streaming.neardup_stream import (
+        neardup_state_maintenance_stream,
+        read_doc_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = _norm(neardup_minhash_pairs(docs).toPandas())
+
+    base_dir = str(tmp_path / "base")
+    NearDupState(spark, base_dir).bootstrap(
+        docs.filter(F.col("doc_id") % 10 >= 2)
+    )
+    stream_in = str(tmp_path / "in")
+    for r in (0, 1):
+        (
+            docs.filter(F.col("doc_id") % 10 == r)
+            .select("doc_id", "text")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stream_in)
+        )
+    state = NearDupState(spark, base_dir, str(tmp_path / "delta"))
+    neardup_state_maintenance_stream(
+        state,
+        read_doc_stream(spark, stream_in, max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    pd.testing.assert_frame_equal(
+        _norm(state.pairs().toPandas()), full, check_exact=True
+    )
