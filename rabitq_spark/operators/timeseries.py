@@ -66,3 +66,56 @@ def resample_locf(
         "sum_value",
         F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+def ewma_by_entity(
+    events: DataFrame,
+    alpha: float = 0.25,
+    entity_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-entity exponentially-weighted moving average, the time-decayed
+    smoother monitoring pipelines keep per user/host/partition-key:
+
+        s_0 = v_0;   s_i = alpha * v_i + (1 - alpha) * s_{i-1}
+
+    computed as an ORDERED left-to-right fold over each entity's event
+    sequence (sort_array over (ts, tiebreak, value) structs, then
+    F.aggregate seeded with the first value) — with a dyadic alpha the
+    float chain is a fixed sequence of IEEE ops, bit-reproducible across
+    engines (DuckDB mirror: array_agg(ORDER BY) + list_reduce, which seeds
+    from the first element the same way). One keyed shuffle; per-entity
+    state is one double — at 100 TB this is the groupBy-collect shape only
+    for BOUNDED per-entity event counts; unbounded entities belong on the
+    streaming twin (applyInPandasWithState) instead.
+
+    Output: (entity, n_events, last_value, ewma).
+    """
+    seq = events.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(order_tiebreak).alias("tb"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("seq")
+    )
+    a = F.lit(float(alpha))
+    first = F.element_at("seq", 1)["v"]
+    rest = F.when(
+        F.size("seq") > 1, F.slice("seq", 2, F.size("seq") - 1)
+    ).otherwise(F.array().cast("array<struct<t:bigint,tb:bigint,v:double>>"))
+    return seq.select(
+        "entity",
+        F.size("seq").cast("bigint").alias("n_events"),
+        F.element_at("seq", F.size("seq"))["v"].alias("last_value"),
+        F.aggregate(
+            rest,
+            first,
+            lambda acc, x: a * x["v"] + (F.lit(1.0) - a) * acc,
+        ).alias("ewma"),
+    )

@@ -3009,6 +3009,82 @@ FROM cum GROUP BY grp
 """
 
 
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators/timeseries.py::
+    ewma_by_entity, alpha=0.25): the time-decayed smoother monitoring keeps
+    per entity. The whole ordered float fold is hash-checked — dyadic alpha
+    makes every step a fixed IEEE op sequence, and DuckDB's list_reduce
+    seeds from the first element exactly like the slice-fold here."""
+    from rabitq_spark.operators.timeseries import ewma_by_entity
+
+    return ewma_by_entity(load_table(spark, sf_dir, "events"))
+
+
+_SQL_EWMA = """
+WITH seq AS (
+  SELECT user_id AS entity, COUNT(*) AS n_events,
+         array_agg(value ORDER BY epoch_us(ts), event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT entity, CAST(n_events AS BIGINT) AS n_events,
+       vals[len(vals)] AS last_value,
+       list_reduce(vals, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
+FROM seq
+"""
+
+
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ewma_user_value via applyInPandasWithState
+    (streaming/stateful.py::streaming_ewma): per-user EWMA state folded
+    across time-ordered micro-batches (events staged as ascending
+    event_id-range files; in-batch rows sorted per key). The drained state
+    must equal the batch ordered fold — and the oracle — bit-for-bit,
+    which checks the custom stateful operator end-to-end."""
+    import tempfile
+
+    from rabitq_spark.streaming.pipeline import read_events_stream
+    from rabitq_spark.streaming.stateful import streaming_ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    src = tempfile.mkdtemp(prefix="ewma_stream_in_")
+    sl = n // 8 + 1
+    for i in range(8):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * sl) & (F.col("event_id") < (i + 1) * sl)
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = streaming_ewma(read_events_stream(spark, src))
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_ewma_{_STREAM_SEQ[0]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream_ewma query did not finish in 180s")
+    # update mode emits one row per (user, touching micro-batch); the final
+    # state is the row with the highest running count
+    return spark.sql(
+        f"""
+        SELECT user_id AS entity, n_events, last_value, ewma FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) AS rn
+          FROM {name}
+        ) WHERE rn = 1
+        """
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week;
     for offsets 0..4, how many were active again w weeks later and the
@@ -6194,6 +6270,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_split": q_group_split,
     "orc_roundtrip": q_orc_roundtrip,
     "maxsim_ivf": q_maxsim_ivf,
+    "ewma_user_value": q_ewma_user_value,
+    "stream_ewma": q_stream_ewma,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
@@ -6407,6 +6485,10 @@ ORACLE_SQL: dict[str, str] = {
     # components + group-keyed bucket arithmetic mirrored in both engines
     "group_split": _sql_group_split(),
     "resample_locf": _SQL_RESAMPLE_LOCF,
+    # ordered dyadic-alpha float fold: identical IEEE chains both engines
+    "ewma_user_value": _SQL_EWMA,
+    # keyed-state streaming fold across ordered micro-batches == same chain
+    "stream_ewma": _SQL_EWMA,
     "cube_events": _SQL_CUBE_EVENTS,
     "value_histogram": _SQL_VALUE_HISTOGRAM,
     "value_mad": _SQL_VALUE_MAD,

@@ -63,3 +63,60 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, last_value double, ewma double"
+)
+EWMA_STATE_SCHEMA = "n bigint, last double, ewma double"
+
+
+def _update_ewma_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user EWMA state (alpha = 0.25, dyadic): the streaming twin of
+    operators/timeseries.py::ewma_by_entity. Rows inside a micro-batch are
+    folded in (ts_us, event_id) order; across batches the caller must feed
+    time-ordered batches (ascending file staging) — then every step is the
+    same IEEE double chain as the batch fold and the drained state equals
+    it bit-for-bit (tests/test_stateful_streaming.py)."""
+    (user_id,) = key
+    if state.exists:
+        n, last, ewma = state.get
+    else:
+        n, last, ewma = 0, 0.0, 0.0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for v in pdf["value"].astype(float):
+            ewma = v if n == 0 else 0.25 * v + 0.75 * ewma
+            last = v
+            n += 1
+    state.update((n, last, ewma))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "last_value": [last],
+            "ewma": [ewma],
+        }
+    )
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA with explicit keyed state (one double per
+    user — bounded state regardless of stream length, unlike the batch
+    collect-fold, which is why unbounded entities belong here)."""
+    from rabitq_spark._dist import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
+    return (
+        events.select("user_id", "event_id", "value", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma_state,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -102,3 +102,54 @@ def test_session_window_stream_equals_batch_sessionize(spark, sf_dir, tmp_path):
         .sort_values(["user_id", "start_us"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_ewma_equals_batch_fold(spark, sf_dir, tmp_path):
+    """Keyed-state streaming EWMA across time-ordered micro-batches must
+    equal the batch ordered fold BIT-exactly (same IEEE chain, dyadic
+    alpha)."""
+    from rabitq_spark.operators.timeseries import ewma_by_entity
+    from rabitq_spark.streaming.stateful import streaming_ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    src = str(tmp_path / "ewma_src")
+    sl = n // 6 + 1
+    for i in range(6):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * sl) & (F.col("event_id") < (i + 1) * sl)
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    from rabitq_spark.streaming.pipeline import read_events_stream
+
+    q = (
+        streaming_ewma(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("ewma_state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = (
+        spark.sql(
+            """
+            SELECT user_id AS entity, n_events, last_value, ewma FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM ewma_state_test
+            ) WHERE rn = 1
+            """
+        )
+        .toPandas()
+        .sort_values("entity", ignore_index=True)
+    )
+    want = (
+        ewma_by_entity(ev).toPandas().sort_values("entity", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
