@@ -3085,6 +3085,68 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history (operators/scd.py::scd2_history): snapshot + two
+    deterministic change batches (patch/delete, then re-upsert) resolved
+    into versioned validity ranges in ONE keyed window pass — the
+    dimension-history table a MERGE pipeline maintains beside the current
+    view (q_merge_documents). Integer/string payload, fully hash-checked."""
+    from rabitq_spark.operators.scd import scd2_history
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    b1 = (
+        docs.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 13 == 0))
+        .select(
+            "doc_id",
+            F.concat(F.lit("patched: "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+            F.lit(1).cast("int").alias("batch_id"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+        )
+    )
+    b2 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v2: "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        F.lit(2).cast("int").alias("batch_id"),
+        F.lit("upsert").alias("op"),
+    )
+    return scd2_history(docs, b1.unionByName(b2))
+
+
+_SQL_SCD2 = """
+WITH ev AS (
+  SELECT doc_id, text, lang, source, n_chars, 0 AS batch_id, 'upsert' AS op
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'patched: ' || text, lang, source, n_chars, 1,
+         CASE WHEN doc_id % 13 = 0 THEN 'delete' ELSE 'upsert' END
+  FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, 'v2: ' || text, lang, source, n_chars, 2, 'upsert'
+  FROM documents WHERE doc_id % 5 = 0
+), closed AS (
+  SELECT *, CAST(LEAD(batch_id) OVER (PARTITION BY doc_id ORDER BY batch_id)
+                 AS INT) AS valid_to
+  FROM ev
+)
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY batch_id) AS INT)
+         AS version,
+       CAST(batch_id AS INT) AS valid_from, valid_to,
+       CAST(valid_to IS NULL AS INT) AS is_current
+FROM closed WHERE op = 'upsert'
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week;
     for offsets 0..4, how many were active again w weeks later and the
@@ -6272,6 +6334,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maxsim_ivf": q_maxsim_ivf,
     "ewma_user_value": q_ewma_user_value,
     "stream_ewma": q_stream_ewma,
+    "scd2_documents": q_scd2_documents,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
@@ -6489,6 +6552,8 @@ ORACLE_SQL: dict[str, str] = {
     "ewma_user_value": _SQL_EWMA,
     # keyed-state streaming fold across ordered micro-batches == same chain
     "stream_ewma": _SQL_EWMA,
+    # one-window SCD2 resolution mirrored event-for-event
+    "scd2_documents": _SQL_SCD2,
     "cube_events": _SQL_CUBE_EVENTS,
     "value_histogram": _SQL_VALUE_HISTOGRAM,
     "value_mad": _SQL_VALUE_MAD,
