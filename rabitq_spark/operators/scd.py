@@ -58,3 +58,14 @@ def scd2_history(
         "valid_to",
         F.col("valid_to").isNull().cast("int").alias("is_current"),
     )
+
+
+def scd2_as_of(history: DataFrame, batch: int) -> DataFrame:
+    """Time-travel read over a Type-2 history: the rows valid AT `batch` —
+    valid_from <= batch < valid_to (open versions have NULL valid_to).
+    A pure filter: at scale it rides partition/row-group pruning if the
+    history is written partitioned or z-ordered by validity range."""
+    return history.filter(
+        (F.col("valid_from") <= F.lit(int(batch)))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(int(batch))))
+    )

@@ -2433,6 +2433,101 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_join(left, model, k=_SIMJOIN_K, exhaustive=True)
 
 
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval contamination check — the SEMANTIC sibling of
+    the n-gram `contamination_check`/`decontaminate` pair (paraphrased or
+    reformatted eval leakage that token overlap misses): every eval vector
+    finds its nearest train vector (exhaustive similarity_join — exact,
+    oracle-checked), then the matched pair's cosine flags contamination.
+    At 100 TB the same call runs with exhaustive=False over the IVF index;
+    the exhaustive config is the oracle anchor."""
+    from rabitq_spark.functions.vector import dot, l2_norm
+    from rabitq_spark.operators.simjoin import similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 5 == 0)
+    tr = emb.filter(F.col("vec_id") % 5 != 0)
+    nn = similarity_join(
+        ev.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        tr.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        k=1,
+        exhaustive=True,
+    ).select(
+        F.col("query_id").alias("eval_id"), F.col("neighbor_id").alias("train_id")
+    )
+    a = emb.select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("va"))
+    b = emb.select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("vb")
+    )
+    denom = l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col("va"), F.col("vb")) / denom
+    )
+    return (
+        nn.join(a, "eval_id")
+        .join(b, "train_id")
+        .select(
+            "eval_id",
+            "train_id",
+            cos.alias("cosine"),
+            (cos >= 0.8).cast("int").alias("contaminated"),
+        )
+    )
+
+
+_SQL_SEMANTIC_CONTAMINATION = """
+WITH ev AS (
+  SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 5 = 0
+), tr AS (
+  SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 5 <> 0
+), scored AS (
+  SELECT e.id AS eval_id, t.id AS train_id,
+         list_reduce(
+           list_transform(range(1, len(t.v) + 1),
+             i -> (CAST(e.v[i] AS DOUBLE) - CAST(t.v[i] AS DOUBLE))
+                  * (CAST(e.v[i] AS DOUBLE) - CAST(t.v[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM ev e, tr t
+), nn AS (
+  SELECT eval_id, train_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY eval_id
+                                 ORDER BY dist, train_id) AS rank
+    FROM scored
+  ) r WHERE rank = 1
+), cosined AS (
+  SELECT n.eval_id, n.train_id,
+         CASE WHEN sqrt(list_reduce(
+                list_transform(range(1, len(a.v) + 1),
+                  i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)),
+                (acc, x) -> acc + x))
+              * sqrt(list_reduce(
+                list_transform(range(1, len(b.v) + 1),
+                  i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)),
+                (acc, x) -> acc + x)) = 0.0
+              THEN 0.0
+              ELSE list_reduce(
+                     list_transform(range(1, len(a.v) + 1),
+                       i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)),
+                     (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(
+                        list_transform(range(1, len(a.v) + 1),
+                          i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)),
+                        (acc, x) -> acc + x))
+                      * sqrt(list_reduce(
+                        list_transform(range(1, len(b.v) + 1),
+                          i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)),
+                        (acc, x) -> acc + x)))
+         END AS cosine
+  FROM nn n
+  JOIN ev a ON n.eval_id = a.id
+  JOIN tr b ON n.train_id = b.id
+)
+SELECT eval_id, train_id, cosine,
+       CAST(cosine >= 0.8 AS INT) AS contaminated
+FROM cosined
+"""
+
+
 _SQL_SIMILARITY_JOIN = f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -3122,6 +3217,16 @@ def q_scd2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(docs, b1.unionByName(b2))
 
 
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel over the SCD2 history (operators/scd.py::scd2_as_of):
+    the snapshot as of batch 1 — post-patch, post-delete, pre-batch-2.
+    Deletes must be absent, batch-1 patches present, batch-2 edits
+    invisible; the oracle applies the identical validity-range filter."""
+    from rabitq_spark.operators.scd import scd2_as_of
+
+    return scd2_as_of(q_scd2_documents(spark, sf_dir), 1)
+
+
 _SQL_SCD2 = """
 WITH ev AS (
   SELECT doc_id, text, lang, source, n_chars, 0 AS batch_id, 'upsert' AS op
@@ -3144,6 +3249,11 @@ SELECT doc_id, text, lang, source, n_chars,
        CAST(batch_id AS INT) AS valid_from, valid_to,
        CAST(valid_to IS NULL AS INT) AS is_current
 FROM closed WHERE op = 'upsert'
+"""
+
+_SQL_SCD2_AS_OF = f"""
+SELECT * FROM ({_SQL_SCD2}) h
+WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
 """
 
 
@@ -6335,6 +6445,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_user_value": q_ewma_user_value,
     "stream_ewma": q_stream_ewma,
     "scd2_documents": q_scd2_documents,
+    "scd2_as_of": q_scd2_as_of,
+    "semantic_contamination": q_semantic_contamination,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
@@ -6554,6 +6666,10 @@ ORACLE_SQL: dict[str, str] = {
     "stream_ewma": _SQL_EWMA,
     # one-window SCD2 resolution mirrored event-for-event
     "scd2_documents": _SQL_SCD2,
+    # identical validity-range filter over the same history
+    "scd2_as_of": _SQL_SCD2_AS_OF,
+    # exhaustive nearest-train + identical cosine fold both engines
+    "semantic_contamination": _SQL_SEMANTIC_CONTAMINATION,
     "cube_events": _SQL_CUBE_EVENTS,
     "value_histogram": _SQL_VALUE_HISTOGRAM,
     "value_mad": _SQL_VALUE_MAD,
