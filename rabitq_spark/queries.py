@@ -1444,6 +1444,133 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged dedup cascade — the production ordering where each cheaper
+    stage shrinks the corpus before the next pays its candidate joins:
+    exact fingerprints -> simhash (hamming <= 3, pigeonhole-exact) over
+    the survivors -> minhash Jaccard >= 0.8 over what remains. Drop rule
+    per stage is pair dominance (a doc with a smaller-id near-dup drops),
+    the greedy form crawl pipelines use; every stage's hash construction
+    and the survivor chaining are mirrored in one composed oracle. Output:
+    (doc_id, dropped_by in {exact, simhash, minhash, kept}, kept)."""
+    from rabitq_spark.operators.dedup import (
+        dedup_exact,
+        neardup_minhash_pairs,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drop1 = dedup_exact(docs).filter(F.col("is_dup") == 1).select("doc_id")
+    s1 = docs.join(drop1, "doc_id", "left_anti")
+    drop2 = (
+        simhash_pairs(s1, max_hamming=3)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s2 = s1.join(drop2, "doc_id", "left_anti")
+    drop3 = (
+        neardup_minhash_pairs(s2, shingle_words=3, n_bands=8, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    verdict = (
+        F.when(F.col("__d1").isNotNull(), F.lit("exact"))
+        .when(F.col("__d2").isNotNull(), F.lit("simhash"))
+        .when(F.col("__d3").isNotNull(), F.lit("minhash"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(drop1.withColumn("__d1", F.lit(1)), "doc_id", "left")
+        .join(drop2.withColumn("__d2", F.lit(1)), "doc_id", "left")
+        .join(drop3.withColumn("__d3", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            verdict.alias("dropped_by"),
+            (verdict == "kept").cast("int").alias("kept"),
+        )
+    )
+
+
+_SQL_DEDUP_CASCADE = f"""
+WITH fp AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+  FROM documents
+), drop1 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS m FROM fp
+  ) t WHERE doc_id <> m
+), s1 AS (
+  SELECT doc_id, text FROM fp
+  WHERE doc_id NOT IN (SELECT doc_id FROM drop1)
+), sh_sims AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(
+                    list_transform(
+                      list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x <> '')),
+                      t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)),
+                    h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END),
+           (a, v) -> a | v) AS sim
+  FROM s1
+), drop2 AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh_sims a JOIN sh_sims b
+    ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3
+), s2 AS (
+  SELECT doc_id, text FROM s1
+  WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+), mh_wh AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                        t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT))
+           AS h
+  FROM s2
+), mh_hashed AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(h) >= 3 THEN
+           list_transform(range(1, len(h) - 1),
+             i -> xor(xor(h[i] << 2, h[i+1] << 1), h[i+2]) & 1152921504606846975)
+         ELSE [] END) AS hs
+  FROM mh_wh
+), mh_ne AS (
+  SELECT doc_id, hs FROM mh_hashed WHERE len(hs) > 0
+), mh_bands AS (
+  SELECT doc_id, b, list_min(list_transform(hs, h -> xor(h, c))) AS key
+  FROM mh_ne, {_band_constants_sql(8)}
+), mh_cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM mh_bands l JOIN mh_bands r
+    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+), drop3 AS (
+  SELECT DISTINCT id_b AS doc_id FROM (
+    SELECT id_a, id_b,
+           CASE WHEN len(ha.hs) + len(hb.hs) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                     / CAST(len(ha.hs) + len(hb.hs)
+                            - len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+           END AS jaccard
+    FROM mh_cand
+    JOIN mh_ne ha ON mh_cand.id_a = ha.doc_id
+    JOIN mh_ne hb ON mh_cand.id_b = hb.doc_id
+  ) v WHERE jaccard >= 0.8
+)
+SELECT doc_id, dropped_by, CAST(dropped_by = 'kept' AS INT) AS kept FROM (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id IN (SELECT doc_id FROM drop1) THEN 'exact'
+              WHEN d.doc_id IN (SELECT doc_id FROM drop2) THEN 'simhash'
+              WHEN d.doc_id IN (SELECT doc_id FROM drop3) THEN 'minhash'
+              ELSE 'kept' END AS dropped_by
+  FROM documents d
+) z
+"""
+
+
 def q_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-state incremental near-dup (operators/dedup.py::
     NearDupState — round-4 verdict item 5): the corpus's banded LSH state
@@ -5111,6 +5238,56 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type")
 
 
+def q_kmv_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED KMV distinct-user sketches — the per-(hour, event_type)
+    cardinality monitor a streaming pipeline publishes: same mergeable
+    md5 order-statistic sketch as kmv_distinct_users, grouped by tumbling
+    hour. k=16 keeps per-window state at 16 doubles regardless of traffic
+    (the WindowGroupLimit pre-shuffle cap), and small windows fall back to
+    exact counts below k. Estimates hash-match the oracle bit-for-bit."""
+    from rabitq_spark.functions.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "window_start_us", F.expr("ts_us DIV 3600000000") * F.lit(3600000000)
+    )
+    est = kmv_distinct(ev, ["window_start_us", "event_type"], "user_id", k=16)
+    exact = ev.groupBy("window_start_us", "event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, ["window_start_us", "event_type"])
+
+
+_SQL_KMV_WINDOWED = """
+WITH ev AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+         event_type, user_id
+  FROM events
+), hashed AS (
+  SELECT DISTINCT window_start_us, event_type,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS h
+  FROM ev
+), ranked AS (
+  SELECT window_start_us, event_type, h,
+         row_number() OVER (PARTITION BY window_start_us, event_type
+                            ORDER BY h) AS rk
+  FROM hashed
+), smallest AS (
+  SELECT window_start_us, event_type, COUNT(*) AS n, MAX(h) AS kth
+  FROM ranked WHERE rk <= 16 GROUP BY 1, 2
+), exact AS (
+  SELECT window_start_us, event_type,
+         COUNT(DISTINCT user_id) AS exact_distinct
+  FROM ev GROUP BY 1, 2
+)
+SELECT s.window_start_us, s.event_type,
+       CASE WHEN s.n < 16 THEN CAST(s.n AS DOUBLE) ELSE 15.0 / s.kth END
+         AS est_distinct,
+       e.exact_distinct
+FROM smallest s JOIN exact e USING (window_start_us, event_type)
+"""
+
+
 _SQL_KMV = """
 WITH hashed AS (
   SELECT DISTINCT event_type,
@@ -6447,6 +6624,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_documents": q_scd2_documents,
     "scd2_as_of": q_scd2_as_of,
     "semantic_contamination": q_semantic_contamination,
+    "kmv_windowed": q_kmv_windowed,
+    "dedup_cascade": q_dedup_cascade,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
@@ -6641,6 +6820,8 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize": _SQL_SESSIONIZE,
     "interval_join": _SQL_INTERVAL_JOIN,
     "kmv_distinct_users": _SQL_KMV,
+    # per-window md5 order statistics: same estimator, tumbling-hour groups
+    "kmv_windowed": _SQL_KMV_WINDOWED,
     "funnel": _SQL_FUNNEL,
     "hopping_window": _SQL_HOPPING_WINDOW,
     "quantile_sketch": _SQL_QUANTILE_SKETCH,
@@ -6780,6 +6961,8 @@ FROM customer a JOIN customer b
     "neardup_state": _SQL_NEARDUP_MINHASH,
     # streamed micro-batch maintenance drains to the same pair set
     "neardup_state_stream": _SQL_NEARDUP_MINHASH,
+    # three chained stages, each stage's survivors feeding the next
+    "dedup_cascade": _SQL_DEDUP_CASCADE,
     "neardup_ngram": _SQL_NEARDUP_NGRAM,
     "neardup_groups": _sql_neardup_groups(),
     # 5-iteration PageRank: ordered folds + single IEEE scalar ops both sides
