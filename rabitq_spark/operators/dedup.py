@@ -1008,3 +1008,154 @@ class NearDupState:
             n_bands=self.n_bands,
             threshold=self.threshold,
         )
+
+
+class EmbeddingNearDupState:
+    """Materialized-state incremental EMBEDDING near-dup — the semantic
+    twin of NearDupState (paraphrase-level duplicates that token shingles
+    miss). State = two parquet tables: `vectors` (id, vec — the corpus) and
+    `pairs` (id_a, id_b, cosine >= threshold). Layered exactly like
+    NearDupState: read = base_dir ∪ delta_dir, appends go to delta_dir.
+
+    `apply_delta` pays only the Δ terms: pairs(Δ, Δ) via the exact
+    GEMM-prefilter family (embedding_neardup_pairs — Δ is batch-sized), and
+    pairs(Δ, old) by broadcasting the Δ MATRIX (small side) over ONE scan
+    of the state vectors — per Arrow batch a BLAS screen at
+    threshold − 1e-6 margin, then the surviving pairs' cosine recomputed in
+    the fold's left-to-right IEEE order (the same screen/emit split as
+    embedding_neardup_pairs, so the result is bit-identical to the naive
+    all-pairs oracle). The corpus-sized side is never shuffled, never
+    collected; per-batch work is O(batch × |Δ|) flops.
+
+    Oracle contract (queries.py::q_embedding_neardup_state): bootstrap +
+    two chained deltas == the full-corpus recompute, bit-exact.
+    """
+
+    def __init__(
+        self,
+        spark,
+        base_dir: str,
+        delta_dir: str | None = None,
+        threshold: float = 0.95,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.spark = spark
+        self.base_dir = base_dir.rstrip("/")
+        self.delta_dir = delta_dir.rstrip("/") if delta_dir else None
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._delta_written: set[str] = set()
+
+    def _paths(self, table: str) -> list[str]:
+        paths = [f"{self.base_dir}/{table}"]
+        if self.delta_dir and table in self._delta_written:
+            paths.append(f"{self.delta_dir}/{table}")
+        return paths
+
+    def _read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(*self._paths(table))
+
+    def _append(self, df: DataFrame, table: str) -> None:
+        if self.delta_dir is None:
+            raise ValueError(
+                "EmbeddingNearDupState needs delta_dir to accept deltas"
+            )
+        df.write.mode("append").parquet(f"{self.delta_dir}/{table}")
+        self._delta_written.add(table)
+
+    def pairs(self) -> DataFrame:
+        return self._read("pairs")
+
+    def bootstrap(self, embeddings: DataFrame) -> None:
+        embeddings.select(
+            F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("vec")
+        ).write.mode("overwrite").parquet(f"{self.base_dir}/vectors")
+        embedding_neardup_pairs(
+            embeddings, self.id_col, self.vec_col, self.threshold
+        ).write.mode("overwrite").parquet(f"{self.base_dir}/pairs")
+
+    def apply_delta(self, delta: DataFrame) -> DataFrame:
+        import numpy as np
+
+        from rabitq_spark._dist import ensure_package_on_executors
+
+        ensure_package_on_executors(self.spark)
+        self_pairs = embedding_neardup_pairs(
+            delta, self.id_col, self.vec_col, self.threshold
+        )
+
+        # Δ matrix broadcast (batch-sized by contract — the caller's delta
+        # is a crawl batch, not a corpus)
+        d_pdf = delta.select(self.id_col, self.vec_col).toPandas()
+        d_ids = np.asarray(d_pdf[self.id_col].values, dtype=np.int64)
+        d_mat = np.ascontiguousarray(
+            np.vstack(d_pdf[self.vec_col].values).astype(np.float64)
+        )
+        bc = self.spark.sparkContext.broadcast((d_ids, d_mat))
+        threshold = self.threshold
+        margin = 1e-6
+
+        def _seq_norms(mat: np.ndarray) -> np.ndarray:
+            # left-to-right running sum of squares: the fold/oracle order
+            acc = np.zeros(len(mat))
+            for j in range(mat.shape[1]):
+                acc = acc + mat[:, j] * mat[:, j]
+            return np.sqrt(acc)
+
+        def cross(batches):
+            import pandas as pd
+
+            ids_d, mat_d = bc.value
+            gemm_norms_d = np.linalg.norm(mat_d, axis=1)
+            safe_d = np.where(gemm_norms_d == 0.0, 1.0, gemm_norms_d)
+            seq_d = _seq_norms(mat_d)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids_o = np.asarray(pdf["id"].values, dtype=np.int64)
+                mat_o = np.ascontiguousarray(
+                    np.vstack(pdf["vec"].values).astype(np.float64)
+                )
+                norms_o = np.linalg.norm(mat_o, axis=1)
+                safe_o = np.where(norms_o == 0.0, 1.0, norms_o)
+                seq_o = _seq_norms(mat_o)
+                cos = (mat_o @ mat_d.T) / safe_o[:, None] / safe_d[None, :]
+                oi, di = np.nonzero(cos >= threshold - margin)
+                va, vb = mat_o[oi], mat_d[di]
+                acc = np.zeros(len(oi))
+                for j in range(mat_o.shape[1]):
+                    acc = acc + va[:, j] * vb[:, j]
+                denom = seq_o[oi] * seq_d[di]
+                exact = np.where(
+                    denom == 0.0, 0.0, acc / np.where(denom == 0.0, 1.0, denom)
+                )
+                keep = exact >= threshold
+                ia, ib = ids_o[oi][keep], ids_d[di][keep]
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                        "cosine": exact[keep],
+                    }
+                )
+
+        old = self._read("vectors")
+        par = self.spark.sparkContext.defaultParallelism
+        if old.rdd.getNumPartitions() < par:
+            old = old.repartition(par)
+        cross_pairs = old.mapInPandas(
+            cross, "id_a bigint, id_b bigint, cosine double"
+        )
+        new_pairs = self_pairs.unionByName(cross_pairs).localCheckpoint(
+            eager=True
+        )
+        self._append(
+            delta.select(
+                F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("vec")
+            ),
+            "vectors",
+        )
+        self._append(new_pairs, "pairs")
+        return new_pairs

@@ -2522,6 +2522,35 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-state incremental EMBEDDING near-dup (operators/
+    dedup.py::EmbeddingNearDupState): bootstrap once (cached), then two
+    chained delta batches, each paying one GEMM-screened scan of the state
+    vectors with the Δ matrix broadcast — the corpus side never shuffles.
+    Oracle = the full-corpus all-pairs cosine recompute, bit-exact (the
+    screen margin + fold-order emit make the two-phase plan exact)."""
+    import tempfile
+
+    from rabitq_spark.operators.dedup import EmbeddingNearDupState
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, "emb_neardup_state_base")
+    if key not in _MODEL_CACHE:
+        base_dir = tempfile.mkdtemp(prefix="embstate_")
+        boot = EmbeddingNearDupState(spark, base_dir, threshold=0.4)
+        boot.bootstrap(emb.filter(F.col("vec_id") % 10 >= 2))
+        _MODEL_CACHE[key] = base_dir
+    state = EmbeddingNearDupState(
+        spark,
+        _MODEL_CACHE[key],
+        tempfile.mkdtemp(prefix="embstate_d_"),
+        threshold=0.4,
+    )
+    state.apply_delta(emb.filter(F.col("vec_id") % 10 == 0))
+    state.apply_delta(emb.filter(F.col("vec_id") % 10 == 1))
+    return state.pairs()
+
+
 _SQL_EMB_NEARDUP = """
 WITH normed AS (
   SELECT vec_id AS id, embedding AS v,
@@ -6626,6 +6655,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_contamination": q_semantic_contamination,
     "kmv_windowed": q_kmv_windowed,
     "dedup_cascade": q_dedup_cascade,
+    "embedding_neardup_state": q_embedding_neardup_state,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
@@ -6986,6 +7016,8 @@ FROM customer a JOIN customer b
     "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,
     "embedding_neardup": _SQL_EMB_NEARDUP,
+    # bootstrap + two GEMM-screened delta batches == all-pairs recompute
+    "embedding_neardup_state": _SQL_EMB_NEARDUP,
     "text_stats": _SQL_TEXT_STATS,
     "quality_scores": _SQL_QUALITY,
     "lang_guess": _SQL_LANG_GUESS,

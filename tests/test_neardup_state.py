@@ -120,3 +120,30 @@ def test_streamed_maintenance_equals_full_recompute(spark, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(
         _norm(state.pairs().toPandas()), full, check_exact=True
     )
+
+
+def test_embedding_state_two_deltas_equal_full_recompute(spark, sf_dir, tmp_path):
+    """EmbeddingNearDupState: bootstrap + two chained GEMM-screened delta
+    batches must reproduce the all-pairs cosine recompute bit-exactly."""
+    from rabitq_spark.operators.dedup import (
+        EmbeddingNearDupState,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = (
+        embedding_neardup_pairs(emb, threshold=0.4)
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    base_dir = str(tmp_path / "ebase")
+    EmbeddingNearDupState(spark, base_dir, threshold=0.4).bootstrap(
+        emb.filter(F.col("vec_id") % 10 >= 2)
+    )
+    st = EmbeddingNearDupState(
+        spark, base_dir, str(tmp_path / "edelta"), threshold=0.4
+    )
+    st.apply_delta(emb.filter(F.col("vec_id") % 10 == 0))
+    st.apply_delta(emb.filter(F.col("vec_id") % 10 == 1))
+    got = st.pairs().toPandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, full, check_exact=True)
