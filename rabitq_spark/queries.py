@@ -2580,6 +2580,49 @@ SELECT id_a, id_b, cosine FROM (
 _SIMJOIN_K = 5
 
 
+def q_embedding_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_embedding_neardup_state: delta vectors arrive as
+    a file-source stream, each micro-batch is one GEMM-screened apply_delta
+    against the materialized vector state. Oracle = full all-pairs
+    recompute (associative over any micro-batch partitioning)."""
+    import tempfile
+
+    from rabitq_spark.operators.dedup import EmbeddingNearDupState
+    from rabitq_spark.streaming.index_stream import read_vector_stream
+    from rabitq_spark.streaming.neardup_stream import (
+        embedding_state_maintenance_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, "emb_neardup_state_base")  # shared with the batch query
+    if key not in _MODEL_CACHE:
+        base_dir = tempfile.mkdtemp(prefix="embstate_")
+        boot = EmbeddingNearDupState(spark, base_dir, threshold=0.4)
+        boot.bootstrap(emb.filter(F.col("vec_id") % 10 >= 2))
+        _MODEL_CACHE[key] = base_dir
+    stream_in = tempfile.mkdtemp(prefix="embstate_stream_in_")
+    for r in (0, 1):
+        (
+            emb.filter(F.col("vec_id") % 10 == r)
+            .select("vec_id", "embedding")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stream_in)
+        )
+    state = EmbeddingNearDupState(
+        spark,
+        _MODEL_CACHE[key],
+        tempfile.mkdtemp(prefix="embstate_sd_"),
+        threshold=0.4,
+    )
+    embedding_state_maintenance_stream(
+        state,
+        read_vector_stream(spark, stream_in, max_files_per_trigger=1),
+        checkpoint=tempfile.mkdtemp(prefix="embstate_ckpt_"),
+    )
+    return state.pairs()
+
+
 def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.simjoin import similarity_join
 
@@ -6656,6 +6699,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_windowed": q_kmv_windowed,
     "dedup_cascade": q_dedup_cascade,
     "embedding_neardup_state": q_embedding_neardup_state,
+    "embedding_state_stream": q_embedding_state_stream,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
@@ -7018,6 +7062,8 @@ FROM customer a JOIN customer b
     "embedding_neardup": _SQL_EMB_NEARDUP,
     # bootstrap + two GEMM-screened delta batches == all-pairs recompute
     "embedding_neardup_state": _SQL_EMB_NEARDUP,
+    # streamed micro-batch vector maintenance drains to the same pair set
+    "embedding_state_stream": _SQL_EMB_NEARDUP,
     "text_stats": _SQL_TEXT_STATS,
     "quality_scores": _SQL_QUALITY,
     "lang_guess": _SQL_LANG_GUESS,

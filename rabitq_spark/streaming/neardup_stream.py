@@ -232,3 +232,31 @@ def neardup_state_maintenance_stream(
             f"neardup state maintenance did not finish within {timeout_sec}s"
         )
     return q
+
+
+def embedding_state_maintenance_stream(
+    state,
+    vec_stream: DataFrame,
+    checkpoint: str,
+    timeout_sec: int = 300,
+):
+    """Streaming maintenance of an EmbeddingNearDupState (operators/
+    dedup.py): every micro-batch of vectors is one GEMM-screened
+    `apply_delta` — the semantic-dedup twin of
+    neardup_state_maintenance_stream, with the same associativity
+    guarantee: any micro-batch partitioning of the delta drains to the
+    full-recompute pair set (oracle query `embedding_state_stream`)."""
+    q = (
+        vec_stream.writeStream.foreachBatch(
+            lambda batch_df, _bid: state.apply_delta(batch_df)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"embedding state maintenance did not finish within {timeout_sec}s"
+        )
+    return q
