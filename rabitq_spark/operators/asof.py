@@ -25,6 +25,7 @@ def asof_join_backward(
     right_ts: str = "ts",
     right_payload: Sequence[str] = (),
     tie_col: str | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right.ts <= left.ts and equal `on` key (backward as-of, inclusive).
@@ -33,7 +34,11 @@ def asof_join_backward(
     (NULL when no prior right row). With equal timestamps the right row is
     considered first (inclusive semantics, matching DuckDB's
     `ON l.ts >= r.ts`); among equal right timestamps the largest `tie_col`
-    wins (pass a unique id for determinism).
+    wins (pass a unique id for determinism). `tolerance` (same units as
+    the ts columns — the pandas merge_asof(tolerance=...) contract) nulls
+    the payload when the matched row is older than left_ts − tolerance;
+    the match is bounded, not re-searched, which keeps the one-shuffle
+    union-sort-window plan unchanged.
     """
     left_cols = left.columns
     payload = list(right_payload)
@@ -46,6 +51,7 @@ def asof_join_backward(
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___rts"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
@@ -55,6 +61,7 @@ def asof_join_backward(
             l_tag.schema["__lrow"].dataType
         ).alias("__lrow"),
         *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(right_ts).alias("__r___rts"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -70,15 +77,28 @@ def asof_join_backward(
     )
     carried = unioned.select(
         "__is_left",
+        "__ts",
         "__lrow",
         *[
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
             for c in payload
         ],
+        F.last(F.col("__r___rts"), ignorenulls=True).over(w).alias("asof___rts"),
     )
-    return carried.filter(F.col("__is_left") == 1).select(
+    lefts = carried.filter(F.col("__is_left") == 1)
+    if tolerance is None:
+        out_payload = [F.col(f"asof_{c}") for c in right_payload]
+    else:
+        within = F.col("asof___rts").isNotNull() & (
+            (F.col("__ts") - F.col("asof___rts")) <= F.lit(int(tolerance))
+        )
+        out_payload = [
+            F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+            for c in right_payload
+        ]
+    return lefts.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left_cols],
-        *[F.col(f"asof_{c}") for c in right_payload],
+        *out_payload,
     )
 
 

@@ -2829,6 +2829,62 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded backward as-of (operators/asof.py, the pandas
+    merge_asof(tolerance=...) contract): the latest click at-or-before each
+    purchase counts only within 30 minutes — staler matches null out.
+    Bounding the single latest match equals bounding the search (any older
+    candidate is staler still), which is how the oracle's LATERAL mirrors
+    it; the one-shuffle union-sort-window plan is unchanged."""
+    from rabitq_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_join_backward(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_payload=("click_ts_us", "click_value"),
+        tie_col="click_event_id",
+        tolerance=1_800_000_000,  # 30 min in epoch-us
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "purchase_value",
+        F.col("asof_click_ts_us").alias("click_ts_us"),
+        F.col("asof_click_value").alias("click_value"),
+    )
+
+
+_SQL_ASOF_TOLERANCE = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.value AS purchase_value,
+       q.click_ts_us, q.click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+    AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) q ON TRUE
+"""
+
+
 def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: for every purchase, the EARLIEST click at-or-after it
     per user (operators/asof.py::asof_join_forward — descending
@@ -6700,6 +6756,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cascade": q_dedup_cascade,
     "embedding_neardup_state": q_embedding_neardup_state,
     "embedding_state_stream": q_embedding_state_stream,
+    "asof_tolerance_click": q_asof_tolerance_click,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
@@ -6888,6 +6945,8 @@ ORACLE_SQL: dict[str, str] = {
     "similarity_join": _SQL_SIMILARITY_JOIN,
     "multimodal_features": _SQL_MULTIMODAL,
     "asof_purchase_click": _SQL_ASOF,
+    # bounding the latest match == bounding the search (older is staler)
+    "asof_tolerance_click": _SQL_ASOF_TOLERANCE,
     "asof_next_click": _SQL_ASOF_FWD,
     "asof_nearest_click": _SQL_ASOF_NEAREST,
     "window_events": _SQL_WINDOW_EVENTS,
