@@ -110,13 +110,15 @@ def asof_join_forward(
     right_ts: str = "ts",
     right_payload: Sequence[str] = (),
     tie_col: str | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the EARLIEST right row with
     right.ts >= left.ts and equal `on` key (forward as-of, inclusive) —
     "what happened next": next click after a purchase, next error after a
     deploy. Same union-sort-window plan as backward, ordered descending;
     among equal right timestamps the SMALLEST `tie_col` wins (the first
-    row in forward direction)."""
+    row in forward direction). `tolerance` nulls the payload when the
+    match is later than left_ts + tolerance (pandas merge_asof)."""
     left_cols = left.columns
     payload = list(right_payload)
     if tie_col is not None and tie_col not in payload:
@@ -128,6 +130,7 @@ def asof_join_forward(
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___rts"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
@@ -135,6 +138,7 @@ def asof_join_forward(
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(right_ts).alias("__r___rts"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -153,15 +157,28 @@ def asof_join_forward(
     )
     carried = unioned.select(
         "__is_left",
+        "__ts",
         "__lrow",
         *[
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
             for c in payload
         ],
+        F.last(F.col("__r___rts"), ignorenulls=True).over(w).alias("asof___rts"),
     )
-    return carried.filter(F.col("__is_left") == 1).select(
+    lefts = carried.filter(F.col("__is_left") == 1)
+    if tolerance is None:
+        out_payload = [F.col(f"asof_{c}") for c in right_payload]
+    else:
+        within = F.col("asof___rts").isNotNull() & (
+            (F.col("asof___rts") - F.col("__ts")) <= F.lit(int(tolerance))
+        )
+        out_payload = [
+            F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+            for c in right_payload
+        ]
+    return lefts.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left_cols],
-        *[F.col(f"asof_{c}") for c in right_payload],
+        *out_payload,
     )
 
 
@@ -173,12 +190,16 @@ def asof_join_nearest(
     right_ts: str = "ts",
     right_payload: Sequence[str] = (),
     tie_col: str | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, the right row with MINIMAL |right.ts − left.ts|
     (equal distance → the backward match wins). Composition of backward +
     forward — two window passes, still one shuffle key, no range join.
     `left_ts`/`right_ts` must be numeric (epoch micros) so the distance is
-    well-defined."""
+    well-defined. `tolerance` nulls the payload when even the nearest
+    match is farther than `tolerance` (pandas merge_asof contract — the
+    bound applies AFTER choosing the minimum, which equals bounding the
+    search on both sides)."""
     if not right_payload:
         raise ValueError("asof_join_nearest needs right_payload")
     back = asof_join_backward(
@@ -200,12 +221,16 @@ def asof_join_nearest(
     take_back = F.col("__f_ts").isNull() | (
         F.col("__b_ts").isNotNull() & (d_b <= d_f)
     )
+    chosen = [
+        F.when(take_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+        for c in right_payload
+    ]
+    if tolerance is not None:
+        chosen_d = F.when(take_back, d_b).otherwise(d_f)
+        chosen = [
+            F.when(chosen_d <= F.lit(int(tolerance)), e) for e in chosen
+        ]
     return out.select(
         *[F.col(c) for c in left.columns],
-        *[
-            F.when(take_back, F.col(f"__b_{c}"))
-            .otherwise(F.col(f"__f_{c}"))
-            .alias(f"asof_{c}")
-            for c in right_payload
-        ],
+        *[e.alias(f"asof_{c}") for e, c in zip(chosen, right_payload)],
     )

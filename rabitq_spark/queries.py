@@ -2992,6 +2992,63 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of bounded by tolerance (10 min): if even the closest
+    click in either direction is farther than the bound, the match nulls —
+    bounding after choosing the minimum equals bounding the search on both
+    sides, which is how the oracle's LATERAL mirrors it."""
+    from rabitq_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_join_nearest(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_payload=("click_ts_us", "click_value"),
+        tie_col="click_event_id",
+        tolerance=600_000_000,  # 10 min in epoch-us
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "purchase_value",
+        F.col("asof_click_ts_us").alias("click_ts_us"),
+        F.col("asof_click_value").alias("click_value"),
+    )
+
+
+_SQL_ASOF_NEAREST_TOLERANCE = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.value AS purchase_value,
+       q.click_ts_us, q.click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+    AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000
+  ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+           CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+           CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END ASC
+  LIMIT 1
+) q ON TRUE
+"""
+
+
 def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.events import tumbling_window_agg
 
@@ -6757,6 +6814,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_state": q_embedding_neardup_state,
     "embedding_state_stream": q_embedding_state_stream,
     "asof_tolerance_click": q_asof_tolerance_click,
+    "asof_nearest_tolerance": q_asof_nearest_tolerance,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
     "bpe_merges": q_bpe_merges,
@@ -6947,6 +7005,8 @@ ORACLE_SQL: dict[str, str] = {
     "asof_purchase_click": _SQL_ASOF,
     # bounding the latest match == bounding the search (older is staler)
     "asof_tolerance_click": _SQL_ASOF_TOLERANCE,
+    # bounding after the min == two-sided search bound
+    "asof_nearest_tolerance": _SQL_ASOF_NEAREST_TOLERANCE,
     "asof_next_click": _SQL_ASOF_FWD,
     "asof_nearest_click": _SQL_ASOF_NEAREST,
     "window_events": _SQL_WINDOW_EVENTS,
