@@ -329,3 +329,41 @@ def test_video_container_decoder():
     )
     out2 = decode_video_frames(payload2)
     assert out2[1].shape == (1, 1, 3) and list(out2[1][0, 0]) == [9, 8, 7]
+
+
+def test_asof_tolerance_bounds_all_directions(spark):
+    """merge_asof(tolerance=...) contract: matches beyond the bound null
+    out; within the bound they are unchanged — backward, forward, nearest."""
+    from rabitq_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200)], "id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 9.0), (1, 250, 25.0)], "id long, ts long, v double"
+    )
+
+    def got(df):
+        return {
+            r["ts"]: r["asof_v"]
+            for r in df.select("ts", "asof_v").collect()
+        }
+
+    back = got(asof_join_backward(
+        left, right, on="id", right_payload=("v",), tolerance=15
+    ))
+    assert back == {100: 9.0, 200: None}  # 200-90=110 > 15 -> nulled
+
+    fwd = got(asof_join_forward(
+        left, right, on="id", right_payload=("v",), tolerance=60
+    ))
+    assert fwd == {100: None, 200: 25.0}  # 250-100=150 > 60 -> nulled
+
+    near = got(asof_join_nearest(
+        left, right, on="id", right_payload=("v",), tolerance=20
+    ))
+    assert near == {100: 9.0, 200: None}  # nearest to 200 is 250 (50 > 20)
