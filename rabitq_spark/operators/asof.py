@@ -15,6 +15,20 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _rrow_type(right: DataFrame, right_ts: str, payload: Sequence[str]) -> StructType:
+    """Struct type carrying the matched right row: its ts plus payload.
+
+    The whole row travels as ONE struct under a single last(ignorenulls)
+    so the emitted ts and payload always come from the same matched row —
+    a NULL payload value in the matched row stays NULL (pandas merge_asof
+    semantics) instead of falling back to an older row's value."""
+    return StructType(
+        [StructField("__rts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in payload]
+    )
 
 
 def asof_join_backward(
@@ -45,13 +59,13 @@ def asof_join_backward(
     if tie_col is not None and tie_col not in payload:
         payload.append(tie_col)  # carried internally, dropped on output
 
+    rrow_t = _rrow_type(right, right_ts, payload)
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___rts"),
+        F.lit(None).cast(rrow_t).alias("__rrow"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
@@ -60,16 +74,18 @@ def asof_join_backward(
         F.lit(None).cast(
             l_tag.schema["__lrow"].dataType
         ).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
-        F.col(right_ts).alias("__r___rts"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c) for c in payload],
+        ).alias("__rrow"),
     )
     unioned = l_tag.unionByName(r_tag)
 
     order = [F.col("__ts").asc(), F.col("__is_left").asc()]
     if tie_col is not None:
         # among right rows at the same ts, the largest tie_col must sort
-        # last so last(ignorenulls) picks it
-        order.append(F.when(F.col("__is_left") == 0, F.col(f"__r_{tie_col}")).asc_nulls_first())
+        # last so last(ignorenulls) picks it (left rows: NULL struct field)
+        order.append(F.col("__rrow").getField(tie_col).asc_nulls_first())
     w = (
         Window.partitionBy("__k")
         .orderBy(*order)
@@ -79,21 +95,22 @@ def asof_join_backward(
         "__is_left",
         "__ts",
         "__lrow",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload
-        ],
-        F.last(F.col("__r___rts"), ignorenulls=True).over(w).alias("asof___rts"),
+        # ONE last() over the whole right-row struct: ts and payload are
+        # inseparable, so a matched row's NULL payload stays NULL
+        F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__m"),
     )
     lefts = carried.filter(F.col("__is_left") == 1)
     if tolerance is None:
-        out_payload = [F.col(f"asof_{c}") for c in right_payload]
+        out_payload = [
+            F.col("__m").getField(c).alias(f"asof_{c}") for c in right_payload
+        ]
     else:
-        within = F.col("asof___rts").isNotNull() & (
-            (F.col("__ts") - F.col("asof___rts")) <= F.lit(int(tolerance))
+        within = F.col("__m").isNotNull() & (
+            (F.col("__ts") - F.col("__m").getField("__rts"))
+            <= F.lit(int(tolerance))
         )
         out_payload = [
-            F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+            F.when(within, F.col("__m").getField(c)).alias(f"asof_{c}")
             for c in right_payload
         ]
     return lefts.select(
@@ -124,21 +141,23 @@ def asof_join_forward(
     if tie_col is not None and tie_col not in payload:
         payload.append(tie_col)
 
+    rrow_t = _rrow_type(right, right_ts, payload)
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___rts"),
+        F.lit(None).cast(rrow_t).alias("__rrow"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
-        F.col(right_ts).alias("__r___rts"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c) for c in payload],
+        ).alias("__rrow"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -147,9 +166,7 @@ def asof_join_forward(
     # after the left row; right sorts before left at equal ts (inclusive)
     order = [F.col("__ts").desc(), F.col("__is_left").asc()]
     if tie_col is not None:
-        order.append(
-            F.when(F.col("__is_left") == 0, F.col(f"__r_{tie_col}")).desc_nulls_first()
-        )
+        order.append(F.col("__rrow").getField(tie_col).desc_nulls_first())
     w = (
         Window.partitionBy("__k")
         .orderBy(*order)
@@ -159,21 +176,20 @@ def asof_join_forward(
         "__is_left",
         "__ts",
         "__lrow",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload
-        ],
-        F.last(F.col("__r___rts"), ignorenulls=True).over(w).alias("asof___rts"),
+        F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__m"),
     )
     lefts = carried.filter(F.col("__is_left") == 1)
     if tolerance is None:
-        out_payload = [F.col(f"asof_{c}") for c in right_payload]
+        out_payload = [
+            F.col("__m").getField(c).alias(f"asof_{c}") for c in right_payload
+        ]
     else:
-        within = F.col("asof___rts").isNotNull() & (
-            (F.col("asof___rts") - F.col("__ts")) <= F.lit(int(tolerance))
+        within = F.col("__m").isNotNull() & (
+            (F.col("__m").getField("__rts") - F.col("__ts"))
+            <= F.lit(int(tolerance))
         )
         out_payload = [
-            F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+            F.when(within, F.col("__m").getField(c)).alias(f"asof_{c}")
             for c in right_payload
         ]
     return lefts.select(

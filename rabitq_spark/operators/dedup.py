@@ -103,6 +103,35 @@ def _scoped_cache(df: DataFrame, scope: list) -> DataFrame:
     return df
 
 
+def _existing_delta_tables(delta_dir: str | None, tables: tuple[str, ...]) -> set[str]:
+    """Which state subtables already exist (non-empty) under delta_dir.
+
+    Seeds `_delta_written` at init so RE-ATTACHING a state object to a
+    delta_dir populated by a previous session reads those prior delta docs
+    too — otherwise cross-pair scans would silently miss them while new
+    appends land in the same directory (an incomplete pair set, no error).
+    """
+    import os
+
+    if not delta_dir:
+        return set()
+    local = delta_dir
+    if local.startswith("file://"):
+        local = local[len("file:"):]
+    elif local.startswith("file:"):
+        local = local[len("file:"):]
+    found: set[str] = set()
+    for table in tables:
+        p = os.path.join(local, table)
+        try:
+            entries = os.listdir(p)
+        except (FileNotFoundError, NotADirectoryError):
+            continue
+        if any(not e.startswith(("_", ".")) for e in entries):
+            found.add(table)
+    return found
+
+
 def _widen(df: DataFrame) -> DataFrame:
     """Spread a narrow input (e.g. a 2-file parquet table) to cluster
     width so the hash/shingle projections that follow parallelize — the
@@ -805,9 +834,13 @@ class NearDupState:
         self.shingle_words = shingle_words
         self.n_bands = n_bands
         self.threshold = threshold
-        # which delta subtables have been appended this session (parquet
-        # reads fail on empty dirs; single-driver mutation, no lock needed)
-        self._delta_written: set[str] = set()
+        # which delta subtables hold data (parquet reads fail on empty
+        # dirs; single-driver mutation, no lock needed). Seeded from disk
+        # so re-attaching to a populated delta_dir sees prior sessions'
+        # delta docs instead of silently dropping them from reads.
+        self._delta_written: set[str] = _existing_delta_tables(
+            self.delta_dir, ("hashes", "keys", "pairs")
+        )
 
     # -- state table IO -------------------------------------------------
     def _paths(self, table: str) -> list[str]:
@@ -1039,6 +1072,7 @@ class EmbeddingNearDupState:
         threshold: float = 0.95,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        max_delta_rows: int = 500_000,
     ) -> None:
         self.spark = spark
         self.base_dir = base_dir.rstrip("/")
@@ -1046,7 +1080,13 @@ class EmbeddingNearDupState:
         self.threshold = threshold
         self.id_col = id_col
         self.vec_col = vec_col
-        self._delta_written: set[str] = set()
+        # driver-safety cap for apply_delta's toPandas + matrix broadcast
+        # (500k × 256 float64 ≈ 1 GB — comfortably under driver memory;
+        # tune per deployment)
+        self.max_delta_rows = int(max_delta_rows)
+        self._delta_written: set[str] = _existing_delta_tables(
+            self.delta_dir, ("vectors", "pairs")
+        )
 
     def _paths(self, table: str) -> list[str]:
         paths = [f"{self.base_dir}/{table}"]
@@ -1087,7 +1127,18 @@ class EmbeddingNearDupState:
         )
 
         # Δ matrix broadcast (batch-sized by contract — the caller's delta
-        # is a crawl batch, not a corpus)
+        # is a crawl batch, not a corpus). Guard the contract: an oversized
+        # delta (easy to hit from a foreachBatch maintenance stream with
+        # large micro-batches) must fail cleanly, not OOM the driver under
+        # toPandas + dense-float64 broadcast. limit(N+1) bounds the probe.
+        probe = delta.select(self.id_col).limit(self.max_delta_rows + 1).count()
+        if probe > self.max_delta_rows:
+            raise ValueError(
+                f"EmbeddingNearDupState.apply_delta: delta exceeds "
+                f"max_delta_rows={self.max_delta_rows}; split the batch "
+                f"(e.g. foreachBatch with a smaller maxFilesPerTrigger) or "
+                f"raise max_delta_rows if the driver has headroom"
+            )
         d_pdf = delta.select(self.id_col, self.vec_col).toPandas()
         d_ids = np.asarray(d_pdf[self.id_col].values, dtype=np.int64)
         d_mat = np.ascontiguousarray(

@@ -79,15 +79,22 @@ def _update_ewma_state(
     folded in (ts_us, event_id) order; across batches the caller must feed
     time-ordered batches (ascending file staging) — then every step is the
     same IEEE double chain as the batch fold and the drained state equals
-    it bit-for-bit (tests/test_stateful_streaming.py)."""
+    it bit-for-bit (tests/test_stateful_streaming.py).
+
+    The iterator is materialized and sorted ONCE: applyInPandasWithState
+    only guarantees grouping-key clustering, so a key whose micro-batch
+    spans multiple Arrow chunks (maxRecordsPerBatch) would otherwise fold
+    chunks in arrival order, not global (ts_us, event_id) order."""
     (user_id,) = key
     if state.exists:
         n, last, ewma = state.get
     else:
         n, last, ewma = 0, 0.0, 0.0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        for v in pdf["value"].astype(float):
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for v in rows["value"].astype(float):
             ewma = v if n == 0 else 0.25 * v + 0.75 * ewma
             last = v
             n += 1

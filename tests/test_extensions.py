@@ -367,3 +367,47 @@ def test_asof_tolerance_bounds_all_directions(spark):
         left, right, on="id", right_payload=("v",), tolerance=20
     ))
     assert near == {100: 9.0, 200: None}  # nearest to 200 is 250 (50 > 20)
+
+
+def test_asof_matched_row_null_payload_stays_null(spark):
+    """pandas merge_asof keeps the MATCHED row's NULL payload; carrying
+    each payload column with an independent last(ignorenulls) would fall
+    back to an older row's value instead (round-5 ADVICE). The whole right
+    row travels as one struct now — ts and payload are inseparable."""
+    from rabitq_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame([(1, 200), (1, 90)], "id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, "old"), (1, 150, None)], "id long, ts long, tag string"
+    )
+    back = {
+        r["ts"]: r["asof_tag"]
+        for r in asof_join_backward(
+            left, right, on="id", right_payload=("tag",)
+        ).collect()
+    }
+    # left ts=200 matches the ts=150 row whose tag is NULL -> stays NULL
+    assert back == {200: None, 90: None}
+
+    # tolerance interplay: the match (150) is within tolerance of 200, so
+    # the gate passes — and the value must still be the matched row's NULL,
+    # never the out-of-tolerance older row's "old"
+    back_tol = {
+        r["ts"]: r["asof_tag"]
+        for r in asof_join_backward(
+            left, right, on="id", right_payload=("tag",), tolerance=60
+        ).collect()
+    }
+    assert back_tol == {200: None, 90: None}
+
+    fwd = {
+        r["ts"]: r["asof_tag"]
+        for r in asof_join_forward(
+            spark.createDataFrame([(1, 120)], "id long, ts long"),
+            right, on="id", right_payload=("tag",),
+        ).collect()
+    }
+    assert fwd == {120: None}  # next row at 150 has NULL tag -> NULL

@@ -147,3 +147,49 @@ def test_embedding_state_two_deltas_equal_full_recompute(spark, sf_dir, tmp_path
     st.apply_delta(emb.filter(F.col("vec_id") % 10 == 1))
     got = st.pairs().toPandas().sort_values(["id_a", "id_b"], ignore_index=True)
     pd.testing.assert_frame_equal(got, full, check_exact=True)
+
+
+def test_reattach_to_populated_delta_dir_sees_prior_deltas(spark, sf_dir, tmp_path):
+    """Re-attaching a NEW state object to a delta_dir populated by a prior
+    session must read those prior delta docs (round-5 ADVICE: _delta_written
+    only tracked same-session appends, so a re-attach silently dropped the
+    earlier delta layer from cross-pair scans)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = _norm(neardup_minhash_pairs(docs).toPandas())
+
+    base_dir = str(tmp_path / "rbase")
+    NearDupState(spark, base_dir).bootstrap(docs.filter(F.col("doc_id") % 10 >= 2))
+
+    delta_dir = str(tmp_path / "rdelta")
+    s1 = NearDupState(spark, base_dir, delta_dir)
+    s1.apply_delta(docs.filter(F.col("doc_id") % 10 == 0))
+
+    # NEW object, SAME delta_dir — simulates the next nightly session
+    s2 = NearDupState(spark, base_dir, delta_dir)
+    assert s2._delta_written == {"hashes", "keys", "pairs"}
+    s2.apply_delta(docs.filter(F.col("doc_id") % 10 == 1))
+    got = _norm(s2.pairs().toPandas())
+    pd.testing.assert_frame_equal(got, full, check_exact=True)
+
+
+def test_embedding_delta_size_cap_raises(spark, sf_dir, tmp_path):
+    """An oversized delta must fail cleanly BEFORE toPandas/broadcast
+    (round-5 ADVICE: driver OOM path), with appends untouched."""
+    import pytest
+
+    from rabitq_spark.operators.dedup import EmbeddingNearDupState
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base_dir = str(tmp_path / "cap_base")
+    EmbeddingNearDupState(spark, base_dir, threshold=0.4).bootstrap(
+        emb.filter(F.col("vec_id") % 2 == 0)
+    )
+    st = EmbeddingNearDupState(
+        spark, base_dir, str(tmp_path / "cap_delta"),
+        threshold=0.4, max_delta_rows=3,
+    )
+    before = st.pairs().count()
+    with pytest.raises(ValueError, match="max_delta_rows"):
+        st.apply_delta(emb.filter(F.col("vec_id") % 2 == 1))
+    assert st._delta_written == set()      # nothing appended
+    assert st.pairs().count() == before    # state unchanged

@@ -153,3 +153,64 @@ def test_streaming_ewma_equals_batch_fold(spark, sf_dir, tmp_path):
         ewma_by_entity(ev).toPandas().sort_values("entity", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_streaming_ewma_multichunk_key_folds_in_order(spark, tmp_path):
+    """A key whose micro-batch spans MULTIPLE Arrow chunks must still fold
+    in global (ts_us, event_id) order (round-5 ADVICE: chunks used to be
+    sorted independently and folded in arrival order). Forced with a tiny
+    maxRecordsPerBatch and one 60-row key arriving scrambled."""
+    import numpy as np
+
+    from rabitq_spark.operators.timeseries import ewma_by_entity
+    from rabitq_spark.streaming.pipeline import read_events_stream
+    from rabitq_spark.streaming.stateful import streaming_ewma
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rng = np.random.default_rng(7)
+    n = 60
+    order = rng.permutation(n)
+    rows = [
+        (
+            int(i),                             # event_id
+            int(1_000_000 + 1000 * i),          # ts (int64 micros in source)
+            1,                                  # user_id: ONE key
+            "view",
+            float(np.round(rng.uniform(0, 100), 2)),
+            "{}",
+        )
+        for i in order
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "ewma_chunks")
+    batch.coalesce(1).write.parquet(src)  # ONE file -> ONE micro-batch
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        q = (
+            streaming_ewma(read_events_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName("ewma_chunk_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.sql(
+        "SELECT ewma, last_value, n_events FROM ewma_chunk_test "
+        "ORDER BY n_events DESC LIMIT 1"
+    ).collect()[0]
+    from rabitq_spark.sources.tables import events_with_micros
+
+    ev = events_with_micros(spark.read.parquet(src))  # same ts normalization
+    want = ewma_by_entity(ev).collect()[0]
+    assert got["n_events"] == n
+    assert got["ewma"] == want["ewma"]  # bit-exact IEEE chain
+    assert got["last_value"] == want["last_value"]
