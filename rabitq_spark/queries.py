@@ -201,6 +201,15 @@ GROUP BY l_returnflag, l_linestatus
 
 _MODEL_CACHE: dict = {}
 
+# committed oracle fixtures (see scripts/make_bpe_fixture.py): expectation
+# tables for queries whose computation is iterative (not SQL-expressible)
+# but whose RESULT is deterministic for a fixed corpus
+import os as _os
+
+_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "fixtures"
+)
+
 
 def _get_model(spark: SparkSession, sf_dir: str):
     from rabitq_spark.config import RaBitQConfig
@@ -426,9 +435,15 @@ def q_ann_jl_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate search at default nprobe/overfetch, reported as per-query
-    recall@k vs the exact oracle (A8, src/utils.rs:367-379). Not
-    SQL-expressible (depends on trained KMeans state) -> rows-only check."""
+    """Approximate search at default nprobe/overfetch, reported as
+    recall@k vs the exact oracle (A8, src/utils.rs:367-379). The whole
+    pipeline is seed-fixed and (empirically, across local[4]/local[32] ×
+    shuffle 7/32) bit-deterministic, so the single result row is pinned as
+    a DETERMINISM ORACLE (scripts/make_model_fixtures.py): integer hit
+    count + one IEEE division, no order-dependent float aggregation. The
+    pin is a regression fixture — it asserts the pipeline still lands on
+    the recorded recall, not an independent derivation (the IVF hit set
+    depends on trained KMeans state no SQL can express)."""
     from rabitq_spark.index import search
 
     model = _get_model(spark, sf_dir)
@@ -442,10 +457,14 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = approx.join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     )
-    return (
-        hits.groupBy("query_id")
-        .agg((F.count(F.lit(1)) / _KNN_K).alias("recall"))
-        .agg(F.avg("recall").alias("mean_recall"), F.count(F.lit(1)).alias("n_queries"))
+    # integer total-hit count; mean recall = Σhits / (k·nq) equals the
+    # per-query average over ALL queries (zero-hit queries included, unlike
+    # a groupBy over the join which would drop them) in ONE bit-portable
+    # division
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.lit(int(_KNN_NQ)).cast("bigint").alias("n_queries"),
+        (F.count(F.lit(1)) / F.lit(float(_KNN_K * _KNN_NQ))).alias("mean_recall"),
     )
 
 
@@ -6792,11 +6811,56 @@ SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is a driver-coverage decision: the driver's
-    # correctness window checks the FIRST ~50 entries only (r04
-    # artifact truncated at 50), so never-driver-checked queries are
-    # rotated to the front each round behind two fixed anchors.
+    # correctness window checks the FIRST ~50 entries only, so entries
+    # needing a driver row are rotated to the front each round behind two
+    # fixed anchors. Round-6 front: the 39 queries never driver-checked in
+    # r01-r05, then the four entries gaining oracles this round (bpe pair,
+    # recall, quality_classifier), then new round-6 queries.
     "knn_exact": q_knn_exact,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "resample_locf": q_resample_locf,
+    "cube_events": q_cube_events,
+    "value_histogram": q_value_histogram,
+    "value_mad": q_value_mad,
+    "stream_sessionize": q_stream_sessionize,
+    "stream_hopping": q_stream_hopping,
+    "weighted_sample": q_weighted_sample,
+    "source_quota": q_source_quota,
+    "oov_rate": q_oov_rate,
+    "incremental_agg": q_incremental_agg,
+    "stream_incremental_agg": q_stream_incremental_agg,
+    "profile_events": q_profile_events,
+    "embedding_stats": q_embedding_stats,
+    "embedding_norms": q_embedding_norms,
+    "event_anomalies": q_event_anomalies,
+    "event_transitions": q_event_transitions,
+    "bloom_members": q_bloom_members,
+    "image_channel_stats": q_image_channel_stats,
+    "image_resize_stats": q_image_resize_stats,
+    "audio_level_stats": q_audio_level_stats,
+    "video_frame_stats": q_video_frame_stats,
+    "rolling_user_value": q_rolling_user_value,
+    "triangle_count": q_triangle_count,
+    "pii_redact": q_pii_redact,
+    "snapshot_diff": q_snapshot_diff,
+    "forget_users": q_forget_users,
+    "repetition_stats": q_repetition_stats,
+    "contamination_check": q_contamination_check,
+    "bm25_search": q_bm25_search,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pack_sequences": q_pack_sequences,
+    "token_df_prune": q_token_df_prune,
+    "decontaminate": q_decontaminate,
+    "neardup_cross": q_neardup_cross,
+    "curate_corpus": q_curate_corpus,
+    "hybrid_search": q_hybrid_search,
+    "grouped_simjoin": q_grouped_simjoin,
+    "quality_filter": q_quality_filter,
+    "source_mix": q_source_mix,
+    "bpe_merges": q_bpe_merges,
+    "bpe_tokenize": q_bpe_tokenize,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "quality_classifier": q_quality_classifier,
     "constraint_audit": q_constraint_audit,
     "quantile_sketch": q_quantile_sketch,
     "neardup_state": q_neardup_state,
@@ -6817,8 +6881,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_nearest_tolerance": q_asof_nearest_tolerance,
     "maxsim_search": q_maxsim_search,
     "training_pipeline": q_training_pipeline,
-    "bpe_merges": q_bpe_merges,
-    "bpe_tokenize": q_bpe_tokenize,
     "bpe_token_stats": q_bpe_token_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -6845,10 +6907,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_manifest": q_dataset_manifest,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
-    "resample_locf": q_resample_locf,
-    "cube_events": q_cube_events,
-    "value_histogram": q_value_histogram,
-    "value_mad": q_value_mad,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -6859,48 +6917,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "rollup_revenue": q_rollup_revenue,
     "stream_window": q_stream_window,
-    "stream_sessionize": q_stream_sessionize,
-    "stream_hopping": q_stream_hopping,
     "minhash_lsh_mllib": q_minhash_lsh_mllib,
     "brp_lsh_mllib": q_brp_lsh_mllib,
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
-    "weighted_sample": q_weighted_sample,
-    "source_quota": q_source_quota,
-    "oov_rate": q_oov_rate,
     "pivot_events": q_pivot_events,
-    "incremental_agg": q_incremental_agg,
-    "stream_incremental_agg": q_stream_incremental_agg,
-    "profile_events": q_profile_events,
-    "embedding_stats": q_embedding_stats,
-    "embedding_norms": q_embedding_norms,
-    "event_anomalies": q_event_anomalies,
-    "event_transitions": q_event_transitions,
-    "bloom_members": q_bloom_members,
-    "image_channel_stats": q_image_channel_stats,
-    "image_resize_stats": q_image_resize_stats,
-    "audio_level_stats": q_audio_level_stats,
-    "video_frame_stats": q_video_frame_stats,
-    "rolling_user_value": q_rolling_user_value,
-    "triangle_count": q_triangle_count,
-    "pii_redact": q_pii_redact,
-    "snapshot_diff": q_snapshot_diff,
-    "forget_users": q_forget_users,
     "value_percentiles": q_value_percentiles,
-    "repetition_stats": q_repetition_stats,
-    "contamination_check": q_contamination_check,
-    "bm25_search": q_bm25_search,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "pack_sequences": q_pack_sequences,
-    "token_df_prune": q_token_df_prune,
-    "decontaminate": q_decontaminate,
-    "neardup_cross": q_neardup_cross,
-    "curate_corpus": q_curate_corpus,
-    "hybrid_search": q_hybrid_search,
-    "grouped_simjoin": q_grouped_simjoin,
-    "quality_filter": q_quality_filter,
-    "source_mix": q_source_mix,
     "knn_cosine": q_knn_cosine,
     "ann_ivf_multibit": q_ann_ivf_multibit,
     "ann_sq8": q_ann_sq8,
@@ -6911,7 +6934,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_append": q_ann_ivfpq_append,
     "jl_project": q_jl_project,
     "ann_jl_ivf": q_ann_jl_ivf,
-    "ann_ivf_recall": q_ann_ivf_recall,
     "ann_ivf_cold_index": q_ann_ivf_cold_index,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_ivf_filtered": q_ann_ivf_filtered,
@@ -6932,7 +6954,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "merge_documents": q_merge_documents,
     "zorder_events": q_zorder_events,
-    "quality_classifier": q_quality_classifier,
     "neardup_minhash": q_neardup_minhash,
     "neardup_incremental": q_neardup_incremental,
     "neardup_ngram": q_neardup_ngram,
@@ -7092,7 +7113,19 @@ ORACLE_SQL: dict[str, str] = {
     "min_price_supplier": _SQL_MIN_PRICE_SUPPLIER,
     "constraint_audit": _SQL_CONSTRAINT_AUDIT,
     "sft_turn_stats": _SQL_SFT_TURN_STATS,
-    # ann_ivf_recall: intentionally no oracle (depends on trained model state)
+    # DETERMINISM PINS (scripts/make_model_fixtures.py): the computation
+    # depends on trained model state no SQL can express, but the result is
+    # bit-deterministic for fixed corpus + seeds (verified across
+    # local[4]/shuffle=7 vs local[32]/shuffle=32), so the recorded output
+    # is pinned as a drift-detecting regression oracle.
+    "ann_ivf_recall": f"""
+SELECT n_hits, n_queries, mean_recall
+FROM read_parquet('{_FIXTURE_DIR}/ann_ivf_recall_sf0.01.parquet')
+""",
+    "quality_classifier": f"""
+SELECT id, prob, keep
+FROM read_parquet('{_FIXTURE_DIR}/quality_classifier_sf0.01.parquet')
+""",
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,
     "dedup_exact": _SQL_DEDUP_EXACT,
@@ -7176,6 +7209,20 @@ FROM customer a JOIN customer b
     # exhaustive two-phase (probe -> candidates -> exact) == brute MaxSim
     "maxsim_ivf": _sql_maxsim(),
     "training_pipeline": _sql_training_pipeline(),
+    # BPE training is an iterative argmax loop no single SQL statement can
+    # express, so its oracle is a PRECOMPUTED expectation table: an
+    # independent pure-Python reference (scripts/make_bpe_fixture.py — no
+    # Spark, no shared code with operators/bpe.py) trained on the sf0.01
+    # corpus, committed under fixtures/, re-verified against a fresh
+    # reference run by tests/test_bpe.py. DuckDB just reads it back.
+    "bpe_merges": f"""
+SELECT step, "left", "right", pair_count
+FROM read_parquet('{_FIXTURE_DIR}/bpe_merges_sf0.01.parquet')
+""",
+    "bpe_tokenize": f"""
+SELECT doc_id, n_ws, n_bpe
+FROM read_parquet('{_FIXTURE_DIR}/bpe_tokenize_sf0.01.parquet')
+""",
     "bpe_token_stats": _SQL_BPE_TOKENS,
     "simhash_pairs": _SQL_SIMHASH,
     "embedding_neardup": _SQL_EMB_NEARDUP,

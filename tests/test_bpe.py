@@ -144,3 +144,47 @@ def test_segmented_tokenize_equals_plain(spark, sf_dir):
     # segment size far smaller than the list → several checkpoint barriers
     seg = norm(bpe_tokenize_segmented(docs, merges, segment_every=7).toPandas())
     assert plain.equals(seg)
+
+
+def test_committed_fixture_matches_reference(spark):
+    """The committed oracle fixtures (fixtures/bpe_*_sf0.01.parquet) must
+    equal a FRESH pure-Python reference run over the sf0.01 corpus —
+    catches corpus or semantics drift that would silently stale the
+    DuckDB oracle."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scripts.make_bpe_fixture import (
+        N_MERGES,
+        ref_bpe_train,
+        ref_token_counts,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):  # driver hosts always have it
+        import pytest
+
+        pytest.skip("sf0.01 testdata not present")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    texts = dict(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    merges = ref_bpe_train(list(texts.values()), N_MERGES)
+
+    got_m = pq.read_table(
+        os.path.join(repo, "fixtures", "bpe_merges_sf0.01.parquet")
+    ).to_pydict()
+    assert (
+        list(zip(got_m["left"], got_m["right"], got_m["pair_count"])) == merges
+    )
+    assert got_m["step"] == list(range(len(merges)))
+
+    counts = sorted(ref_token_counts(texts, merges))
+    got_c = pq.read_table(
+        os.path.join(repo, "fixtures", "bpe_tokenize_sf0.01.parquet")
+    ).to_pydict()
+    assert sorted(zip(got_c["doc_id"], got_c["n_ws"], got_c["n_bpe"])) == counts
