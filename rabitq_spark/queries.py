@@ -3511,6 +3511,64 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a CUSTOM stateful streaming operator
+    (streaming/stateful.py::stateful_sessionize, applyInPandasWithState):
+    one open-session tuple per user carried across time-ordered
+    micro-batches, closed sessions emitted final, the open session emitted
+    as a running aggregate. Drained update-mode output (last emission per
+    session) must equal the batch gaps-and-islands sessionize — and its
+    oracle — bit-exactly, including sessions spanning batch boundaries.
+    Contrast q_stream_sessionize, which exercises the BUILT-IN
+    F.session_window; this entry exercises the explicit-state extension
+    point the built-in can't cover (custom close rules, richer state)."""
+    import tempfile
+
+    from rabitq_spark.streaming.pipeline import read_events_stream
+    from rabitq_spark.streaming.stateful import stateful_sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    src = tempfile.mkdtemp(prefix="sess_state_in_")
+    sl = n // 8 + 1
+    for i in range(8):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * sl) & (F.col("event_id") < (i + 1) * sl)
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = stateful_sessionize(read_events_stream(spark, src))
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_sess_state_{_STREAM_SEQ[0]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream_sessionize_state did not finish in 180s")
+    # a session is emitted once per batch that touches it; the final
+    # emission (highest n_events) is its completed aggregate
+    return spark.sql(
+        f"""
+        SELECT user_id, session_start_us, session_end_us, n_events, sum_value
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, session_start_us
+            ORDER BY n_events DESC) AS rn
+          FROM {name}
+        ) WHERE rn = 1
+        """
+    )
+
+
 def q_scd2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history (operators/scd.py::scd2_history): snapshot + two
     deterministic change batches (patch/delete, then re-upsert) resolved
@@ -6861,6 +6919,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokenize": q_bpe_tokenize,
     "ann_ivf_recall": q_ann_ivf_recall,
     "quality_classifier": q_quality_classifier,
+    "stream_sessionize_state": q_stream_sessionize_state,
     "constraint_audit": q_constraint_audit,
     "quantile_sketch": q_quantile_sketch,
     "neardup_state": q_neardup_state,
@@ -7032,6 +7091,8 @@ ORACLE_SQL: dict[str, str] = {
     "asof_nearest_click": _SQL_ASOF_NEAREST,
     "window_events": _SQL_WINDOW_EVENTS,
     "sessionize": _SQL_SESSIONIZE,
+    # custom keyed-state streaming sessionizer drains to the batch result
+    "stream_sessionize_state": _SQL_SESSIONIZE,
     "interval_join": _SQL_INTERVAL_JOIN,
     "kmv_distinct_users": _SQL_KMV,
     # per-window md5 order statistics: same estimator, tumbling-hour groups

@@ -127,3 +127,100 @@ def streaming_ewma(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESS_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint, sum_value double"
+)
+# open session carried across micro-batches: start/last ts, count, and the
+# value sum in integer CENTS (the corpus values are 2-decimal; an integer
+# accumulator reproduces the batch DECIMAL(38,6) sum exactly, where a
+# float fold would drift from the oracle's exact-decimal cast)
+SESS_STATE_SCHEMA = "start bigint, last bigint, n bigint, cents bigint"
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _update_session_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user gaps-and-islands sessionization with explicit keyed state —
+    the applyInPandasWithState twin of operators/events.py::sessionize
+    (same strict > gap rule). Each micro-batch folds its rows in global
+    (ts_us, event_id) order (chunks materialized + sorted ONCE, same
+    contract as _update_ewma_state); sessions that close inside the batch
+    are emitted final, and the still-open session is emitted with its
+    running aggregate so update-mode last-wins reads converge to the batch
+    result when the stream drains. Production streams would add an
+    event-time timeout to flush idle sessions; for run-to-completion
+    equivalence the open-session emission suffices."""
+    import numpy as np
+
+    (user_id,) = key
+    if state.exists:
+        start, last, n, cents = state.get
+    else:
+        start, last, n, cents = -1, -1, 0, 0
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        # state unchanged; nothing to emit for this key this batch
+        state.update((start, last, n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start_us": pd.Series([], dtype="int64"),
+                "session_end_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "sum_value": pd.Series([], dtype="float64"),
+            }
+        )
+        return
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+    rows = rows.sort_values(["ts_us", "event_id"])
+    ts_arr = rows["ts_us"].to_numpy()
+    cents_arr = np.rint(rows["value"].to_numpy() * 100.0).astype("int64")
+    out: list[tuple] = []
+    for ts, c in zip(ts_arr, cents_arr):
+        ts = int(ts)
+        if start < 0:
+            start, last, n, cents = ts, ts, 1, int(c)
+        elif ts - last > _GAP_US:
+            out.append((user_id, start, last, n, cents / 100.0))  # closed
+            start, last, n, cents = ts, ts, 1, int(c)
+        else:
+            last, n, cents = ts, n + 1, cents + int(c)
+    state.update((start, last, n, cents))
+    out.append((user_id, start, last, n, cents / 100.0))  # open (running)
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "sum_value",
+        ],
+    )
+
+
+def stateful_sessionize(events: DataFrame) -> DataFrame:
+    """Streaming sessionization with explicit keyed state: one open-session
+    tuple per user regardless of stream length (contrast the built-in
+    F.session_window path, which buffers per-window state engine-side).
+    Emits closed sessions finally and the open session's running aggregate
+    each batch (update mode)."""
+    from rabitq_spark._dist import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
+    return (
+        events.select("user_id", "event_id", "value", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_session_state,
+            outputStructType=SESS_OUTPUT_SCHEMA,
+            stateStructType=SESS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

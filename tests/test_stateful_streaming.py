@@ -214,3 +214,86 @@ def test_streaming_ewma_multichunk_key_folds_in_order(spark, tmp_path):
     assert got["n_events"] == n
     assert got["ewma"] == want["ewma"]  # bit-exact IEEE chain
     assert got["last_value"] == want["last_value"]
+
+
+def test_stateful_sessionize_spans_batches_and_chunks(spark, tmp_path):
+    """Custom keyed-state sessionizer: a session spanning two micro-batches
+    AND multiple Arrow chunks must drain to the batch gaps-and-islands
+    result bit-exactly."""
+    import numpy as np
+
+    from rabitq_spark.operators.events import sessionize
+    from rabitq_spark.sources.tables import events_with_micros
+    from rabitq_spark.streaming.pipeline import read_events_stream
+    from rabitq_spark.streaming.stateful import stateful_sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rng = np.random.default_rng(11)
+    gap_us = 30 * 60 * 1_000_000
+    rows, eid = [], 0
+    # a raw BIGINT ts column is read as legacy NANOS (events_with_micros:
+    # ts_us = ts DIV 1000), so stage nanosecond values
+    base = 1_700_000_000_000_000_000
+    for user in (1, 2):
+        t = base
+        for sess in range(3):
+            for _ in range(25):  # 25 events per session, > chunk size
+                rows.append(
+                    (eid, t, user, "view",
+                     float(np.round(rng.uniform(0, 99), 2)), "{}")
+                )
+                eid += 1
+                t += 60_000_000_000  # 1 min within session
+            t += (gap_us + 1) * 1000  # strict > gap closes the session
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    src = str(tmp_path / "sess_span")
+    half = len(rows) // 2  # split MID-session: state must carry across
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        q = (
+            stateful_sessionize(read_events_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName("sess_span_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = (
+        spark.sql(
+            """
+            SELECT user_id, session_start_us, session_end_us, n_events,
+                   sum_value
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, session_start_us
+                    ORDER BY n_events DESC) AS rn FROM sess_span_test)
+            WHERE rn = 1
+            """
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"], ignore_index=True)
+    )
+    ev = events_with_micros(spark.read.parquet(src))
+    want = (
+        sessionize(ev, gap_minutes=30)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"], ignore_index=True)
+    )
+    assert len(want) == 6
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
