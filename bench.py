@@ -226,6 +226,16 @@ def main() -> None:
     # IVF and IVF wins. Performance evidence only — never an oracle input.
     scale_probe = _scale_probe(spark, n_base=1_000_000, nq=N_QUERIES)
 
+    # --- dedup scale probes (round-5 verdict item 5): the operators a
+    # 100 TB pipeline runs all day, measured past the toy-SF regime with
+    # explicit pass gates (planted-duplicate recall, blocked-vs-control
+    # agreement and speed, bounded candidate volume).
+    dedup_probe = (
+        _dedup_scale_probe(spark)
+        if os.environ.get("SPARK_GRAFT_DEDUP_PROBE", "1") != "0"
+        else {}
+    )
+
     result = {
         # headline = the engine's cost-based ANN path (exact at this base
         # size, recall 1.0); the quantized IVF path is reported alongside
@@ -250,6 +260,7 @@ def main() -> None:
         "rough_candidates_per_query": round(metrics.rough_count / max(nq, 1), 1),
         "precise_rerank_per_query": round(metrics.precise_count / max(nq, 1), 1),
         "scale_probe": scale_probe,
+        "dedup_scale_probe": dedup_probe,
         "sf1": sf1,
     }
     spark.stop()
@@ -293,6 +304,9 @@ def main() -> None:
         "scale_probe_ivf_sec": scale_probe.get("ivf_sec"),
         "scale_probe_brute_sec": scale_probe.get("brute_sec"),
         "scale_probe_recall": scale_probe.get("ivf_recall_at_k"),
+        "dedup_probe_gates": {
+            k: v for k, v in dedup_probe.items() if k.endswith("gate")
+        },
         "n_sf1_queries": len(sf1.get("queries", {})) if sf1 else 0,
         "detail": "BENCH_DETAIL.json",
     }
@@ -323,7 +337,23 @@ def _sf1_section(spark, bench_queries) -> dict:
         except Exception:  # noqa: BLE001
             return {}
 
-    out: dict = {"sf": 1.0, "n_repeats": 1, "queries": {}}
+    # round-5 verdict: sf1 deltas were single-sample, so a 1.92x swing on
+    # similarity_join could not be told from host noise. The 10 most
+    # expensive sf1 queries (plus anything flagged) now run TWICE and
+    # report [min, max] spreads; the cheap tail stays n=1 to bound harness
+    # time.
+    repeat_set = {
+        "fuzzy_name_pairs", "curated_retrieval", "neardup_ngram",
+        "embedding_neardup", "similarity_join", "contamination_check",
+        "bpe_merges", "neardup_incremental", "dedup_cascade", "ann_jl_ivf",
+    }
+    out: dict = {
+        "sf": 1.0,
+        "n_repeats": 1,
+        "n_repeats_top10": 2,
+        "queries": {},
+        "queries_spread": {},
+    }
     # the state queries' first call bootstraps their corpus state tables
     # (one-time, cached per sf-dir); warm them so the timed run measures
     # the production shape — delta batches against materialized state
@@ -339,7 +369,13 @@ def _sf1_section(spark, bench_queries) -> dict:
                 pass
     for name, fn in bench_queries:
         try:
-            out["queries"][name] = round(time_df(fn, spark, sf1_dir), 3)
+            runs = [time_df(fn, spark, sf1_dir)]
+            if name in repeat_set:
+                runs.append(time_df(fn, spark, sf1_dir))
+                out["queries_spread"][name] = [
+                    round(min(runs), 3), round(max(runs), 3)
+                ]
+            out["queries"][name] = round(_median(runs), 3)
         except Exception:  # noqa: BLE001
             out["queries"][name] = -1.0
     from rabitq_spark.operators.dedup import release_caches
@@ -383,6 +419,221 @@ def _sf1_section(spark, bench_queries) -> dict:
     out["effective_overfetch"] = auto_overfetch(model, cfg.nprobe, TOPK)
     for df in (queries, model.index_df, model.base_df):
         df.unpersist()
+    return out
+
+
+def _dedup_scale_probe(
+    spark, n_docs: int = 1_000_000, n_emb: int = 200_000, dim: int = 64
+) -> dict:
+    """Scale probes for the two flagship dedup operators, with pass gates.
+
+    MinHash (1M synthetic docs, planted near-dups): the banded-LSH plan
+    must find >= 95% of planted duplicate pairs in O(n)-ish time; a naive
+    all-pairs Jaccard control runs at 4k docs (its O(n²) cost makes 1M
+    infeasible BY CONSTRUCTION — that asymmetry is the result) and the
+    banded plan must agree with it there.
+
+    Embedding (200k x 64 planted near-dups): the IVF-blocked path (the
+    100 TB dispatch arm — table never collected, candidates bounded by
+    k_per_row per row) must produce the IDENTICAL pair set to the exact
+    GEMM-prefilter control and beat its wall time. 200k, not 1M, because
+    the probe's value is the side-by-side against the O(n²)-screen
+    control, which is infeasible at 1M; the blocked path's own 1M search
+    scaling is already evidenced by `scale_probe` (same IVF search core).
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        neardup_minhash_pairs,
+        release_caches,
+    )
+
+    out: dict = {}
+    dup_every = 20
+
+    # ---- MinHash @ 1M ----
+    def gen_docs(it):
+        import pandas as pd
+
+        vocab = np.array([f"w{j:04d}" for j in range(4096)])
+        for pdf in it:
+            ids = pdf["id"].values
+            rng = np.random.default_rng(3 ^ int(ids[0]))
+            toks = vocab[rng.integers(0, 4096, (len(ids), 40))]
+            texts = [" ".join(t) for t in toks]
+            docs, partner = [], []
+            last_clean = -1  # last row kept pristine (a planted row's text
+            # is modified, so pairing against it would break the pair)
+            for i, d in enumerate(ids):
+                # planted near-dup: last pristine row's text + one appended
+                # word (Jaccard of 3-shingle sets = 38/39 = 0.974 >= 0.8)
+                if d % dup_every == 1 and last_clean >= 0:
+                    docs.append(texts[last_clean] + " extra")
+                    partner.append(int(ids[last_clean]))
+                else:
+                    docs.append(texts[i])
+                    partner.append(-1)
+                    last_clean = i
+            yield pd.DataFrame(
+                {"doc_id": ids, "text": docs, "partner": partner}
+            )
+
+    docs = (
+        spark.range(n_docs)
+        .repartition(32)
+        .mapInPandas(gen_docs, "doc_id bigint, text string, partner bigint")
+        .cache()
+    )
+    docs.count()
+    planted = docs.filter(F.col("partner") >= 0).select(
+        F.least("doc_id", "partner").alias("id_a"),
+        F.greatest("doc_id", "partner").alias("id_b"),
+    ).cache()
+    n_planted = planted.count()
+
+    t0 = time.perf_counter()
+    pairs = neardup_minhash_pairs(docs.select("doc_id", "text")).cache()
+    n_pairs = pairs.count()
+    t_minhash = time.perf_counter() - t0
+    found = planted.join(pairs, ["id_a", "id_b"], "left_semi").count()
+    minhash_recall = found / max(n_planted, 1)
+    out.update(
+        {
+            "minhash_n_docs": n_docs,
+            "minhash_sec": round(t_minhash, 1),
+            "minhash_docs_per_sec": round(n_docs / t_minhash),
+            "minhash_pairs": n_pairs,
+            "minhash_planted": n_planted,
+            "minhash_planted_recall": round(minhash_recall, 4),
+            "minhash_recall_gate": minhash_recall >= 0.95,
+        }
+    )
+    pairs.unpersist()
+    planted.unpersist()
+
+    # naive all-pairs control at 4k docs: exact ground truth to check the
+    # banded plan against, and the quadratic cost that motivates banding
+    small = docs.filter(F.col("doc_id") < 4_000).select("doc_id", "text").cache()
+    n_small = small.count()
+    from rabitq_spark.functions.text import word_shingles
+
+    sh = small.select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    ).cache()
+    sh.count()
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size("sa") + F.size("sb") - inter
+    t0 = time.perf_counter()
+    naive = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (inter / F.when(uni == 0, F.lit(1)).otherwise(uni)).alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .cache()
+    )
+    n_naive = naive.count()
+    t_naive = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    banded_small = neardup_minhash_pairs(small).cache()
+    n_banded_small = banded_small.count()
+    t_banded_small = time.perf_counter() - t0
+    missed = naive.join(
+        banded_small, ["id_a", "id_b"], "left_anti"
+    ).count()
+    out.update(
+        {
+            "minhash_control_n_docs": n_small,
+            "minhash_control_naive_sec": round(t_naive, 1),
+            "minhash_control_banded_sec": round(t_banded_small, 1),
+            "minhash_control_naive_pairs": n_naive,
+            "minhash_control_banded_pairs": n_banded_small,
+            "minhash_control_missed_vs_naive": missed,
+            # banded ⊆ naive by construction; agreement = no misses
+            "minhash_agreement_gate": missed == 0
+            and n_banded_small <= n_naive,
+            # the naive O(n²) cost extrapolated to n_docs — why banding
+            "minhash_naive_1m_extrapolated_sec": round(
+                t_naive * (n_docs / max(n_small, 1)) ** 2
+            ),
+        }
+    )
+    for df in (naive, banded_small, small, sh, docs):
+        df.unpersist()
+    release_caches()
+
+    # ---- Embedding @ 200k: IVF-blocked vs exact GEMM control ----
+    def gen_vecs(it):
+        import pandas as pd
+
+        centers = np.random.default_rng(7).standard_normal((64, dim)) * 3
+        for pdf in it:
+            ids = pdf["id"].values
+            rng = np.random.default_rng(11 ^ int(ids[0]))
+            lab = rng.integers(0, 64, len(ids))
+            vecs = centers[lab] + rng.standard_normal((len(ids), dim))
+            prev = np.roll(vecs, 1, axis=0)
+            mask = ids % dup_every == 1
+            mask[0] = False
+            vecs[mask] = prev[mask] + 0.01 * rng.standard_normal(
+                (mask.sum(), dim)
+            )
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(vecs.astype(np.float32))}
+            )
+
+    emb = (
+        spark.range(n_emb)
+        .repartition(32)
+        .mapInPandas(gen_vecs, "vec_id bigint, embedding array<float>")
+        .cache()
+    )
+    emb.count()
+    t0 = time.perf_counter()
+    blocked = embedding_neardup_pairs(
+        emb, threshold=0.97, broadcast_max_rows=1000, row_count=n_emb
+    ).cache()
+    n_blocked = blocked.count()
+    t_blocked = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    gemm = embedding_neardup_pairs(
+        emb, threshold=0.97, broadcast_max_rows=n_emb + 1, row_count=n_emb
+    ).cache()
+    n_gemm = gemm.count()
+    t_gemm = time.perf_counter() - t0
+    # USING-style full outer coalesces the key columns, so presence flags
+    # (not key nullness) detect one-sided pairs
+    bl = blocked.select("id_a", "id_b").withColumn("__l", F.lit(1))
+    gm = gemm.select("id_a", "id_b").withColumn("__r", F.lit(1))
+    mismatch = (
+        bl.join(gm, ["id_a", "id_b"], "full_outer")
+        .filter(F.col("__l").isNull() | F.col("__r").isNull())
+        .count()
+    )
+    out.update(
+        {
+            "emb_n_rows": n_emb,
+            "emb_dim": dim,
+            "emb_blocked_sec": round(t_blocked, 1),
+            "emb_gemm_sec": round(t_gemm, 1),
+            "emb_blocked_pairs": n_blocked,
+            "emb_gemm_pairs": n_gemm,
+            "emb_pair_mismatch": mismatch,
+            "emb_agreement_gate": n_blocked == n_gemm and mismatch == 0,
+            "emb_speed_gate": t_blocked < t_gemm,
+            # candidate volume is bounded by construction (k_per_row+1 per
+            # row); the output pair set must respect the same bound
+            "emb_volume_gate": n_blocked <= n_emb * 50,
+        }
+    )
+    for df in (blocked, gemm, emb):
+        df.unpersist()
+    release_caches()
     return out
 
 

@@ -655,6 +655,28 @@ def embedding_neardup_pairs(
     )
 
 
+def _probe_broadcast_ok(
+    row_count: int | None,
+    dim_pad: int,
+    nprobe: int,
+    bits_per_dim: int,
+    max_bytes: int = 128 << 20,
+) -> bool:
+    """Whether a |table| × nprobe probe table is small enough to broadcast.
+
+    Byte-aware, not row-count-aware: a probe row carries the padded query
+    vector (dim_pad float64), the multi-bit query codes (dim_pad ×
+    bits_per_dim bits) and ~96 B of scalars/overhead, so a fixed row cutoff
+    scales its memory cost with dim × nprobe. Unknown row_count (streaming
+    caller) keeps the historical broadcast default; oversized tables take
+    the shuffle-by-cluster_id join, which is memory-bounded at any size.
+    """
+    if row_count is None:
+        return True
+    per_row = dim_pad * 8 + (dim_pad * bits_per_dim + 7) // 8 + 96
+    return row_count * nprobe * per_row <= max_bytes
+
+
 def _embedding_neardup_blocked(
     embeddings: DataFrame,
     id_col: str,
@@ -712,11 +734,17 @@ def _embedding_neardup_blocked(
     queries = unit.select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    # the probe table is |table| × nprobe rows — broadcastable only for
-    # moderate tables; past that both join sides shuffle by cluster_id
+    # the probe table is |table| × nprobe rows; broadcast it only while its
+    # BYTES stay heap-friendly (round-6: the old 500k-ROW cutoff let a
+    # 200k × nprobe=12 probe table broadcast ~1.7 GB of padded vectors +
+    # codes and OOM an 8 GB heap). Past the cap both join sides shuffle by
+    # cluster_id — same key, bounded memory at any table size.
     nn = search(
         model, queries, topk=k_per_row + 1, nprobe=nprobe, overfetch=overfetch,
-        broadcast_probes=row_count is None or row_count <= 500_000,
+        broadcast_probes=_probe_broadcast_ok(
+            row_count, model.dim_pad, nprobe or config.nprobe,
+            config.bits_per_dim,
+        ),
     )
     cand = (
         nn.filter(F.col("query_id") != F.col("neighbor_id"))

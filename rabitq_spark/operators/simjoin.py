@@ -147,15 +147,21 @@ def similarity_join(
             out = out.unionByName(p)
         return out
     # a full-table query side makes the probe table |left| × nprobe rows —
-    # too big to broadcast past max_query_block; shuffle both sides by
+    # too big to broadcast once its BYTES outgrow the heap (byte-aware gate,
+    # shared with the blocked embedding near-dup); shuffle both sides by
     # cluster_id instead (pass left_count to enable the check)
+    from rabitq_spark.operators.dedup import _probe_broadcast_ok
+
     return search(
         model,
         queries,
         topk=k,
         nprobe=nprobe,
         overfetch=overfetch,
-        broadcast_probes=left_count is None or left_count <= max_query_block,
+        broadcast_probes=_probe_broadcast_ok(
+            left_count, model.dim_pad, nprobe or model.config.nprobe,
+            model.config.bits_per_dim,
+        ),
     )
 
 
