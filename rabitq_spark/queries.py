@@ -3569,6 +3569,83 @@ def q_stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming sessionizer: watermark + event-time state
+    timeouts (streaming/stateful.py::stateful_sessionize_timeout). Each
+    session is emitted EXACTLY once, when it closes — by a later in-batch
+    event or by the watermark passing last+gap — and idle users' state is
+    reclaimed at that moment (bounded in time as well as size, the shape a
+    24/7 pipeline runs). Two sentinel micro-batches of far-future events
+    (user_id −1, filtered from the output and absent from the oracle's
+    events view) push the final watermark so every real session times out
+    before the stream drains; the emitted set must then equal the batch
+    gaps-and-islands sessionize — and its oracle — bit-exactly."""
+    import tempfile
+    import time as _time
+
+    from rabitq_spark.streaming.pipeline import read_events_stream
+    from rabitq_spark.streaming.stateful import stateful_sessionize_timeout
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    max_us = ev.agg(F.max("ts_us")).first()[0]
+    src = tempfile.mkdtemp(prefix="sess_timeout_in_")
+    sl = n // 8 + 1
+    for i in range(8):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * sl) & (F.col("event_id") < (i + 1) * sl)
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    gap_us = 30 * 60 * 1_000_000
+    for wave in (1, 2):
+        _time.sleep(1.1)  # the file source orders micro-batches by file
+        # mtime; wave A advances the watermark, wave B's batch fires the
+        # timeouts (a batch's watermark applies to the NEXT batch's sweep)
+        far_us = max_us + wave * 3 * gap_us
+        spark.createDataFrame(
+            [
+                (10_000_000 + wave * 10 + j, far_us + j * 1_000_000, -1,
+                 "view", 1.0, "{}")
+                for j in range(4)
+            ],
+            "event_id long, ts_us long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros("ts_us").cast(
+                dict(ev.dtypes)["ts"]
+            ).alias("ts"),  # mirror the data files' ts type exactly
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).coalesce(1).write.mode("append").parquet(src)
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_sess_timeout_{_STREAM_SEQ[0]}"
+    q = (
+        stateful_sessionize_timeout(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("stream_sessionize_timeout did not finish in 240s")
+    return spark.sql(
+        f"""
+        SELECT user_id, session_start_us, session_end_us, n_events, sum_value
+        FROM {name} WHERE user_id >= 0
+        """
+    )
+
+
 def q_scd2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history (operators/scd.py::scd2_history): snapshot + two
     deterministic change batches (patch/delete, then re-upsert) resolved
@@ -6920,6 +6997,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "quality_classifier": q_quality_classifier,
     "stream_sessionize_state": q_stream_sessionize_state,
+    "stream_sessionize_timeout": q_stream_sessionize_timeout,
     "constraint_audit": q_constraint_audit,
     "quantile_sketch": q_quantile_sketch,
     "neardup_state": q_neardup_state,
@@ -7093,6 +7171,8 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize": _SQL_SESSIONIZE,
     # custom keyed-state streaming sessionizer drains to the batch result
     "stream_sessionize_state": _SQL_SESSIONIZE,
+    # watermark+timeout sessionizer: sentinel-flushed closed set == batch
+    "stream_sessionize_timeout": _SQL_SESSIONIZE,
     "interval_join": _SQL_INTERVAL_JOIN,
     "kmv_distinct_users": _SQL_KMV,
     # per-window md5 order statistics: same estimator, tumbling-hour groups

@@ -224,3 +224,93 @@ def stateful_sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _update_session_timeout_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermarked sessionization update: the PRODUCTION form of
+    _update_session_state. Emits a session only when it CLOSES — either a
+    later in-batch event opens the next one, or the event-time watermark
+    passes (last event + gap) and the state times out. Nothing is emitted
+    for still-open sessions, so downstream consumers see each session
+    exactly once (append semantics), and idle users' state is reclaimed by
+    the timeout instead of living forever."""
+    import numpy as np
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n, cents = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, start, last, n, cents / 100.0)],
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "sum_value",
+            ],
+        )
+        return
+    if state.exists:
+        start, last, n, cents = state.get
+    else:
+        start, last, n, cents = -1, -1, 0, 0
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out: list[tuple] = []
+    if chunks:
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        ts_arr = rows["ts_us"].to_numpy()
+        cents_arr = np.rint(rows["value"].to_numpy() * 100.0).astype("int64")
+        for ts, c in zip(ts_arr, cents_arr):
+            ts = int(ts)
+            if start < 0:
+                start, last, n, cents = ts, ts, 1, int(c)
+            elif ts - last > _GAP_US:
+                out.append((user_id, start, last, n, cents / 100.0))
+                start, last, n, cents = ts, ts, 1, int(c)
+            else:
+                last, n, cents = ts, n + 1, cents + int(c)
+    state.update((start, last, n, cents))
+    # close when the watermark passes the gap boundary (epoch millis)
+    state.setTimeoutTimestamp(last // 1000 + _GAP_US // 1000)
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "sum_value",
+        ],
+    )
+
+
+def stateful_sessionize_timeout(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked streaming sessionization with event-time state timeouts
+    — the production shape (contrast stateful_sessionize, which emits
+    running open-session aggregates for run-to-completion reads). Late
+    data within `watermark` still lands in its session because the
+    timeout only fires once the WATERMARK (not wall clock) passes
+    last_event + gap; state for idle users is removed at that moment, so
+    per-key state is bounded in TIME as well as size. Emits each session
+    exactly once, when it closes."""
+    from rabitq_spark._dist import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
+    return (
+        events.select("user_id", "event_id", "value", "ts_us", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_session_timeout_state,
+            outputStructType=SESS_OUTPUT_SCHEMA,
+            stateStructType=SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -297,3 +297,100 @@ def test_stateful_sessionize_spans_batches_and_chunks(spark, tmp_path):
     )
     assert len(want) == 6
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_timeout_sessionize_emits_each_closed_session_once(spark, tmp_path):
+    """Watermarked sessionizer (event-time timeouts): every session closes
+    exactly once — by a later in-batch event or by the watermark passing
+    last+gap — and the closed set equals the batch result. Sentinel events
+    from a far-future user push the watermark so the real users' final
+    sessions time out before the stream drains."""
+    import numpy as np
+
+    from rabitq_spark.operators.events import sessionize
+    from rabitq_spark.sources.tables import events_with_micros
+    from rabitq_spark.streaming.pipeline import read_events_stream
+    from rabitq_spark.streaming.stateful import stateful_sessionize_timeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rng = np.random.default_rng(23)
+    gap_ns = 30 * 60 * 1_000_000_000
+    rows, eid = [], 0
+    base = 1_700_000_000_000_000_000  # nanos (BIGINT ts is read as nanos)
+    last_ts = base
+    for user in (1, 2):
+        t = base
+        for _ in range(3):
+            for _ in range(10):
+                rows.append(
+                    (eid, t, user, "view",
+                     float(np.round(rng.uniform(0, 99), 2)), "{}")
+                )
+                eid += 1
+                t += 60_000_000_000
+            t += gap_ns + 1_000
+        last_ts = max(last_ts, t)
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    src = str(tmp_path / "sess_timeout")
+    # 8 data files -> 2 micro-batches at maxFilesPerTrigger=4
+    sl = len(rows) // 8 + 1
+    for i in range(8):
+        part = rows[i * sl:(i + 1) * sl]
+        if part:
+            spark.createDataFrame(part, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+    # two sentinel WAVES of 4 files each (= 2 more micro-batches): a
+    # batch's watermark only applies to the NEXT batch's timeout sweep, so
+    # wave A advances the watermark past every real session's last+gap and
+    # wave B's batch fires the timeouts
+    import time as _time
+
+    for wave in (1, 2):
+        _time.sleep(1.1)  # distinct file mtimes: the file source orders
+        # triggers by modification time, and the waves must be separate
+        far = last_ts + wave * 3 * gap_ns
+        for j in range(4):
+            spark.createDataFrame(
+                [(10_000 + wave * 10 + j, far + j * 1_000_000_000, 999,
+                  "view", 1.0, "{}")], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+
+    stream_src = read_events_stream(spark, src)
+    q = (
+        stateful_sessionize_timeout(stream_src)
+        .writeStream.format("memory")
+        .queryName("sess_timeout_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = (
+        spark.sql(
+            "SELECT * FROM sess_timeout_test WHERE user_id IN (1, 2)"
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"], ignore_index=True)
+    )
+    # each session appears EXACTLY once
+    assert got.duplicated(["user_id", "session_start_us"]).sum() == 0
+    ev = events_with_micros(
+        spark.read.parquet(src).filter("user_id IN (1, 2)")
+    )
+    want = (
+        sessionize(ev, gap_minutes=30)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"], ignore_index=True)
+    )
+    assert len(want) == 6
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_exact=True
+    )
