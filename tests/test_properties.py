@@ -238,3 +238,74 @@ def test_asof_backward_matches_pandas_merge_asof(spark, seed):
     got_payload = got["asof_payload"].astype("float64")
     want_payload = want["payload"].astype("float64")
     assert got_payload.equals(want_payload), (seed, got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=1000))
+def test_asof_all_directions_nulls_tolerance_match_pandas(spark, seed):
+    """Random frames with NULL payloads, all three directions, with and
+    without tolerance: the as-of family must agree with pandas merge_asof
+    — including the round-5 ADVICE case where the MATCHED row's payload is
+    NULL (the single-struct carry keeps it NULL instead of leaking an
+    older row's value)."""
+    import pandas as pd
+
+    from rabitq_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    rng = np.random.RandomState(seed)
+    nl, nr = 20, 25
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 3, nl),
+            "ts": rng.randint(0, 60, nl).astype("int64"),
+            "lid": np.arange(nl, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 3, nr),
+            "ts": rng.randint(0, 60, nr).astype("int64"),
+            "payload": rng.randint(0, 1000, nr).astype("float64"),
+        }
+    )
+    right.loc[rng.random(nr) < 0.35, "payload"] = np.nan  # NULLs to carry
+    right = right.drop_duplicates(["k", "ts"], keep="last").reset_index(drop=True)
+    right["rid"] = np.arange(len(right), dtype="int64")
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    funcs = {
+        "backward": asof_join_backward,
+        "forward": asof_join_forward,
+        "nearest": asof_join_nearest,
+    }
+    for direction, fn in funcs.items():
+        for tol in (None, 7):
+            got = (
+                fn(
+                    sl, sr, on="k", left_ts="ts", right_ts="ts",
+                    right_payload=("payload",), tie_col="rid",
+                    tolerance=tol,
+                )
+                .toPandas()
+                .sort_values("lid", ignore_index=True)["asof_payload"]
+                .astype("float64")
+            )
+            want = (
+                pd.merge_asof(
+                    left.sort_values("ts", kind="stable"),
+                    right.sort_values("ts", kind="stable"),
+                    on="ts",
+                    by="k",
+                    direction=direction,
+                    tolerance=tol,
+                    suffixes=("", "_r"),
+                )
+                .sort_values("lid", ignore_index=True)["payload"]
+                .astype("float64")
+            )
+            pd.testing.assert_series_equal(got, want, check_names=False)
