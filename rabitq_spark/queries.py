@@ -3897,15 +3897,48 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+# Relational min-chain formulation of the stage automaton (deliberately a
+# DIFFERENT shape from the Spark fold — a stronger independent check). The
+# automaton orders events by (ts, event_type); under that tie-break a
+# same-ts click sorts BEFORE the signup ('c' < 's' → strictly-after
+# condition t > t1) while a same-ts purchase sorts AFTER the click
+# ('p' > 'c' → at-or-after condition t >= t2).
+#
+# History: the original oracle folded the coded sequence with DuckDB
+# list_reduce — and at sf0.1 (not sf0.01) DuckDB 1.0.0 returned stage 3
+# for a user whose coded list contains no 3 at all (cross-row
+# contamination in the vectorized lambda; the same list folded correctly
+# when the query was filtered to that one user, and a Python fold over the
+# very list DuckDB built gave 2). Branching list_reduce lambdas are
+# therefore banned from oracles here; arithmetic folds (acc + x) have
+# shown no such defect across both SF sweeps.
 _SQL_FUNNEL_ORDERED = """
-WITH per_user AS (
-  SELECT user_id,
-         list_reduce(list_prepend(0, list_transform(
-             list(event_type ORDER BY epoch_us(ts), event_type),
-             x -> CASE x WHEN 'signup' THEN 1 WHEN 'click' THEN 2
-                         WHEN 'purchase' THEN 3 ELSE 0 END)),
-           (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1 ELSE acc END) AS stage
-  FROM events WHERE epoch_us(ts) % 7 < 2 GROUP BY user_id
+WITH f AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type
+  FROM events WHERE epoch_us(ts) % 7 < 2
+), s1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM f WHERE event_type = 'signup'
+  GROUP BY user_id
+), s2 AS (
+  SELECT f.user_id, MIN(f.t) AS t2
+  FROM f JOIN s1 ON f.user_id = s1.user_id
+  WHERE f.event_type = 'click' AND f.t > s1.t1
+  GROUP BY f.user_id
+), s3 AS (
+  SELECT f.user_id, MIN(f.t) AS t3
+  FROM f JOIN s2 ON f.user_id = s2.user_id
+  WHERE f.event_type = 'purchase' AND f.t >= s2.t2
+  GROUP BY f.user_id
+), per_user AS (
+  SELECT u.user_id,
+         CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              WHEN s1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM (SELECT DISTINCT user_id FROM f) u
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+  LEFT JOIN s3 ON u.user_id = s3.user_id
 )
 SELECT stage, COUNT(*) AS n_users FROM per_user GROUP BY stage
 """

@@ -30,7 +30,16 @@ import __spark_entry__ as entrymod
 from rabitq_spark.session import get_spark
 from rabitq_spark.sources.tables import TABLES
 
-SF_DIR = "/root/testdata/sf0.01"
+# sf0.01 is the driver's compare point; SPARK_GRAFT_CHECK_SF_DIR overrides
+# for scale-invariance sweeps (note: the fixture-backed oracles — bpe_*,
+# ann_ivf_recall, quality_classifier — pin the sf0.01 corpus and must be
+# skipped at other SFs)
+import os as _os
+
+SF_DIR = _os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
+FIXTURE_PINNED = {
+    "bpe_merges", "bpe_tokenize", "ann_ivf_recall", "quality_classifier",
+}
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -52,8 +61,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failed = []
     report: dict[str, dict] = {}
+    skip_pinned = SF_DIR.rstrip("/").endswith("sf0.01") is False
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if skip_pinned and name in FIXTURE_PINNED:
             continue
         row = {
             "rows_match": None,
@@ -161,9 +173,15 @@ def main() -> int:
             print(f"[OK] {name}: {len(s)} rows, bit-exact ({row['spark_sec']}s)")
     spark.stop()
     if not only:
-        with open("/root/repo/CORRECTNESS_LOCAL.json", "w") as f:
+        out_name = (
+            "/root/repo/CORRECTNESS_LOCAL.json"
+            if SF_DIR.rstrip("/").endswith("sf0.01")
+            else "/root/repo/CORRECTNESS_LOCAL_"
+            + SF_DIR.rstrip("/").rsplit("/", 1)[-1] + ".json"
+        )
+        with open(out_name, "w") as f:
             json.dump(report, f, indent=1)
-        print("wrote /root/repo/CORRECTNESS_LOCAL.json")
+        print("wrote", out_name)
     print("FAILED:", sorted(set(failed)) if failed else "none")
     return 1 if failed else 0
 
