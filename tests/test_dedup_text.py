@@ -382,3 +382,24 @@ def test_connected_components_raises_when_unconverged(spark):
     nodes = spark.createDataFrame([(i,) for i in range(11)], "doc_id bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, nodes, max_iter=2)
+
+
+def test_probe_broadcast_gate_is_byte_aware():
+    """The probe-broadcast decision prices BYTES (dim × nprobe × codes),
+    not row count (round-6: a fixed 500k-row cutoff broadcast ~1.7 GB at
+    200k × 64 × nprobe=12 and OOMed an 8 GB heap)."""
+    from rabitq_spark.operators.dedup import _probe_broadcast_ok
+
+    # unknown row count (streaming caller): historical default = broadcast
+    assert _probe_broadcast_ok(None, 64, 12, 4)
+    # small table: broadcast fine
+    assert _probe_broadcast_ok(10_000, 64, 12, 4)
+    # the OOM shape: 200k rows x 64 dims x nprobe 12 -> far past 128 MB
+    assert not _probe_broadcast_ok(200_000, 64, 12, 4)
+    # same rows, tiny nprobe and dim: back under the cap
+    assert _probe_broadcast_ok(200_000, 8, 1, 1, max_bytes=128 << 20) == (
+        200_000 * 1 * (8 * 8 + (8 * 1 + 7) // 8 + 96) <= 128 << 20
+    )
+    # widening any factor flips the decision monotonically
+    assert _probe_broadcast_ok(100_000, 64, 2, 1)
+    assert not _probe_broadcast_ok(100_000, 1024, 2, 1, max_bytes=1 << 20)
