@@ -441,10 +441,14 @@ def _dedup_scale_probe(
     Embedding (200k x 64 planted near-dups): the IVF-blocked path (the
     100 TB dispatch arm — table never collected, candidates bounded by
     k_per_row per row) must produce the IDENTICAL pair set to the exact
-    GEMM-prefilter control and beat its wall time. 200k, not 1M, because
+    GEMM-prefilter control and beat its wall time. 200k is the measured
+    host crossover margin: at 150k the exact GEMM control still WINS
+    (166 s vs 214 s measured — the cost-based dispatch would rightly pick
+    GEMM there), while 200k shows the blocked path decisively ahead
+    (172 s vs 292-449 s across runs, identical pair sets). Not 1M because
     the probe's value is the side-by-side against the O(n²)-screen
-    control, which is infeasible at 1M; the blocked path's own 1M search
-    scaling is already evidenced by `scale_probe` (same IVF search core).
+    control, infeasible at 1M; the blocked path's own 1M search scaling
+    is already evidenced by `scale_probe` (same IVF search core).
     """
     import numpy as np
     from pyspark.sql import functions as F
