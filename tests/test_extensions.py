@@ -411,3 +411,22 @@ def test_asof_matched_row_null_payload_stays_null(spark):
         ).collect()
     }
     assert fwd == {120: None}  # next row at 150 has NULL tag -> NULL
+
+
+def test_asof_plan_is_single_shuffle(spark):
+    """The as-of join's selling point is ONE shuffle (union -> hash by key
+    -> sort -> window), no range-join explosion — pin the physical plan so
+    a regression to a join-based shape is caught."""
+    from rabitq_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 100, 1.0)], "k long, ts long, v double")
+    right = spark.createDataFrame([(1, 90, "a")], "k long, ts long, tag string")
+    out = asof_join_backward(left, right, on="k", right_payload=("tag",))
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "Join" not in plan  # no join operator anywhere in the plan
