@@ -3,10 +3,17 @@ hand-rolled md5-minhash / IVF blocking (SURVEY.md §7 phase 6).
 
 These wrap `pyspark.ml.feature.MinHashLSH` / `BucketedRandomProjectionLSH`
 with `approxSimilarityJoin`. Their hash families are seeded but
-implementation-defined, so results are NOT oracle-mirrorable — they register
-as rows-only checks; the deterministic operators in operators/dedup.py are
-the oracle-checked siblings. Both scale the MLlib way: hash tables are
-columns, the join blocks on hash buckets.
+implementation-defined, so no independent SQL can re-derive them — instead
+they are oracle-checked via DETERMINISM PINS: for the pinned Spark/MLlib
+version + fixed seeds the pair set and exact distances are bit-stable
+(verified byte-identical across local[4]/shuffle=7 vs local[32]/shuffle=32
+by scripts/check_lsh_stability.py), so the recorded output
+(fixtures/{minhash_lsh,brp_lsh}_mllib_sf0.01.parquet, regenerate with
+scripts/make_model_fixtures.py) serves as a drift-detecting regression
+oracle. Semantic ground truth stays with the containment tests in
+tests/test_mllib_lsh.py and the deterministic oracle-checked siblings in
+operators/dedup.py. Both scale the MLlib way: hash tables are columns, the
+join blocks on hash buckets.
 """
 
 from __future__ import annotations

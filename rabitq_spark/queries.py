@@ -1290,8 +1290,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style learned quality filter (operators/quality_model.py):
     weak-label the corpus (here: lang == 'en' as the 'reference' signal),
     train MLlib logistic regression over hashed token counts, score every
-    document. Trained coefficients are not SQL-expressible → rows-only;
-    the semantic gate (held-out separation, weak-label generalization) is
+    document. Trained coefficients are not SQL-derivable, so the oracle is
+    a DETERMINISM PIN: the recorded output under fixed corpus + seeds
+    (fixtures/quality_classifier_sf0.01.parquet, regenerated by
+    scripts/make_model_fixtures.py; bit-stable across local[4]/shuffle=7 vs
+    local[32]/shuffle=32). A hash mismatch means featurization/LR/seed
+    drift — regenerate only after diagnosing why. The semantic gate
+    (held-out separation, weak-label generalization) is
     tests/test_quality_model.py."""
     from rabitq_spark.operators.quality_model import weak_label_quality_filter
 
@@ -5961,8 +5966,9 @@ FROM b
 
 # --------------------------------------------------------------------------
 # MLlib LSH alternates (seeded but implementation-defined hash families ->
-# rows-only checks; deterministic siblings in the dedup family are the
-# oracle-checked versions)
+# determinism-PIN oracles, see operators/mllib_lsh.py docstring; the
+# deterministic siblings in the dedup family are the independently-derived
+# oracle versions)
 
 def q_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.operators.mllib_lsh import minhash_lsh_pairs
@@ -7299,6 +7305,21 @@ FROM read_parquet('{_FIXTURE_DIR}/ann_ivf_recall_sf0.01.parquet')
     "quality_classifier": f"""
 SELECT id, prob, keep
 FROM read_parquet('{_FIXTURE_DIR}/quality_classifier_sf0.01.parquet')
+""",
+    # MLlib-LSH determinism pins: the hash families are version-internal to
+    # MLlib, but for the pinned Spark version + fixed seeds the candidate
+    # pair set AND the exact per-pair distances are bit-deterministic
+    # (scripts/check_lsh_stability.py: byte-identical across local[4]/7 vs
+    # local[32]/32). Regenerate via scripts/make_model_fixtures.py on a
+    # Spark/MLlib upgrade; tests/test_mllib_lsh.py containment checks remain
+    # the semantic ground truth.
+    "minhash_lsh_mllib": f"""
+SELECT id_a, id_b, jaccard_distance
+FROM read_parquet('{_FIXTURE_DIR}/minhash_lsh_mllib_sf0.01.parquet')
+""",
+    "brp_lsh_mllib": f"""
+SELECT id_a, id_b, l2_distance
+FROM read_parquet('{_FIXTURE_DIR}/brp_lsh_mllib_sf0.01.parquet')
 """,
     "topk_orders_per_segment": _SQL_TOPK_ORDERS,
     "pricing_summary": _SQL_PRICING,

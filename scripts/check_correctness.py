@@ -39,6 +39,7 @@ import os as _os
 SF_DIR = _os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 FIXTURE_PINNED = {
     "bpe_merges", "bpe_tokenize", "ann_ivf_recall", "quality_classifier",
+    "minhash_lsh_mllib", "brp_lsh_mllib",
 }
 
 

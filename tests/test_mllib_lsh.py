@@ -75,3 +75,33 @@ def test_brp_mllib_contains_exact_l2_pairs(spark, emb):
     }
     recall = 1.0 - len(exact - default) / len(exact)
     assert recall >= 0.9, f"default-settings recall degraded to {recall:.3f}"
+
+
+def test_committed_lsh_fixtures_fresh(spark):
+    """The committed determinism-pin fixtures
+    (fixtures/{minhash_lsh,brp_lsh}_mllib_sf0.01.parquet) must equal a FRESH
+    run of the registered queries over the sf0.01 corpus — catches a
+    Spark/MLlib version bump (hash-family change), seed drift, or corpus
+    drift that would silently stale the DuckDB oracle. Regenerate with
+    scripts/make_model_fixtures.py after diagnosing any failure."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from rabitq_spark.queries import q_brp_lsh_mllib, q_minhash_lsh_mllib
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 testdata not present")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, fn in (
+        ("minhash_lsh_mllib", q_minhash_lsh_mllib),
+        ("brp_lsh_mllib", q_brp_lsh_mllib),
+    ):
+        fresh = fn(spark, sf_dir).toPandas()
+        fresh = fresh.sort_values(by=list(fresh.columns), ignore_index=True)
+        pinned = pd.read_parquet(
+            os.path.join(repo, "fixtures", f"{name}_sf0.01.parquet")
+        )
+        pd.testing.assert_frame_equal(fresh, pinned, obj=name)
