@@ -123,6 +123,13 @@ def _perturb_embeddings() -> pa.Table:
 
 
 def main() -> None:
+    # optional argv: [replicas] [dst_tag] — e.g. `make_benchdata.py 30 sf3.0`
+    # builds the 30x point the bench's linear-slope gates compare against
+    global REPLICAS, DST
+    if len(sys.argv) > 1:
+        REPLICAS = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        DST = os.path.join(os.path.dirname(DST), sys.argv[2])
     os.makedirs(DST, exist_ok=True)
     for name in ("region", "nation"):
         shutil.copy(f"{SRC}/{name}.parquet", f"{DST}/{name}.parquet")
