@@ -103,32 +103,49 @@ def _scoped_cache(df: DataFrame, scope: list) -> DataFrame:
     return df
 
 
-def _existing_delta_tables(delta_dir: str | None, tables: tuple[str, ...]) -> set[str]:
+def _existing_delta_tables(
+    spark, delta_dir: str | None, tables: tuple[str, ...]
+) -> set[str]:
     """Which state subtables already exist (non-empty) under delta_dir.
 
     Seeds `_delta_written` at init so RE-ATTACHING a state object to a
     delta_dir populated by a previous session reads those prior delta docs
     too — otherwise cross-pair scans would silently miss them while new
     appends land in the same directory (an incomplete pair set, no error).
+    Schemeless local paths use os.listdir; any URI scheme (file://,
+    hdfs://, s3a://, ...) goes through the Hadoop FileSystem API, so the
+    seeding guarantee holds on cluster storage too — and the cluster code
+    path is exercised by every file:// test, not just in production.
     """
     import os
+    import re
 
     if not delta_dir:
         return set()
-    local = delta_dir
-    if local.startswith("file://"):
-        local = local[len("file:"):]
-    elif local.startswith("file:"):
-        local = local[len("file:"):]
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", delta_dir)
+    scheme = m.group(1).lower() if m else ""
     found: set[str] = set()
+    if not scheme:
+        for table in tables:
+            p = os.path.join(delta_dir, table)
+            try:
+                entries = os.listdir(p)
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+            if any(not e.startswith(("_", ".")) for e in entries):
+                found.add(table)
+        return found
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for table in tables:
-        p = os.path.join(local, table)
-        try:
-            entries = os.listdir(p)
-        except (FileNotFoundError, NotADirectoryError):
+        path = jvm.org.apache.hadoop.fs.Path(f"{delta_dir}/{table}")
+        fs = path.getFileSystem(hconf)
+        if not fs.exists(path):
             continue
-        if any(not e.startswith(("_", ".")) for e in entries):
-            found.add(table)
+        for status in fs.listStatus(path):
+            if not status.getPath().getName().startswith(("_", ".")):
+                found.add(table)
+                break
     return found
 
 
@@ -867,7 +884,7 @@ class NearDupState:
         # so re-attaching to a populated delta_dir sees prior sessions'
         # delta docs instead of silently dropping them from reads.
         self._delta_written: set[str] = _existing_delta_tables(
-            self.delta_dir, ("hashes", "keys", "pairs")
+            spark, self.delta_dir, ("hashes", "keys", "pairs")
         )
 
     # -- state table IO -------------------------------------------------
@@ -1113,7 +1130,7 @@ class EmbeddingNearDupState:
         # tune per deployment)
         self.max_delta_rows = int(max_delta_rows)
         self._delta_written: set[str] = _existing_delta_tables(
-            self.delta_dir, ("vectors", "pairs")
+            spark, self.delta_dir, ("vectors", "pairs")
         )
 
     def _paths(self, table: str) -> list[str]:

@@ -142,6 +142,26 @@ SESS_STATE_SCHEMA = "start bigint, last bigint, n bigint, cents bigint"
 _GAP_US = 30 * 60 * 1_000_000
 
 
+def _to_cents(values) -> "np.ndarray":
+    """Exact integer-cents conversion with a loud contract check: the
+    sessionizers accumulate sum_value in integer cents so the streaming
+    fold is bit-identical to the batch DECIMAL(38,6) sum. That is only
+    sound when every value carries <= 2 decimals — previously a comment;
+    now a guard, so a corpus violation (extra decimals, NaN) raises here
+    instead of silently drifting from the batch twin."""
+    import numpy as np
+
+    vals = np.asarray(values, dtype="float64")
+    cents = np.rint(vals * 100.0)
+    if not np.all(np.abs(cents / 100.0 - vals) <= 1e-9):
+        bad = vals[np.abs(cents / 100.0 - vals) > 1e-9][:5]
+        raise ValueError(
+            "sessionize requires values with <= 2 decimal places "
+            f"(exact-cents state contract); offending values: {bad}"
+        )
+    return cents.astype("int64")
+
+
 def _update_session_state(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -155,8 +175,6 @@ def _update_session_state(
     result when the stream drains. Production streams would add an
     event-time timeout to flush idle sessions; for run-to-completion
     equivalence the open-session emission suffices."""
-    import numpy as np
-
     (user_id,) = key
     if state.exists:
         start, last, n, cents = state.get
@@ -179,7 +197,7 @@ def _update_session_state(
     rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
     rows = rows.sort_values(["ts_us", "event_id"])
     ts_arr = rows["ts_us"].to_numpy()
-    cents_arr = np.rint(rows["value"].to_numpy() * 100.0).astype("int64")
+    cents_arr = _to_cents(rows["value"].to_numpy())
     out: list[tuple] = []
     for ts, c in zip(ts_arr, cents_arr):
         ts = int(ts)
@@ -236,8 +254,6 @@ def _update_session_timeout_state(
     for still-open sessions, so downstream consumers see each session
     exactly once (append semantics), and idle users' state is reclaimed by
     the timeout instead of living forever."""
-    import numpy as np
-
     (user_id,) = key
     if state.hasTimedOut:
         start, last, n, cents = state.get
@@ -263,7 +279,7 @@ def _update_session_timeout_state(
         rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         rows = rows.sort_values(["ts_us", "event_id"])
         ts_arr = rows["ts_us"].to_numpy()
-        cents_arr = np.rint(rows["value"].to_numpy() * 100.0).astype("int64")
+        cents_arr = _to_cents(rows["value"].to_numpy())
         for ts, c in zip(ts_arr, cents_arr):
             ts = int(ts)
             if start < 0:
@@ -275,7 +291,7 @@ def _update_session_timeout_state(
                 last, n, cents = ts, n + 1, cents + int(c)
     state.update((start, last, n, cents))
     # close when the watermark passes the gap boundary (epoch millis)
-    state.setTimeoutTimestamp(last // 1000 + _GAP_US // 1000)
+    state.setTimeoutTimestamp((last + 999) // 1000 + _GAP_US // 1000)
     yield pd.DataFrame(
         out,
         columns=[

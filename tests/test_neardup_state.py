@@ -172,6 +172,33 @@ def test_reattach_to_populated_delta_dir_sees_prior_deltas(spark, sf_dir, tmp_pa
     pd.testing.assert_frame_equal(got, full, check_exact=True)
 
 
+def test_reattach_via_uri_scheme_uses_hadoop_fs(spark, sf_dir, tmp_path):
+    """A delta_dir with a URI scheme (here file://, same code path as
+    hdfs:// / s3a://) must seed _delta_written through the Hadoop
+    FileSystem API (round-6 ADVICE: the os.listdir probe silently returned
+    empty for scheme'd URIs, resurrecting the re-attach data-loss bug the
+    seeding exists to prevent)."""
+    from rabitq_spark.operators.dedup import _existing_delta_tables
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_dir = str(tmp_path / "ubase")
+    NearDupState(spark, base_dir).bootstrap(docs.filter(F.col("doc_id") % 10 >= 2))
+
+    delta_uri = f"file://{tmp_path}/udelta"
+    s1 = NearDupState(spark, base_dir, delta_uri)
+    s1.apply_delta(docs.filter(F.col("doc_id") % 10 == 0))
+
+    s2 = NearDupState(spark, base_dir, delta_uri)
+    assert s2._delta_written == {"hashes", "keys", "pairs"}
+    # empty/missing URI dirs stay unseeded (no false positives)
+    assert (
+        _existing_delta_tables(
+            spark, f"file://{tmp_path}/nowhere", ("hashes",)
+        )
+        == set()
+    )
+
+
 def test_embedding_delta_size_cap_raises(spark, sf_dir, tmp_path):
     """An oversized delta must fail cleanly BEFORE toPandas/broadcast
     (round-5 ADVICE: driver OOM path), with appends untouched."""

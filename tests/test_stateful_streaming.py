@@ -394,3 +394,22 @@ def test_timeout_sessionize_emits_each_closed_session_once(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns], want, check_exact=True
     )
+
+
+def test_to_cents_contract_guard():
+    """The exact-cents state accumulator must RAISE on values that violate
+    the <=2-decimals corpus contract (round-6 ADVICE: the contract lived
+    only in a comment, so a violating value silently corrupted sum_value
+    relative to the batch DECIMAL(38,6) twin)."""
+    import numpy as np
+    import pytest
+
+    from rabitq_spark.streaming.stateful import _to_cents
+
+    assert list(_to_cents(np.array([1.25, -3.10, 0.0, 1e7]))) == [
+        125, -310, 0, 1_000_000_000,
+    ]
+    with pytest.raises(ValueError, match="2 decimal"):
+        _to_cents(np.array([1.234]))
+    with pytest.raises(ValueError):
+        _to_cents(np.array([float("nan")]))
