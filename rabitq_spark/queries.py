@@ -6985,104 +6985,14 @@ SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is a driver-coverage decision: the driver's
-    # correctness window checks the FIRST ~50 entries only, so entries
-    # needing a driver row are rotated to the front each round behind two
-    # fixed anchors. Round-6 front: the 39 queries never driver-checked in
-    # r01-r05, then the four entries gaining oracles this round (bpe pair,
-    # recall, quality_classifier), then new round-6 queries.
+    # correctness window checks the FIRST ~50 entries only, so entries are
+    # rotated each round behind two fixed anchors, ordered by
+    # least-recently-driver-checked (union of CORRECTNESS_r01..r06; see
+    # scripts/rotate_registry note in PLAN.md round 7). Round-7 front:
+    # the 17 entries last checked in r2, then the r4 cohort — so every
+    # registry row stays <= 2 rounds stale as the window advances.
     "knn_exact": q_knn_exact,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
-    "resample_locf": q_resample_locf,
-    "cube_events": q_cube_events,
-    "value_histogram": q_value_histogram,
-    "value_mad": q_value_mad,
-    "stream_sessionize": q_stream_sessionize,
-    "stream_hopping": q_stream_hopping,
-    "weighted_sample": q_weighted_sample,
-    "source_quota": q_source_quota,
-    "oov_rate": q_oov_rate,
-    "incremental_agg": q_incremental_agg,
-    "stream_incremental_agg": q_stream_incremental_agg,
-    "profile_events": q_profile_events,
-    "embedding_stats": q_embedding_stats,
-    "embedding_norms": q_embedding_norms,
-    "event_anomalies": q_event_anomalies,
-    "event_transitions": q_event_transitions,
-    "bloom_members": q_bloom_members,
-    "image_channel_stats": q_image_channel_stats,
-    "image_resize_stats": q_image_resize_stats,
-    "audio_level_stats": q_audio_level_stats,
-    "video_frame_stats": q_video_frame_stats,
-    "rolling_user_value": q_rolling_user_value,
-    "triangle_count": q_triangle_count,
-    "pii_redact": q_pii_redact,
-    "snapshot_diff": q_snapshot_diff,
-    "forget_users": q_forget_users,
-    "repetition_stats": q_repetition_stats,
-    "contamination_check": q_contamination_check,
-    "bm25_search": q_bm25_search,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "pack_sequences": q_pack_sequences,
-    "token_df_prune": q_token_df_prune,
-    "decontaminate": q_decontaminate,
-    "neardup_cross": q_neardup_cross,
-    "curate_corpus": q_curate_corpus,
-    "hybrid_search": q_hybrid_search,
-    "grouped_simjoin": q_grouped_simjoin,
-    "quality_filter": q_quality_filter,
-    "source_mix": q_source_mix,
-    "bpe_merges": q_bpe_merges,
-    "bpe_tokenize": q_bpe_tokenize,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    "quality_classifier": q_quality_classifier,
-    "stream_sessionize_state": q_stream_sessionize_state,
-    "stream_sessionize_timeout": q_stream_sessionize_timeout,
-    "constraint_audit": q_constraint_audit,
-    "quantile_sketch": q_quantile_sketch,
-    "neardup_state": q_neardup_state,
-    "neardup_state_stream": q_neardup_state_stream,
-    "group_split": q_group_split,
-    "orc_roundtrip": q_orc_roundtrip,
-    "maxsim_ivf": q_maxsim_ivf,
-    "ewma_user_value": q_ewma_user_value,
-    "stream_ewma": q_stream_ewma,
-    "scd2_documents": q_scd2_documents,
-    "scd2_as_of": q_scd2_as_of,
-    "semantic_contamination": q_semantic_contamination,
-    "kmv_windowed": q_kmv_windowed,
-    "dedup_cascade": q_dedup_cascade,
-    "embedding_neardup_state": q_embedding_neardup_state,
-    "embedding_state_stream": q_embedding_state_stream,
-    "asof_tolerance_click": q_asof_tolerance_click,
-    "asof_nearest_tolerance": q_asof_nearest_tolerance,
-    "maxsim_search": q_maxsim_search,
-    "training_pipeline": q_training_pipeline,
-    "bpe_token_stats": q_bpe_token_stats,
-    "simhash_pairs": q_simhash_pairs,
-    "embedding_neardup": q_embedding_neardup,
-    "text_stats": q_text_stats,
-    "quality_scores": q_quality_scores,
-    "lang_guess": q_lang_guess,
-    "top_tokens": q_top_tokens,
-    "asof_purchase_click": q_asof_purchase_click,
-    "asof_next_click": q_asof_next_click,
-    "asof_nearest_click": q_asof_nearest_click,
-    "window_events": q_window_events,
-    "sessionize": q_sessionize,
-    "funnel": q_funnel,
-    "hopping_window": q_hopping_window,
-    "jaccard_estimate": q_jaccard_estimate,
-    "hard_negatives": q_hard_negatives,
-    "prefix_dup_pairs": q_prefix_dup_pairs,
-    "cohort_retention": q_cohort_retention,
-    "conversion_latency": q_conversion_latency,
-    "funnel_ordered": q_funnel_ordered,
-    "winsorize_values": q_winsorize_values,
-    "mmr_rerank": q_mmr_rerank,
-    "retrieval_metrics": q_retrieval_metrics,
-    "dataset_manifest": q_dataset_manifest,
-    "csv_roundtrip": q_csv_roundtrip,
-    "json_roundtrip": q_json_roundtrip,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -7145,7 +7055,99 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_dup_spans": q_remove_dup_spans,
     "diversity_sample": q_diversity_sample,
     "bigram_coherence": q_bigram_coherence,
+    "neardup_state_stream": q_neardup_state_stream,
+    "group_split": q_group_split,
+    "orc_roundtrip": q_orc_roundtrip,
+    "maxsim_ivf": q_maxsim_ivf,
+    "ewma_user_value": q_ewma_user_value,
+    "stream_ewma": q_stream_ewma,
+    "scd2_documents": q_scd2_documents,
+    "scd2_as_of": q_scd2_as_of,
+    "semantic_contamination": q_semantic_contamination,
+    "kmv_windowed": q_kmv_windowed,
+    "dedup_cascade": q_dedup_cascade,
+    "embedding_neardup_state": q_embedding_neardup_state,
+    "embedding_state_stream": q_embedding_state_stream,
+    "asof_tolerance_click": q_asof_tolerance_click,
+    "asof_nearest_tolerance": q_asof_nearest_tolerance,
+    "maxsim_search": q_maxsim_search,
+    "training_pipeline": q_training_pipeline,
+    "bpe_token_stats": q_bpe_token_stats,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "text_stats": q_text_stats,
+    "quality_scores": q_quality_scores,
+    "lang_guess": q_lang_guess,
+    "top_tokens": q_top_tokens,
+    "asof_purchase_click": q_asof_purchase_click,
+    "asof_next_click": q_asof_next_click,
+    "asof_nearest_click": q_asof_nearest_click,
+    "window_events": q_window_events,
+    "sessionize": q_sessionize,
+    "funnel": q_funnel,
+    "hopping_window": q_hopping_window,
+    "jaccard_estimate": q_jaccard_estimate,
+    "hard_negatives": q_hard_negatives,
+    "prefix_dup_pairs": q_prefix_dup_pairs,
+    "cohort_retention": q_cohort_retention,
+    "conversion_latency": q_conversion_latency,
+    "funnel_ordered": q_funnel_ordered,
+    "winsorize_values": q_winsorize_values,
+    "mmr_rerank": q_mmr_rerank,
+    "retrieval_metrics": q_retrieval_metrics,
+    "dataset_manifest": q_dataset_manifest,
+    "csv_roundtrip": q_csv_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
+    "resample_locf": q_resample_locf,
+    "cube_events": q_cube_events,
+    "value_histogram": q_value_histogram,
+    "value_mad": q_value_mad,
+    "stream_sessionize": q_stream_sessionize,
+    "stream_hopping": q_stream_hopping,
+    "weighted_sample": q_weighted_sample,
+    "source_quota": q_source_quota,
+    "oov_rate": q_oov_rate,
+    "incremental_agg": q_incremental_agg,
+    "stream_incremental_agg": q_stream_incremental_agg,
+    "profile_events": q_profile_events,
+    "embedding_stats": q_embedding_stats,
+    "embedding_norms": q_embedding_norms,
+    "event_anomalies": q_event_anomalies,
+    "event_transitions": q_event_transitions,
+    "bloom_members": q_bloom_members,
+    "image_channel_stats": q_image_channel_stats,
+    "image_resize_stats": q_image_resize_stats,
+    "audio_level_stats": q_audio_level_stats,
+    "video_frame_stats": q_video_frame_stats,
+    "rolling_user_value": q_rolling_user_value,
+    "triangle_count": q_triangle_count,
+    "pii_redact": q_pii_redact,
+    "snapshot_diff": q_snapshot_diff,
+    "forget_users": q_forget_users,
+    "repetition_stats": q_repetition_stats,
+    "contamination_check": q_contamination_check,
+    "bm25_search": q_bm25_search,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pack_sequences": q_pack_sequences,
+    "token_df_prune": q_token_df_prune,
+    "decontaminate": q_decontaminate,
+    "neardup_cross": q_neardup_cross,
+    "curate_corpus": q_curate_corpus,
+    "hybrid_search": q_hybrid_search,
+    "grouped_simjoin": q_grouped_simjoin,
+    "quality_filter": q_quality_filter,
+    "source_mix": q_source_mix,
+    "bpe_merges": q_bpe_merges,
+    "bpe_tokenize": q_bpe_tokenize,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "quality_classifier": q_quality_classifier,
+    "stream_sessionize_state": q_stream_sessionize_state,
+    "stream_sessionize_timeout": q_stream_sessionize_timeout,
+    "constraint_audit": q_constraint_audit,
+    "quantile_sketch": q_quantile_sketch,
+    "neardup_state": q_neardup_state,
 }
+
 
 ORACLE_SQL: dict[str, str] = {
     "knn_cosine": _SQL_KNN_COSINE,
