@@ -367,6 +367,7 @@ def main() -> None:
         "scale_probe_ivf_sec": scale_probe.get("ivf_sec"),
         "scale_probe_brute_sec": scale_probe.get("brute_sec"),
         "scale_probe_recall": scale_probe.get("ivf_recall_at_k"),
+        "kernel_ab": scale_probe.get("kernel_ab"),
         "dedup_probe_gates": {
             k: v for k, v in dedup_probe.items() if k.endswith("gate")
         },
@@ -862,6 +863,61 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
     )
     recall = len(hits) / max(len(exact), 1)
 
+    # Arrow-kernel A/B at the same 1M scale: fused popcount estimator vs the
+    # fastscan nibble-LUT GEMM (round-6 verdict item 6). Equality gate is
+    # bit-exact frame identity — the kernels must ORDER candidates
+    # identically, not just score them closely. Two readings are reported
+    # because they answer different questions: `kernel_micro` isolates the
+    # asym kernels on a fixed large-cluster geometry (where fastscan's GEMM
+    # is 10-40× the popcount); `*_sec` is the full search wall, where the
+    # shortlist stage is lexsort/Arrow-bound so the kernel win dilutes to
+    # ~1.1-1.2× (Amdahl; analysis in PLAN.md round 7).
+    from rabitq_spark.index.search import (
+        _popcount64, fastscan_asym, fastscan_luts, fastscan_nibbles,
+    )
+
+    rng = np.random.default_rng(7)
+    mb_planes = rng.integers(-(2**63), 2**63, size=(32, 4, dim // 64),
+                             dtype=np.int64)
+    mb_codes = rng.integers(-(2**63), 2**63, size=(8192, dim // 64),
+                            dtype=np.int64)
+    t0 = time.perf_counter()
+    ref_asym = np.zeros((32, 8192), dtype=np.int64)
+    for p in range(4):
+        ref_asym += _popcount64(
+            mb_planes[:, p, None, :] & mb_codes[None, :, :]
+        ).sum(axis=-1) << p
+    pop_ms = (time.perf_counter() - t0) * 1000
+    lut3 = fastscan_luts(mb_planes, 4)
+    t0 = time.perf_counter()
+    fs_asym = fastscan_asym(lut3, fastscan_nibbles(mb_codes))
+    fs_ms = (time.perf_counter() - t0) * 1000
+    kernel_ab = {
+        "kernel_micro": {
+            "geometry": f"npairs=32 m=8192 dim={dim}",
+            "popcount_ms": round(pop_ms, 1),
+            "fastscan_ms": round(fs_ms, 1),
+            "kernel_speedup": round(pop_ms / max(fs_ms, 1e-9), 1),
+            "asym_equal": bool(np.array_equal(ref_asym, fs_asym)),
+        }
+    }
+    ref_frame = None
+    for impl_name in ("fused", "fastscan"):
+        search(model, queries.limit(10), impl=impl_name).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t0 = time.perf_counter()
+        got = search(model, queries, impl=impl_name).toPandas()
+        kernel_ab[f"{impl_name}_sec"] = round(time.perf_counter() - t0, 2)
+        got = got.sort_values(["query_id", "rank"], ignore_index=True)
+        if ref_frame is None:
+            ref_frame = got
+        else:
+            kernel_ab["fastscan_equal_gate"] = bool(ref_frame.equals(got))
+    kernel_ab["fastscan_speedup"] = round(
+        kernel_ab["fused_sec"] / max(kernel_ab["fastscan_sec"], 1e-9), 2
+    )
+
     # multi-bit point (bits_per_dim=4): the extended estimator needs ~1/8 of
     # the rerank width for full recall (scripts/multibit_probe.py), which is
     # what makes IVF decisively beat brute force at this scale
@@ -910,6 +966,7 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         "multibit4_ivf_sec": round(ivf4_s, 2),
         "multibit4_recall_at_k": round(recall4, 4),
         "multibit4_effective_overfetch": auto_overfetch(model4, cfg4.nprobe, TOPK),
+        "kernel_ab": kernel_ab,
     }
 
 

@@ -214,12 +214,80 @@ def _popcount64(arr: "np.ndarray") -> "np.ndarray":
     return _POPCNT[b].sum(axis=-1).astype(np.int64)
 
 
+# nibble value v (0..15) -> its 4 bits, LSB first: W16[v, i] = (v >> i) & 1
+_NIBBLE_W = np.array(
+    [[(v >> i) & 1 for i in range(4)] for v in range(16)], dtype=np.int32
+)
+
+
+def fastscan_luts(planes: "np.ndarray", theta_log_dim: int) -> "np.ndarray":
+    """Fastscan-style (André et al., Quick ADC / FAISS fastscan lineage;
+    the reference's one unexplored kernel family — README.md:13, and the
+    src/simd.rs runtime-dispatch pattern) packed-LUT preparation.
+
+    The asymmetric dot D4 is ⟨code_bits, qu⟩ where qu is the query's
+    theta_log_dim-bit scalar-quantized residual. Fastscan regroups the sum
+    by 4-dim NIBBLES of the base code: for chunk c and nibble value v,
+    LUT[c, v] = Σ_{i: bit i of v} qu[4c+i], so the scan is one table lookup
+    per nibble instead of plane-wise popcounts. Input `planes` is the
+    packed bit-plane tensor (npairs, theta_log_dim, n_words) exactly as the
+    probe table carries it; qu is reconstructed by unpacking the planes
+    (bitorder little — the inverse of _prepare_probes' packbits).
+    Returns int32 LUTs of shape (npairs, n_chunks, 16), n_chunks = dim_pad/4.
+    """
+    npairs, _, n_words = planes.shape
+    dim_pad = n_words * 64
+    qu = np.zeros((npairs, dim_pad), dtype=np.int32)
+    for p in range(theta_log_dim):
+        bits = np.unpackbits(
+            planes[:, p, :].astype(np.uint64).view(np.uint8).reshape(npairs, -1),
+            axis=1,
+            bitorder="little",
+        )
+        qu += bits.astype(np.int32) << p
+    return qu.reshape(npairs, dim_pad // 4, 4) @ _NIBBLE_W.T
+
+
+def fastscan_nibbles(codes: "np.ndarray") -> "np.ndarray":
+    """Split packed 1-bit codes (m, n_words) int64 into 4-bit nibbles
+    (m, n_words*16) uint8, dimension-major: nibble c covers dims 4c..4c+3
+    with bit i = dim 4c+i (little bit order matches fastscan_luts)."""
+    m, n_words = codes.shape
+    by = np.ascontiguousarray(codes).view(np.uint8).reshape(m, n_words * 8)
+    nib = np.empty((m, n_words * 16), dtype=np.uint8)
+    nib[:, 0::2] = by & 0x0F
+    nib[:, 1::2] = by >> 4
+    return nib
+
+
+def fastscan_asym(lut3: "np.ndarray", nib: "np.ndarray") -> "np.ndarray":
+    """Batch LUT scan as ONE GEMM: one-hot the nibbles (m, 16·C) and
+    multiply by the flattened LUTs (npairs, 16·C) → asym (npairs, m).
+
+    BLAS beats both the plane-wise popcount kernel (11–42× measured across
+    dim 64–1024) and a per-chunk gather loop (2–7×): the one-hot spends 16×
+    the nominal flops but runs at GEMM throughput with no large integer
+    temporaries. EXACTNESS: every product is 0/1 × an integer LUT entry
+    ≤ 60, every partial sum an integer ≤ dim_pad·15 < 2^24, so float32
+    arithmetic is exact regardless of BLAS summation order — the int64
+    result is bit-identical to the popcount kernel's (asserted in
+    tests/test_index.py)."""
+    npairs, n_chunks, _ = lut3.shape
+    m = nib.shape[0]
+    onehot = np.zeros((m, n_chunks * 16), dtype=np.float32)
+    flat = nib.astype(np.int64) + 16 * np.arange(n_chunks, dtype=np.int64)[None, :]
+    onehot[np.arange(m)[:, None], flat] = 1.0
+    lutf = lut3.reshape(npairs, n_chunks * 16).astype(np.float32)
+    return (lutf @ onehot.T).astype(np.int64)
+
+
 def _fused_shortlist(
     model: RaBitQModel,
     probes: DataFrame,
     r: int,
     theta_log_dim: int,
     prune_partitions: bool = True,
+    kernel: str = "popcount",
 ) -> DataFrame:
     """Alternative stages 5-6: rough-score candidates and keep a local top-R
     per query inside ONE mapInPandas over the index — the probe table rides
@@ -230,6 +298,17 @@ def _fused_shortlist(
     candidate). Wins when candidates/query is large; the JVM path wins on
     small batches. Results are identical: same estimator, same top-R
     semantics (ties on rough broken by orig_id via stable ordering).
+
+    kernel="popcount" computes the asymmetric dot plane-wise (byte-LUT
+    popcount over AND-ed words); kernel="fastscan" expands each cluster's
+    probe planes into 4-bit-nibble LUTs (fastscan_luts) and scans each
+    index batch as one one-hot GEMM (fastscan_asym) — same integer asym,
+    bit-identical rough scores, 5–40× faster kernel on large clusters.
+    The LUTs are built LAZILY executor-side per cluster group (cached per
+    worker), NOT broadcast: a LUT is 16 bytes/dim per probe row — 32× the
+    packed planes — and broadcasting it measured 127 MB at 31k probes ×
+    dim 256, which each local Python worker unpickled (slower end-to-end
+    than popcount); the per-group rebuild is ~npairs×dim/4 int ops, noise.
     """
     spark = probes.sparkSession
     ppdf = probes.toPandas()
@@ -237,18 +316,20 @@ def _fused_shortlist(
     by_cluster: dict = {}
     for cid, grp in ppdf.groupby("cluster_id"):
         planes = np.vstack(grp["qplanes"].values).astype(np.int64)  # (p, 4w)
+        planes = planes.reshape(len(grp), theta_log_dim, n_words)
         by_cluster[int(cid)] = (
             grp["query_id"].values.astype(np.int64),
             grp["y_c_dist_sq"].values.astype(np.float32),
             grp["lower_bound"].values.astype(np.float32),
             grp["delta"].values.astype(np.float32),
             grp["scalar_sum"].values.astype(np.float32),
-            planes.reshape(len(grp), theta_log_dim, n_words),
+            planes,
         )
     bc = spark.sparkContext.broadcast(by_cluster)
 
     def score(batches):
         probes_by_cluster = bc.value
+        lut_cache: dict = {}
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -260,11 +341,25 @@ def _fused_shortlist(
                 qids, ycd, lb, delta, ssum, planes = pr
                 codes = np.vstack(grp["code"].values).astype(np.int64)  # (m, w)
                 m = codes.shape[0]
-                # asym[p_i, m_j] = Σ_plane popcount(code & plane) << plane
-                asym = np.zeros((len(qids), m), dtype=np.int64)
-                for p in range(theta_log_dim):
-                    anded = planes[:, p, None, :] & codes[None, :, :]
-                    asym += _popcount64(anded).sum(axis=-1) << p
+                if kernel == "fastscan":
+                    lut3 = lut_cache.get(int(cid))
+                    if lut3 is None:
+                        lut3 = fastscan_luts(planes, theta_log_dim)
+                        # bound the worker-local cache at 64 MB: past it,
+                        # rebuild per group (correctness unaffected)
+                        if (
+                            sum(v.nbytes for v in lut_cache.values())
+                            + lut3.nbytes
+                            <= 64 << 20
+                        ):
+                            lut_cache[int(cid)] = lut3
+                    asym = fastscan_asym(lut3, fastscan_nibbles(codes))
+                else:
+                    # asym[p_i, m_j] = Σ_plane popcount(code & plane) << plane
+                    asym = np.zeros((len(qids), m), dtype=np.int64)
+                    for p in range(theta_log_dim):
+                        anded = planes[:, p, None, :] & codes[None, :, :]
+                        asym += _popcount64(anded).sum(axis=-1) << p
                 f_ip = grp["factor_ip"].values.astype(np.float32)
                 f_ppc = grp["factor_ppc"].values.astype(np.float32)
                 eb = grp["error_bound"].values.astype(np.float32)
@@ -347,6 +442,7 @@ def search(
     impl: str = "jvm",
     broadcast_probes: bool = True,
     fused_max_probe_rows: int = 1_000_000,
+    fastscan_max_lut_bytes: int = 256 << 20,
     index_predicate=None,
     allowed: "DataFrame | None" = None,
 ) -> DataFrame:
@@ -390,31 +486,49 @@ def search(
     index = model.index_df
     if index_predicate is not None:
         index = index.filter(index_predicate)
-    if impl == "fused" and (
+    if impl in ("fused", "fastscan") and (
         index_predicate is not None
         or allowed is not None
         or cfg.bits_per_dim > 1
     ):
-        # the fused Arrow path reads the unfiltered 1-bit model tables;
-        # filtering and multi-bit codes are jvm-plan features
+        # the fused/fastscan Arrow paths read the unfiltered 1-bit model
+        # tables; filtering and multi-bit codes are jvm-plan features
         impl = "jvm"
     r = max(topk * overfetch, topk)
     probes_materialized = False
-    if impl == "fused":
+    if impl in ("fused", "fastscan"):
         # Gate (round-2 verdict): the fused path materializes the whole
         # probe table on the driver. Checkpoint once (executor blocks), then
         # a near-free count over the blocks decides: past the cap, fall back
         # to the jvm join path — never an unbounded toPandas.
         probes = probes.localCheckpoint(eager=True)
         probes_materialized = True
-        if probes.count() > fused_max_probe_rows:
+        n_probe_rows = probes.count()
+        if n_probe_rows > fused_max_probe_rows:
             impl = "jvm"
-    if impl == "fused":
+        elif impl == "fastscan" and (
+            n_probe_rows * 16 * model.dim_pad > fastscan_max_lut_bytes
+        ):
+            # a nibble LUT costs 16 bytes/dim per probe row (vs 0.5 for the
+            # packed planes — 32×). LUTs are built lazily executor-side
+            # with a 64 MB per-worker cache, so past this TOTAL byte budget
+            # most groups would rebuild their LUT every batch — fall back
+            # to the popcount kernel, which shares every other property of
+            # the fused plan
+            impl = "fused"
+    if impl in ("fused", "fastscan"):
         # Stages 5-6 fused in one Arrow pass (see _fused_shortlist); it
         # collects the probe table itself and derives partition pruning
-        # from it, so no separate pruning job here.
+        # from it, so no separate pruning job here. impl="fastscan" swaps
+        # the popcount estimator kernel for the packed-nibble-LUT GEMM —
+        # identical results (impl-equality test), faster on large clusters.
         local = _fused_shortlist(
-            model, probes, r, cfg.theta_log_dim, prune_partitions=prune_partitions
+            model,
+            probes,
+            r,
+            cfg.theta_log_dim,
+            prune_partitions=prune_partitions,
+            kernel="fastscan" if impl == "fastscan" else "popcount",
         )
         if metrics is not None:
             local = local.observe(

@@ -238,6 +238,34 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive IVF+RaBitQ search through the FASTSCAN kernel
+    (impl="fastscan", index/search.py::fastscan_asym): per-probe 4-bit
+    nibble LUTs scanned as one one-hot GEMM per Arrow batch — the Quick
+    ADC / FAISS-fastscan kernel family (the reference lineage's follow-up,
+    README.md:13; cf. the src/simd.rs runtime kernel dispatch). The kernel
+    produces the exact integer asymmetric dot of the popcount estimator
+    (unit-tested bit-identical), and the exhaustive configuration reranks
+    every row, so the output is bit-identical to brute-force knn_exact —
+    while still executing the full LUT-build → nibble-scan → shortlist
+    path."""
+    from rabitq_spark.index import search
+
+    model = _get_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model,
+        queries,
+        topk=_KNN_K,
+        nprobe=model.n_clusters,
+        overfetch=10**6,
+        impl="fastscan",
+    )
+
+
 def q_ann_ivf_multibit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive search on an EXTENDED multi-bit index (bits_per_dim=2):
     base residuals carry 2 scalar-quantized bit-planes instead of the 1-bit
@@ -6993,6 +7021,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # registry row stays <= 2 rounds stale as the window advances.
     "knn_exact": q_knn_exact,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "ann_ivf_fastscan": q_ann_ivf_fastscan,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -7254,6 +7283,9 @@ ORACLE_SQL: dict[str, str] = {
     "knn_exact": _SQL_KNN_EXACT,
     # exhaustive IVF+RaBitQ == exact brute force (see q_ann_ivf_exhaustive)
     "ann_ivf_exhaustive": _SQL_KNN_EXACT,
+    # exhaustive fastscan-kernel IVF == exact brute force (same argument:
+    # every row reranked exactly; the kernel only orders the shortlist)
+    "ann_ivf_fastscan": _SQL_KNN_EXACT,
     # exhaustive multi-bit (bits_per_dim=2) == the same brute force
     "ann_ivf_multibit": _SQL_KNN_EXACT,
     # exhaustive SQ8 shortlist (shortlist >= |base|) == exact brute force

@@ -82,6 +82,45 @@ def test_fused_impl_equals_jvm(spark, model_and_data):
     pd.testing.assert_frame_equal(a, b, check_exact=True)
 
 
+def test_fastscan_impl_equals_jvm(spark, model_and_data):
+    model, base, queries = model_and_data
+    a = search(model, queries, impl="jvm").toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    b = search(model, queries, impl="fastscan").toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_fastscan_kernel_bit_identical_to_popcount():
+    """The packed-nibble-LUT GEMM kernel must produce the EXACT integer
+    asymmetric dot the plane-wise popcount kernel produces, for every
+    (theta_log_dim, n_words) shape the probe table can carry — the
+    float32 one-hot GEMM is provably exact below 2^24 (see fastscan_asym)."""
+    from rabitq_spark.index.search import (
+        _popcount64,
+        fastscan_asym,
+        fastscan_luts,
+        fastscan_nibbles,
+    )
+
+    rng = np.random.default_rng(7)
+    for theta_log_dim, n_words, npairs, m in [(4, 1, 5, 97), (4, 4, 3, 64),
+                                              (2, 2, 7, 33), (4, 16, 2, 50)]:
+        planes = rng.integers(
+            -(2**63), 2**63, size=(npairs, theta_log_dim, n_words), dtype=np.int64
+        )
+        codes = rng.integers(-(2**63), 2**63, size=(m, n_words), dtype=np.int64)
+        ref = np.zeros((npairs, m), dtype=np.int64)
+        for p in range(theta_log_dim):
+            anded = planes[:, p, None, :] & codes[None, :, :]
+            ref += _popcount64(anded).sum(axis=-1) << p
+        got = fastscan_asym(fastscan_luts(planes, theta_log_dim),
+                            fastscan_nibbles(codes))
+        assert np.array_equal(ref, got), (theta_log_dim, n_words)
+
+
 def test_save_load_roundtrip(spark, model_and_data, tmp_path):
     model, base, queries = model_and_data
     before = search(model, queries, topk=K).toPandas().sort_values(
