@@ -297,6 +297,23 @@ def main() -> None:
         else {}
     )
 
+    # --- keyed-state sessionizer stress (round-6 verdict item 4): 1M
+    # distinct users across 10 time-slab micro-batches, RocksDB state
+    # store. Gates: streamed == batch twin exactly; peak state-store rows
+    # ~2 slabs (watermark-bounded, never O(n_users)); state reclaimed to
+    # ~0 after the sentinel sweep. SPARK_GRAFT_STATE_PROBE_USERS=0 skips
+    # (local iteration); the 20k pytest twin is
+    # tests/test_stateful_streaming.py::test_timeout_sessionizer_state_scale_rocksdb.
+    state_probe_users = int(
+        os.environ.get("SPARK_GRAFT_STATE_PROBE_USERS", "1000000")
+    )
+    if state_probe_users > 0:
+        from rabitq_spark.streaming.state_probe import run_state_scale_probe
+
+        state_probe = run_state_scale_probe(spark, n_users=state_probe_users)
+    else:
+        state_probe = {}
+
     result = {
         # headline = the engine's cost-based ANN path (exact at this base
         # size, recall 1.0); the quantized IVF path is reported alongside
@@ -322,6 +339,7 @@ def main() -> None:
         "precise_rerank_per_query": round(metrics.precise_count / max(nq, 1), 1),
         "scale_probe": scale_probe,
         "dedup_scale_probe": dedup_probe,
+        "state_scale_probe": state_probe,
         "slope_probe": slope_probe,
         "sf1": sf1,
         **host_cal,
@@ -371,6 +389,11 @@ def main() -> None:
         "dedup_probe_gates": {
             k: v for k, v in dedup_probe.items() if k.endswith("gate")
         },
+        "state_probe_gates": {
+            k: v for k, v in state_probe.items() if k.endswith("gate")
+        },
+        "state_probe_peak_rows": state_probe.get("peak_state_rows"),
+        "state_probe_final_rows": state_probe.get("final_state_rows"),
         "slope_gates": {
             k: v for k, v in slope_probe.items() if k.endswith("gate")
         },

@@ -413,3 +413,27 @@ def test_to_cents_contract_guard():
         _to_cents(np.array([1.234]))
     with pytest.raises(ValueError):
         _to_cents(np.array([float("nan")]))
+
+
+def test_timeout_sessionizer_state_scale_rocksdb(spark):
+    """State-scale stress of the watermarked sessionizer (round-6 verdict
+    item 4), pytest-sized: 20k distinct users across 4 time-slab
+    micro-batches with the ROCKSDB state store. Asserts the three scale
+    claims the operator makes: (a) output == batch twin exactly, (b) state
+    rows return to ~0 after the watermark passes (timeout eviction
+    actually reclaims), (c) peak state is ~2 slabs of keys — bounded by
+    the watermark horizon, never O(n_users). The 1M-user version of this
+    exact probe runs in bench.py (state_scale_probe section)."""
+    from rabitq_spark.streaming.state_probe import run_state_scale_probe
+
+    out = run_state_scale_probe(
+        spark, n_users=20_000, slabs=4, use_rocksdb=True, timeout_sec=300
+    )
+    assert out["rocksdb_used"], "RocksDB provider metrics absent"
+    assert out["equal_gate"], (
+        out["n_sessions_streamed"], out["n_sessions_batch"],
+    )
+    assert out["eviction_gate"], out["state_rows_per_batch"]
+    assert out["peak_gate"], out["state_rows_per_batch"]
+    # every user sessionized exactly once
+    assert out["n_sessions_streamed"] == out["n_users"]
