@@ -327,9 +327,24 @@ def _fused_shortlist(
         )
     bc = spark.sparkContext.broadcast(by_cluster)
 
+    def topr(q, i, ro):
+        """Local top-R per query over (query, rough, id)-lexsorted arrays —
+        stable total order, so top-R is associative: applying it per batch
+        and again per partition equals one global pass."""
+        order = np.lexsort((i, ro, q))
+        q, i, ro = q[order], i[order], ro[order]
+        boundaries = np.flatnonzero(np.diff(q)) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [len(q)]))
+        keep = np.concatenate(
+            [np.arange(s, min(s + r, e)) for s, e in zip(starts, ends)]
+        )
+        return q[keep], i[keep], ro[keep]
+
     def score(batches):
         probes_by_cluster = bc.value
         lut_cache: dict = {}
+        buf_q, buf_id, buf_rough = [], [], []
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -378,21 +393,24 @@ def _fused_shortlist(
                 out_rough.append(rough.ravel())
             if not out_q:
                 continue
-            q = np.concatenate(out_q)
-            i = np.concatenate(out_id)
-            ro = np.concatenate(out_rough)
-            # local top-R per query: sort by (query, rough, id), take first R
-            order = np.lexsort((i, ro, q))
-            q, i, ro = q[order], i[order], ro[order]
-            boundaries = np.flatnonzero(np.diff(q)) + 1
-            starts = np.concatenate(([0], boundaries))
-            ends = np.concatenate((boundaries, [len(q)]))
-            keep = np.concatenate(
-                [np.arange(s, min(s + r, e)) for s, e in zip(starts, ends)]
+            # per-batch trim bounds the buffer; the partition-level trim
+            # below shrinks the Arrow emit (and the downstream window
+            # input) again — measured 16.7M -> <=nq×R rows per partition
+            # at 1M × 256 / nq=1000 (PLAN.md round 7)
+            q, i, ro = topr(
+                np.concatenate(out_q),
+                np.concatenate(out_id),
+                np.concatenate(out_rough),
             )
-            yield pd.DataFrame(
-                {"query_id": q[keep], "orig_id": i[keep], "rough": ro[keep]}
-            )
+            buf_q.append(q)
+            buf_id.append(i)
+            buf_rough.append(ro)
+        if not buf_q:
+            return
+        q, i, ro = topr(
+            np.concatenate(buf_q), np.concatenate(buf_id), np.concatenate(buf_rough)
+        )
+        yield pd.DataFrame({"query_id": q, "orig_id": i, "rough": ro})
 
     # Partition pruning for free: the probe table is already on the driver,
     # so the probed cluster set costs no extra Spark job (unlike the jvm
