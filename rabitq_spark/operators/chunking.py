@@ -9,7 +9,7 @@ engines, runs, and partitionings — the property random() splits lack.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rabitq_spark.functions.text import tokens
@@ -182,6 +182,95 @@ def pack_sequences(
 
     return per_doc.groupBy("shard").applyInPandas(
         pack, "doc_id long, shard long, bin_id int, n_tok int"
+    )
+
+
+def concat_chunk_pack(
+    docs: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing: conceptually concatenate every
+    document's token stream in ascending id order and slice the stream
+    into fixed `seq_len` training sequences; a document whose tokens
+    straddle a boundary contributes a span to EACH sequence it touches
+    (the other packing discipline beside pack_sequences' greedy bins —
+    zero padding waste, documents may split).
+
+    Output, one row per (document, sequence) contribution:
+      (doc_id, seq_id, span_start, span_end, doc_off) — global token
+      positions [span_start, span_end) and the span's within-doc offset.
+
+    Scale design: the global token offset is a prefix sum over unique
+    doc ids — computed as a TWO-LEVEL range-partitioned scan (the zorder
+    rank-scan shape): level 1 cum-sums within doc_id ranges in parallel;
+    level 2 windows over n_parts partition totals (rows = cluster
+    parallelism, never data). No single-task global window. The
+    boundary explode is F.sequence(first_seq, last_seq) — pure codegen,
+    ≤ ceil(L/seq_len)+1 rows per doc. Only (id, n_tok) enter the scan;
+    text never moves.
+    """
+    n_tok_expr = (
+        F.col(count_col).cast("bigint")
+        if count_col
+        else F.size(tokens(F.col(text_col))).cast("bigint")
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"), n_tok_expr.alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        per_doc.repartitionByRange(n_parts, "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.select(
+        "doc_id",
+        "n_tok",
+        "__pid",
+        F.coalesce(F.sum("n_tok").over(w_local), F.lit(0)).alias("__local"),
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("n_tok").alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off")
+    )
+    placed = local.join(F.broadcast(offsets), "__pid").select(
+        "doc_id",
+        "n_tok",
+        (F.col("__local") + F.col("__off")).alias("__start"),
+    )
+    s = F.lit(int(seq_len)).cast("bigint")
+    sl = int(seq_len)
+    spans = placed.select(
+        "doc_id",
+        "n_tok",
+        "__start",
+        # integer `div`, not double `/`: token offsets at extreme scale can
+        # pass 2^53, where double division would mis-floor
+        F.explode(
+            F.sequence(
+                F.expr(f"__start div {sl}"),
+                F.expr(f"(__start + n_tok - 1) div {sl}"),
+            )
+        ).alias("seq_id"),
+    )
+    span_start = F.greatest(F.col("__start"), F.col("seq_id") * s)
+    span_end = F.least(F.col("__start") + F.col("n_tok"), (F.col("seq_id") + 1) * s)
+    return spans.select(
+        "doc_id",
+        "seq_id",
+        span_start.alias("span_start"),
+        span_end.alias("span_end"),
+        (span_start - F.col("__start")).alias("doc_off"),
     )
 
 

@@ -6686,6 +6686,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512, n_shards=8)
 
 
+def q_concat_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing (operators/chunking.py::
+    concat_chunk_pack): the documents' token streams concatenated in
+    doc_id order and sliced into fixed 512-token training sequences, each
+    document's contribution to each sequence it straddles emitted as a
+    span — the zero-padding-waste packing discipline beside
+    pack_sequences' greedy bins. The global token offset is a two-level
+    range-partitioned prefix scan (no single-task window); the oracle is
+    the same prefix sum as one DuckDB window + generate_series."""
+    from rabitq_spark.operators.chunking import concat_chunk_pack
+
+    return concat_chunk_pack(load_table(spark, sf_dir, "documents"), seq_len=512)
+
+
+_SQL_CONCAT_PACK = """
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents
+), placed AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start
+  FROM per_doc WHERE n_tok > 0
+)
+SELECT doc_id, seq_id,
+       greatest(start, seq_id * 512) AS span_start,
+       least(start + n_tok, (seq_id + 1) * 512) AS span_end,
+       greatest(start, seq_id * 512) - start AS doc_off
+FROM placed, unnest(generate_series(start // 512,
+                                    (start + n_tok - 1) // 512)) AS u(seq_id)
+"""
+
+
 _SQL_PACK = """
 WITH RECURSIVE t AS (
   SELECT doc_id, doc_id % 8 AS shard,
@@ -7022,6 +7058,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_exact": q_knn_exact,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_fastscan": q_ann_ivf_fastscan,
+    "concat_chunk_pack": q_concat_chunk_pack,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -7468,6 +7505,7 @@ FROM read_parquet('{_FIXTURE_DIR}/bpe_tokenize_sf0.01.parquet')
     "bm25_search": _sql_bm25(),
     "tfidf_top_terms": _SQL_TFIDF,
     "pack_sequences": _SQL_PACK,
+    "concat_chunk_pack": _SQL_CONCAT_PACK,
     "token_df_prune": _SQL_TOKEN_DF_PRUNE,
     "decontaminate": _SQL_DECONTAMINATE,
     "neardup_cross": _sql_neardup_cross(),

@@ -50,3 +50,49 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
     k_en = stratified_sample(docs, **kw).filter("lang = 'en'").count()
     # md5 buckets are uniform: expect ~0.5 within a generous band
     assert 0.3 * n_en <= k_en <= 0.7 * n_en, (k_en, n_en)
+
+
+def test_concat_chunk_pack_invariants(spark, sf_dir):
+    """Concat-and-chunk packing must tile the concatenated token stream
+    exactly: every sequence except the last holds exactly seq_len tokens,
+    each document's spans partition [0, n_tok) in order, and the result is
+    partitioning-independent (the two-level prefix scan is a pure function
+    of the data)."""
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.operators.chunking import concat_chunk_pack
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    S = 64
+    out = concat_chunk_pack(docs, seq_len=S).toPandas()
+    total = int(
+        docs.select(
+            F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != "")))
+        ).first()[0]
+    )
+    # sequences tile the stream: seq s covers exactly [s*S, min((s+1)*S, total))
+    per_seq = out.groupby("seq_id").agg(
+        lo=("span_start", "min"), hi=("span_end", "max"),
+    )
+    covered = (out["span_end"] - out["span_start"]).sum()
+    assert covered == total
+    n_seqs = (total + S - 1) // S
+    assert sorted(per_seq.index) == list(range(n_seqs))
+    for s, row in per_seq.iterrows():
+        assert row["lo"] == s * S
+        assert row["hi"] == min((s + 1) * S, total)
+    # per-doc spans are contiguous and ordered
+    for doc_id, grp in out.sort_values(["doc_id", "seq_id"]).groupby("doc_id"):
+        offs = grp["doc_off"].tolist()
+        lens = (grp["span_end"] - grp["span_start"]).tolist()
+        assert offs[0] == 0
+        for k in range(1, len(offs)):
+            assert offs[k] == offs[k - 1] + lens[k - 1]
+    # partitioning independence
+    out2 = (
+        concat_chunk_pack(docs.repartition(7), seq_len=S)
+        .toPandas()
+        .sort_values(["doc_id", "seq_id"], ignore_index=True)
+    )
+    out1 = out.sort_values(["doc_id", "seq_id"], ignore_index=True)
+    assert out1.equals(out2)
