@@ -7054,7 +7054,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # least-recently-driver-checked (union of CORRECTNESS_r01..r06; see
     # scripts/rotate_registry note in PLAN.md round 7). Round-7 front:
     # the 17 entries last checked in r2, then the r4 cohort — so every
-    # registry row stays <= 2 rounds stale as the window advances.
+    # registry row stays <= 2 rounds stale as the window advances. The two
+    # round-7 additions (ann_ivf_fastscan, concat_chunk_pack) are NEVER-
+    # checked and slot directly behind the anchors; they displace the two
+    # freshest entries of the stale cohort to just past the window (r8).
     "knn_exact": q_knn_exact,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_fastscan": q_ann_ivf_fastscan,
