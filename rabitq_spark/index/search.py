@@ -309,10 +309,20 @@ def _fused_shortlist(
     packed planes — and broadcasting it measured 127 MB at 31k probes ×
     dim 256, which each local Python worker unpickled (slower end-to-end
     than popcount); the per-group rebuild is ~npairs×dim/4 int ops, noise.
+
+    Multi-bit base codes (config.bits_per_dim = B > 1) are supported by
+    both kernels through the shift-add identity the symmetric estimator's
+    cross term factors into: Σ_{j<P,i<B} 2^{i+j}·pop(bplane_i ∧ qplane_j)
+    = Σ_i 2^i · asym_1bit(bplane_i) — each base plane is scanned with the
+    SAME 1-bit kernel (one extra pass per plane), then shifted in. The
+    rough formula mirrors rough_distance_expr_multibit (unbiased, no
+    error-bound term).
     """
     spark = probes.sparkSession
     ppdf = probes.toPandas()
     n_words = model.n_words
+    bits = model.config.bits_per_dim
+    dim_pad = model.dim_pad
     by_cluster: dict = {}
     for cid, grp in ppdf.groupby("cluster_id"):
         planes = np.vstack(grp["qplanes"].values).astype(np.int64)  # (p, 4w)
@@ -354,38 +364,70 @@ def _fused_shortlist(
                 if pr is None:
                     continue
                 qids, ycd, lb, delta, ssum, planes = pr
-                codes = np.vstack(grp["code"].values).astype(np.int64)  # (m, w)
-                m = codes.shape[0]
-                if kernel == "fastscan":
-                    lut3 = lut_cache.get(int(cid))
-                    if lut3 is None:
-                        lut3 = fastscan_luts(planes, theta_log_dim)
-                        # bound the worker-local cache at 64 MB: past it,
-                        # rebuild per group (correctness unaffected)
-                        if (
-                            sum(v.nbytes for v in lut_cache.values())
-                            + lut3.nbytes
-                            <= 64 << 20
-                        ):
-                            lut_cache[int(cid)] = lut3
-                    asym = fastscan_asym(lut3, fastscan_nibbles(codes))
-                else:
-                    # asym[p_i, m_j] = Σ_plane popcount(code & plane) << plane
-                    asym = np.zeros((len(qids), m), dtype=np.int64)
+                codes = np.vstack(grp["code"].values).astype(np.int64)
+                m = codes.shape[0]  # codes: (m, bits·w), plane-major words
+
+                def asym_1bit(words):
+                    """Σ_plane popcount(words & qplane) << plane for ONE
+                    base bit-plane's packed words (m, w) → (npairs, m)."""
+                    if kernel == "fastscan":
+                        lut3 = lut_cache.get(int(cid))
+                        if lut3 is None:
+                            lut3 = fastscan_luts(planes, theta_log_dim)
+                            # bound the worker-local cache at 64 MB: past
+                            # it, rebuild per group (correctness unaffected)
+                            if (
+                                sum(v.nbytes for v in lut_cache.values())
+                                + lut3.nbytes
+                                <= 64 << 20
+                            ):
+                                lut_cache[int(cid)] = lut3
+                        return fastscan_asym(lut3, fastscan_nibbles(words))
+                    out = np.zeros((len(qids), words.shape[0]), dtype=np.int64)
                     for p in range(theta_log_dim):
-                        anded = planes[:, p, None, :] & codes[None, :, :]
-                        asym += _popcount64(anded).sum(axis=-1) << p
-                f_ip = grp["factor_ip"].values.astype(np.float32)
-                f_ppc = grp["factor_ppc"].values.astype(np.float32)
-                eb = grp["error_bound"].values.astype(np.float32)
+                        anded = planes[:, p, None, :] & words[None, :, :]
+                        out += _popcount64(anded).sum(axis=-1) << p
+                    return out
+
                 cds = grp["center_dist_sq"].values.astype(np.float32)
-                rough = (
-                    cds[None, :].astype(np.float64)
-                    + ycd[:, None]
-                    + lb[:, None] * f_ppc[None, :]
-                    + (2.0 * asym - ssum[:, None]) * (f_ip[None, :] * delta[:, None])
-                    - eb[None, :] * np.sqrt(ycd)[:, None]
-                )
+                if bits > 1:
+                    # symmetric multi-bit estimator, mirroring
+                    # rough_distance_expr_multibit: cross term via the
+                    # per-plane shift-add of the 1-bit kernel
+                    cross = np.zeros((len(qids), m), dtype=np.int64)
+                    cube = codes.reshape(m, bits, n_words)
+                    for i in range(bits):
+                        cross += asym_1bit(
+                            np.ascontiguousarray(cube[:, i, :])
+                        ) << i
+                    b_lb = grp["b_lb"].values.astype(np.float32)
+                    b_delta = grp["b_delta"].values.astype(np.float32)
+                    b_sum = grp["b_sum"].values.astype(np.float32)
+                    est_ip = (
+                        float(dim_pad) * lb[:, None].astype(np.float64)
+                        * b_lb[None, :]
+                        + lb[:, None] * (b_delta * b_sum)[None, :]
+                        + delta[:, None] * ssum[:, None] * b_lb[None, :]
+                        + delta[:, None] * b_delta[None, :] * cross
+                    )
+                    rough = (
+                        cds[None, :].astype(np.float64)
+                        + ycd[:, None]
+                        - 2.0 * est_ip
+                    )
+                else:
+                    asym = asym_1bit(codes)
+                    f_ip = grp["factor_ip"].values.astype(np.float32)
+                    f_ppc = grp["factor_ppc"].values.astype(np.float32)
+                    eb = grp["error_bound"].values.astype(np.float32)
+                    rough = (
+                        cds[None, :].astype(np.float64)
+                        + ycd[:, None]
+                        + lb[:, None] * f_ppc[None, :]
+                        + (2.0 * asym - ssum[:, None])
+                        * (f_ip[None, :] * delta[:, None])
+                        - eb[None, :] * np.sqrt(ycd)[:, None]
+                    )
                 ids = grp["orig_id"].values.astype(np.int64)
                 qq = np.repeat(qids, m)
                 out_q.append(qq)
@@ -505,12 +547,11 @@ def search(
     if index_predicate is not None:
         index = index.filter(index_predicate)
     if impl in ("fused", "fastscan") and (
-        index_predicate is not None
-        or allowed is not None
-        or cfg.bits_per_dim > 1
+        index_predicate is not None or allowed is not None
     ):
-        # the fused/fastscan Arrow paths read the unfiltered 1-bit model
-        # tables; filtering and multi-bit codes are jvm-plan features
+        # the fused/fastscan Arrow paths read the unfiltered model tables;
+        # filtering is a jvm-plan feature (multi-bit codes are supported —
+        # per-plane shift-add in _fused_shortlist)
         impl = "jvm"
     r = max(topk * overfetch, topk)
     probes_materialized = False

@@ -176,3 +176,35 @@ def test_multibit_save_load_roundtrip(spark, data, model2, tmp_path):
         ["query_id", "rank"], ignore_index=True
     )
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+@pytest.mark.parametrize("impl", ["fused", "fastscan"])
+def test_multibit_arrow_impls_equal_jvm(spark, data, model2, impl):
+    """Multi-bit codes through the Arrow kernels: the symmetric cross-plane
+    estimator factors into per-base-plane 1-bit scans (shift-add), so the
+    fused popcount AND fastscan nibble-LUT paths must reproduce the jvm
+    plan's results exactly."""
+    base, queries = data
+    a = search(model2, queries, impl="jvm").toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    b = search(model2, queries, impl=impl).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+@pytest.mark.parametrize("impl", ["fused", "fastscan"])
+def test_multibit_arrow_exhaustive_equals_exact(spark, data, model2, impl):
+    """Exhaustive multi-bit search through the Arrow kernels is bit-exact
+    to brute force — the strongest cross-impl invariant (rerank covers
+    every row regardless of how the shortlist was ordered)."""
+    base, queries = data
+    exact = knn_exact(queries, base, K).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    exh = search(
+        model2, queries, topk=K, nprobe=model2.n_clusters, overfetch=10**6,
+        impl=impl,
+    ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(exh, exact, check_exact=True)
