@@ -975,6 +975,15 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
     )
     recall4 = len(hits4) / max(len(exact), 1)
+    # multi-bit through the fastscan Arrow kernel (round-7: per-plane
+    # shift-add) at the same scale, with a frame-equality gate vs the jvm
+    # plan's result
+    t0 = time.perf_counter()
+    approx4_fs = search(model4, queries, impl="fastscan").toPandas()
+    ivf4_fs_s = time.perf_counter() - t0
+    mb_equal = approx4_fs.sort_values(
+        ["query_id", "rank"], ignore_index=True
+    ).equals(approx4.sort_values(["query_id", "rank"], ignore_index=True))
     for df in (model4.index_df, model4.base_df):
         df.unpersist()
 
@@ -997,6 +1006,8 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         "multibit4_ivf_sec": round(ivf4_s, 2),
         "multibit4_recall_at_k": round(recall4, 4),
         "multibit4_effective_overfetch": auto_overfetch(model4, cfg4.nprobe, TOPK),
+        "multibit4_fastscan_sec": round(ivf4_fs_s, 2),
+        "multibit4_fastscan_equal_gate": bool(mb_equal),
         "kernel_ab": kernel_ab,
     }
 
