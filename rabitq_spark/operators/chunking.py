@@ -84,6 +84,57 @@ def hash_split(
     return df.withColumn("split", split)
 
 
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global training shuffle + shard export — the last
+    mile of a pretraining pipeline: give every document a reproducible
+    pseudo-random read position, split into `n_shards` uniform shards.
+
+    shard_id  = md5(salt|id) first-15-hex mod n_shards (uniform, engine-
+                and partitioning-independent, re-runs land identically);
+    pos       = rank of the full md5 within the shard — reading each shard
+                in pos order IS the global shuffle (md5 order is
+                pseudo-random w.r.t. any corpus attribute);
+    n_tok     = per-doc token count, so shard manifests can report token
+                budgets without re-touching text.
+
+    Output: (doc_id, shard_id, pos, n_tok).
+
+    Scale: ONE shuffle keyed by shard_id; the within-shard window sorts
+    |N|/n_shards rows per group — pick n_shards ≥ cluster cores and no
+    single sort is corpus-sized. No global ordering or driver state
+    anywhere (contrast orderBy(rand()), which is neither reproducible nor
+    shard-stable)."""
+    key = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    n_tok = (
+        F.col(count_col).cast("bigint")
+        if count_col
+        else F.size(tokens(F.col(text_col))).cast("bigint")
+    )
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tok"),
+        key.alias("__k"),
+        (
+            F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint")
+            % n_shards
+        ).alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("__k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).alias("pos"),
+        "n_tok",
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

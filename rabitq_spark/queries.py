@@ -6700,6 +6700,37 @@ def q_concat_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_chunk_pack(load_table(spark, sf_dir, "documents"), seq_len=512)
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + shard export
+    (operators/chunking.py::shuffle_shards): md5-keyed shard assignment +
+    within-shard md5-rank positions — reading shards in pos order IS the
+    reproducible global shuffle. One shuffle keyed by shard_id; within-
+    shard windows keep every sort 1/n_shards of the corpus."""
+    from rabitq_spark.operators.chunking import shuffle_shards
+
+    return shuffle_shards(load_table(spark, sf_dir, "documents"), n_shards=16)
+
+
+_SQL_SHUFFLE_SHARDS = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tok,
+         md5(concat('shuffle-v1|', CAST(doc_id AS VARCHAR))) AS k
+  FROM documents
+), sharded AS (
+  SELECT doc_id, n_tok, k,
+         CAST(concat('0x', substring(k, 1, 15)) AS BIGINT) % 16 AS shard_id
+  FROM keyed
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)
+            AS INT) AS pos,
+       n_tok
+FROM sharded
+"""
+
+
 _SQL_CONCAT_PACK = """
 WITH per_doc AS (
   SELECT doc_id,
@@ -7062,6 +7093,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_fastscan": q_ann_ivf_fastscan,
     "concat_chunk_pack": q_concat_chunk_pack,
+    "shuffle_shards": q_shuffle_shards,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -7509,6 +7541,7 @@ FROM read_parquet('{_FIXTURE_DIR}/bpe_tokenize_sf0.01.parquet')
     "tfidf_top_terms": _SQL_TFIDF,
     "pack_sequences": _SQL_PACK,
     "concat_chunk_pack": _SQL_CONCAT_PACK,
+    "shuffle_shards": _SQL_SHUFFLE_SHARDS,
     "token_df_prune": _SQL_TOKEN_DF_PRUNE,
     "decontaminate": _SQL_DECONTAMINATE,
     "neardup_cross": _sql_neardup_cross(),

@@ -96,3 +96,34 @@ def test_concat_chunk_pack_invariants(spark, sf_dir):
     )
     out1 = out.sort_values(["doc_id", "seq_id"], ignore_index=True)
     assert out1.equals(out2)
+
+
+def test_shuffle_shards_invariants(spark, sf_dir):
+    """Deterministic global shuffle: positions are dense 1..|shard| within
+    each shard, shard sizes are near-uniform (md5 buckets), the result is
+    partitioning-independent, and the within-shard order is decorrelated
+    from doc_id order (it IS a shuffle, not a sort)."""
+    from rabitq_spark.operators.chunking import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = shuffle_shards(docs, n_shards=8).toPandas()
+    assert len(out) == n
+    sizes = out.groupby("shard_id").size()
+    assert sorted(sizes.index) == list(range(8))
+    assert sizes.min() >= 0.5 * n / 8 and sizes.max() <= 1.5 * n / 8
+    for _, grp in out.groupby("shard_id"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # partitioning independence
+    out2 = (
+        shuffle_shards(docs.repartition(7), n_shards=8)
+        .toPandas()
+        .sort_values(["shard_id", "pos"], ignore_index=True)
+    )
+    assert out.sort_values(["shard_id", "pos"], ignore_index=True).equals(out2)
+    # decorrelated from id order: rank correlation of (pos, doc_id) within
+    # a shard should be far from 1 (md5 order is pseudo-random). Spearman
+    # by hand (rank + Pearson) — scipy is not in this container.
+    g0 = out[out["shard_id"] == 0]
+    corr = g0["doc_id"].rank().corr(g0["pos"].rank())
+    assert abs(corr) < 0.5, corr
