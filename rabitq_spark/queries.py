@@ -341,6 +341,35 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq4_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-bit product quantization through the fastscan ADC (the FAISS
+    PQx4fs regime): ksub=16 codebooks, and the Arrow scan computes the
+    whole ADC as ONE one-hot GEMM per query block (index/pq.py — the
+    ksub<=32 kernel, measured 3-32× over per-subspace gathers). Registered
+    in its exhaustive configuration (shortlist ≥ |base|) so the exact
+    rerank covers every row and the output is bit-identical to brute-force
+    knn_exact — while the train→encode→LUT→GEMM-scan path still executes.
+    Kernel-selection coverage: ann_pq exercises the gather path (ksub=64),
+    this row the GEMM path."""
+    from rabitq_spark.index.pq import pq_encode, pq_search, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    key = (sf_dir, "pq4_codebook")
+    if key not in _MODEL_CACHE:
+        cb = pq_train(base, "vec", m=16, ksub=16, iters=6)
+        coded = pq_encode(base, cb).cache()
+        _MODEL_CACHE[key] = (cb, coded)
+    cb, coded = _MODEL_CACHE[key]
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return pq_search(
+        queries, base, _KNN_K, cb, shortlist=10**9, coded_base=coded,
+        impl="arrow",
+    )
+
+
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (coarse cells + residual PQ codes — the FAISS IVFPQ layout,
     index/pq.py::ivfpq_*): probes carry per-(query, cell) residual ADC LUTs,
@@ -7094,6 +7123,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_fastscan": q_ann_ivf_fastscan,
     "concat_chunk_pack": q_concat_chunk_pack,
     "shuffle_shards": q_shuffle_shards,
+    "ann_pq4_fastscan": q_ann_pq4_fastscan,
     "json_props": q_json_props,
     "interval_join": q_interval_join,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -7542,6 +7572,8 @@ FROM read_parquet('{_FIXTURE_DIR}/bpe_tokenize_sf0.01.parquet')
     "pack_sequences": _SQL_PACK,
     "concat_chunk_pack": _SQL_CONCAT_PACK,
     "shuffle_shards": _SQL_SHUFFLE_SHARDS,
+    # exhaustive 4-bit PQ (fastscan GEMM ADC) == exact brute force
+    "ann_pq4_fastscan": _SQL_KNN_EXACT,
     "token_df_prune": _SQL_TOKEN_DF_PRUNE,
     "decontaminate": _SQL_DECONTAMINATE,
     "neardup_cross": _sql_neardup_cross(),

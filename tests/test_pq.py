@@ -383,3 +383,32 @@ def test_ivfpq_append_schema_guard(spark, sf_dir, tmp_path):
     # a batch that cannot provide the saved columns fails loudly
     with pytest.raises(ValueError, match="schema mismatch"):
         ivfpq_append(spark, path, second.drop("label"), attr_cols=[])
+
+
+def test_pq4_fastscan_exhaustive_equals_bruteforce(spark, sf_dir):
+    """4-bit PQ (ksub=16 — FAISS PQx4fs regime) through the one-hot GEMM
+    ADC kernel: exhaustive shortlist makes the exact rerank cover every
+    row, so the output is bit-identical to brute force regardless of the
+    kernel's float summation order."""
+    from rabitq_spark.index.pq import pq_encode, pq_search, pq_train
+
+    base, queries = _base_queries(spark, sf_dir)
+    cb = pq_train(base, "vec", m=16, ksub=16, iters=4)
+    assert cb.shape[1] == 16
+    coded = pq_encode(base, cb).cache()
+    exact = knn_exact(queries, base, 5).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    got = (
+        pq_search(queries, base, 5, cb, shortlist=10**9, coded_base=coded,
+                  impl="arrow")
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert exact.equals(got)
+    # bounded shortlist through the GEMM kernel still ranks usefully
+    approx = pq_search(queries, base, 5, cb, shortlist=64, coded_base=coded,
+                       impl="arrow").toPandas()
+    recall = len(approx.merge(exact, on=["query_id", "neighbor_id"])) / len(exact)
+    assert recall >= 0.5, recall
+    coded.unpersist()
