@@ -237,6 +237,17 @@ def fastscan_luts(planes: "np.ndarray", theta_log_dim: int) -> "np.ndarray":
     """
     npairs, _, n_words = planes.shape
     dim_pad = n_words * 64
+    # float32 GEMM exactness in fastscan_asym requires every partial sum
+    # (≤ dim_pad·(2^theta_log_dim − 1)) to stay under 2^24; enforce the
+    # bound HERE rather than only documenting it, so a config that
+    # breaches it fails loudly instead of silently returning wrong
+    # integers (search() falls back to the popcount kernel before this
+    # can trigger — this is the defense for direct callers)
+    if dim_pad * ((1 << theta_log_dim) - 1) >= 1 << 24:
+        raise ValueError(
+            f"fastscan float32-exactness bound violated: dim_pad={dim_pad} "
+            f"× (2^{theta_log_dim}−1) ≥ 2^24; use the popcount kernel"
+        )
     qu = np.zeros((npairs, dim_pad), dtype=np.int32)
     for p in range(theta_log_dim):
         bits = np.unpackbits(
@@ -279,6 +290,12 @@ def fastscan_asym(lut3: "np.ndarray", nib: "np.ndarray") -> "np.ndarray":
     onehot[np.arange(m)[:, None], flat] = 1.0
     lutf = lut3.reshape(npairs, n_chunks * 16).astype(np.float32)
     return (lutf @ onehot.T).astype(np.int64)
+
+
+#: Worker-buffer row budget for _fused_shortlist's partition-level top-R
+#: accumulation (~100 MB at 24 bytes/row). Exhaustive configs (r ≥ buffer)
+#: emit partial chunks instead of holding the whole partition.
+_FUSED_FLUSH_ROWS = 4_000_000
 
 
 def _fused_shortlist(
@@ -367,21 +384,27 @@ def _fused_shortlist(
                 codes = np.vstack(grp["code"].values).astype(np.int64)
                 m = codes.shape[0]  # codes: (m, bits·w), plane-major words
 
+                # LUT lookup/build ONCE per (cid, batch) group — hoisted
+                # out of asym_1bit so a budget-evicted LUT is still built
+                # only once per group, not once per base plane
+                lut3 = None
+                if kernel == "fastscan":
+                    lut3 = lut_cache.get(int(cid))
+                    if lut3 is None:
+                        lut3 = fastscan_luts(planes, theta_log_dim)
+                        # bound the worker-local cache at 64 MB: past it,
+                        # rebuild per group (correctness unaffected)
+                        if (
+                            sum(v.nbytes for v in lut_cache.values())
+                            + lut3.nbytes
+                            <= 64 << 20
+                        ):
+                            lut_cache[int(cid)] = lut3
+
                 def asym_1bit(words):
                     """Σ_plane popcount(words & qplane) << plane for ONE
                     base bit-plane's packed words (m, w) → (npairs, m)."""
                     if kernel == "fastscan":
-                        lut3 = lut_cache.get(int(cid))
-                        if lut3 is None:
-                            lut3 = fastscan_luts(planes, theta_log_dim)
-                            # bound the worker-local cache at 64 MB: past
-                            # it, rebuild per group (correctness unaffected)
-                            if (
-                                sum(v.nbytes for v in lut_cache.values())
-                                + lut3.nbytes
-                                <= 64 << 20
-                            ):
-                                lut_cache[int(cid)] = lut3
                         return fastscan_asym(lut3, fastscan_nibbles(words))
                     out = np.zeros((len(qids), words.shape[0]), dtype=np.int64)
                     for p in range(theta_log_dim):
@@ -403,30 +426,48 @@ def _fused_shortlist(
                     b_lb = grp["b_lb"].values.astype(np.float32)
                     b_delta = grp["b_delta"].values.astype(np.float32)
                     b_sum = grp["b_sum"].values.astype(np.float32)
+                    # mirror rough_distance_expr_multibit's ASSOCIATION
+                    # exactly: Spark left-associates each product and float
+                    # multiply is non-associative, so jvm-vs-arrow frame
+                    # identity must hold by construction, not incidentally
+                    # — (lb·b_delta)·b_sum and (b_lb·delta)·scalar_sum in
+                    # float32, the dim_pad term all-double, the cross term
+                    # (delta·b_delta) in float32 then promoted by the int64
+                    # cross (numpy float32×int64 → float64, matching the
+                    # jvm's cast(cross as double))
                     est_ip = (
-                        float(dim_pad) * lb[:, None].astype(np.float64)
+                        (float(dim_pad) * lb[:, None].astype(np.float64))
                         * b_lb[None, :]
-                        + lb[:, None] * (b_delta * b_sum)[None, :]
-                        + delta[:, None] * ssum[:, None] * b_lb[None, :]
-                        + delta[:, None] * b_delta[None, :] * cross
+                        + (lb[:, None] * b_delta[None, :]) * b_sum[None, :]
+                        + (b_lb[None, :] * delta[:, None]) * ssum[:, None]
+                        + (delta[:, None] * b_delta[None, :]) * cross
                     )
-                    rough = (
-                        cds[None, :].astype(np.float64)
-                        + ycd[:, None]
-                        - 2.0 * est_ip
-                    )
+                    # (cds + ycd) is a FLOAT32 add in the jvm (both cols
+                    # are float), promoted only when the double est_ip term
+                    # joins — mirror that promotion point
+                    rough = (cds[None, :] + ycd[:, None]).astype(
+                        np.float64
+                    ) - 2.0 * est_ip
                 else:
                     asym = asym_1bit(codes)
                     f_ip = grp["factor_ip"].values.astype(np.float32)
                     f_ppc = grp["factor_ppc"].values.astype(np.float32)
                     eb = grp["error_bound"].values.astype(np.float32)
+                    # mirror rough_distance_expr's association and
+                    # promotion points exactly (see the multibit comment):
+                    # ((cds+ycd)+lb·f_ppc) in float32; the asym term
+                    # left-associated all-double ((2a−s)·f_ip)·delta; sqrt
+                    # in double (F.sqrt always returns double)
                     rough = (
-                        cds[None, :].astype(np.float64)
-                        + ycd[:, None]
-                        + lb[:, None] * f_ppc[None, :]
+                        (
+                            (cds[None, :] + ycd[:, None])
+                            + lb[:, None] * f_ppc[None, :]
+                        ).astype(np.float64)
                         + (2.0 * asym - ssum[:, None])
-                        * (f_ip[None, :] * delta[:, None])
-                        - eb[None, :] * np.sqrt(ycd)[:, None]
+                        * f_ip[None, :]
+                        * delta[:, None]
+                        - eb[None, :]
+                        * np.sqrt(ycd.astype(np.float64))[:, None]
                     )
                 ids = grp["orig_id"].values.astype(np.int64)
                 qq = np.repeat(qids, m)
@@ -447,6 +488,26 @@ def _fused_shortlist(
             buf_q.append(q)
             buf_id.append(i)
             buf_rough.append(ro)
+            # bound the worker's buffer: with exhaustive/high-overfetch
+            # configs the per-batch top-R trim keeps every row, so holding
+            # everything until partition end would be O(partition) memory.
+            # Past the budget, compact via the merged top-R; if the trim
+            # cannot shrink below it (r larger than the buffer), EMIT —
+            # topk_per_group downstream re-trims globally, so extra
+            # partial chunks never change results.
+            if sum(len(b) for b in buf_q) > _FUSED_FLUSH_ROWS:
+                q, i, ro = topr(
+                    np.concatenate(buf_q),
+                    np.concatenate(buf_id),
+                    np.concatenate(buf_rough),
+                )
+                if len(q) > _FUSED_FLUSH_ROWS:
+                    yield pd.DataFrame(
+                        {"query_id": q, "orig_id": i, "rough": ro}
+                    )
+                    buf_q, buf_id, buf_rough = [], [], []
+                else:
+                    buf_q, buf_id, buf_rough = [q], [i], [ro]
         if not buf_q:
             return
         q, i, ro = topr(
@@ -565,6 +626,13 @@ def search(
         n_probe_rows = probes.count()
         if n_probe_rows > fused_max_probe_rows:
             impl = "jvm"
+        elif impl == "fastscan" and (
+            model.dim_pad * ((1 << cfg.theta_log_dim) - 1) >= 1 << 24
+        ):
+            # fastscan's float32 GEMM is integer-exact only while partial
+            # sums stay under 2^24 (fastscan_luts enforces it); past the
+            # bound use the popcount kernel — same fused plan, same results
+            impl = "fused"
         elif impl == "fastscan" and (
             n_probe_rows * 16 * model.dim_pad > fastscan_max_lut_bytes
         ):

@@ -193,7 +193,7 @@ def _banded_candidates(keys_df, n_bands: int, carry: list[str]):
     return out
 
 
-def _banded_candidates_exploded(keys_df, n_bands: int):
+def _banded_candidates_exploded(keys_df, n_bands: int, min_band_hits: int = 1):
     """Candidate pairs via explode + ONE equi-join on (band, key) + distinct.
 
     Fewer stages than the per-band union form and a single shuffle keyed by
@@ -202,6 +202,18 @@ def _banded_candidates_exploded(keys_df, n_bands: int):
     collisions rare). The union form (_banded_candidates) stays for
     simhash, whose pigeonhole bands intentionally admit large candidate
     sets that would make the distinct an expensive extra shuffle.
+
+    min_band_hits > 1 OR-thresholds the bands (an (r, b, t)-LSH in the
+    Mining-of-Massive-Datasets sense): a pair must collide in >= t of the
+    n_bands band keys to become a candidate. The distinct becomes a
+    count-aggregate over the SAME shuffled rows (no extra shuffle), and
+    single-band noise collisions — which dominate quadratically on
+    shared-vocabulary corpora (measured: char-5-gram candidates at
+    jaccard ~0.2 are 99.7% 1-band hits, while every true >= 0.8 pair hit
+    >= 3 of 12 bands) — never reach the array-join verify. Collision
+    probability at similarity J moves from 1-(1-J^r)^b to
+    P(Binomial(b, J^r) >= t); at r=5, b=12, t=2 that is 0.991 -> 0.944
+    at J = 0.8 exactly and >= 0.9998 at J >= 0.9.
     """
     kv = keys_df.select(
         "doc_id",
@@ -217,17 +229,21 @@ def _banded_candidates_exploded(keys_df, n_bands: int):
         ).alias("bk"),
     ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
     l, r = kv.alias("l"), kv.alias("r")
+    matched = l.join(
+        r,
+        (F.col("l.b") == F.col("r.b"))
+        & (F.col("l.k") == F.col("r.k"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+    )
+    if min_band_hits <= 1:
+        return matched.distinct()
     return (
-        l.join(
-            r,
-            (F.col("l.b") == F.col("r.b"))
-            & (F.col("l.k") == F.col("r.k"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
-        )
-        .distinct()
+        matched.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_band_hits"))
+        .filter(F.col("_band_hits") >= min_band_hits)
+        .select("id_a", "id_b")
     )
 
 
@@ -286,6 +302,7 @@ def _banded_jaccard_pairs(
     threshold: float,
     rows_per_band: int = 1,
     scope: list | None = None,
+    min_band_hits: int = 1,
 ) -> DataFrame:
     """Shared LSH tail: banded xor-minhash keys → candidate equi-joins →
     exact Jaccard verify on the hash sets. `hashed` must be a materialized
@@ -305,7 +322,7 @@ def _banded_jaccard_pairs(
         # the banded self-join references the key table twice; without a
         # barrier each side recomputes all n_bands×r array-min transforms
         keys = _scoped_cache(keys, scope)
-    cand = _banded_candidates_exploded(keys, n_bands)
+    cand = _banded_candidates_exploded(keys, n_bands, min_band_hits)
     sa = hashed.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     sb = hashed.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     # the Jaccard verify is CPU-bound per candidate (array_intersect builds
@@ -421,6 +438,7 @@ def neardup_ngram_pairs(
     n_bands: int = 12,
     threshold: float = 0.8,
     rows_per_band: int = 5,
+    min_band_hits: int = 2,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard (id_a < id_b,
     jaccard >= threshold) — robust to token-boundary edits where word
@@ -431,6 +449,16 @@ def neardup_ngram_pairs(
     center at ~1 ms/pair, so collisions are priced at J^5 while recall at
     J=0.8 RISES to 1-(1-0.8^5)^12 ≈ 0.991; extra array-min passes are
     ~20 µs/doc each).
+
+    min_band_hits=2 additionally OR-thresholds the bands (see
+    _banded_candidates_exploded): single-band noise collisions at the
+    corpus's ~0.2 baseline Jaccard grow QUADRATICALLY with corpus size
+    (measured 2.8M candidates at 50k docs -> 22.7M at 150k, 8x at 3x
+    rows — the round-7 sf3 slope-gate failure), while every true >= 0.8
+    pair in the same sweep hit >= 3 of the 12 bands. Requiring two band
+    hits prices noise at ~binom(12,2)·J^10 and cuts the candidate verify
+    360-400x at both scales; boundary recall at J = 0.8 exactly is 0.944
+    (>= 0.9998 at J >= 0.9).
 
     Grams are hashed with a rolling polynomial over the code-point array
     (rolling_gram_hashes) — integer Horner fold in codegen, no per-gram
@@ -456,7 +484,12 @@ def neardup_ngram_pairs(
         scope,
     )
     return _banded_jaccard_pairs(
-        hashed, n_bands, threshold, rows_per_band, scope=scope
+        hashed,
+        n_bands,
+        threshold,
+        rows_per_band,
+        scope=scope,
+        min_band_hits=min_band_hits,
     )
 
 
