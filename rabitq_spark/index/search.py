@@ -470,10 +470,25 @@ def _fused_shortlist(
                         * np.sqrt(ycd.astype(np.float64))[:, None]
                     )
                 ids = grp["orig_id"].values.astype(np.int64)
-                qq = np.repeat(qids, m)
-                out_q.append(qq)
-                out_id.append(np.tile(ids, len(qids)))
-                out_rough.append(rough.ravel())
+                if m > r:
+                    # EXACT per-query prefilter before the lexsort-based
+                    # top-R: keep rows with rough <= the r-th smallest per
+                    # query (np.partition is O(m) per row vs the previous
+                    # full-matrix lexsort feed). Every boundary TIE is
+                    # kept, so this is a superset of the true top-R and
+                    # the stable (rough, orig_id) trim below is unchanged
+                    # in semantics — it just runs on ~nq×r rows instead
+                    # of nq×m (the round-7 Amdahl item: selection, not
+                    # the estimator, dominated the fastscan path)
+                    kth = np.partition(rough, r - 1, axis=1)[:, r - 1 : r]
+                    qi, ci = np.nonzero(rough <= kth)
+                    out_q.append(qids[qi])
+                    out_id.append(ids[ci])
+                    out_rough.append(rough[qi, ci])
+                else:
+                    out_q.append(np.repeat(qids, m))
+                    out_id.append(np.tile(ids, len(qids)))
+                    out_rough.append(rough.ravel())
             if not out_q:
                 continue
             # per-batch trim bounds the buffer; the partition-level trim
