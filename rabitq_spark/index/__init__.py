@@ -8,6 +8,11 @@ from rabitq_spark.index.build import (
 from rabitq_spark.index.model import RaBitQModel
 from rabitq_spark.index.search import range_search, search
 
+# imported LAST: adaptive pulls in rabitq_spark.operators, whose ann/simjoin
+# modules import RaBitQModel/search back from THIS package — the names above
+# must already be bound
+from rabitq_spark.index.adaptive import search_adaptive  # noqa: E402
+
 __all__ = [
     "RaBitQModel",
     "append_to_index",
@@ -16,5 +21,6 @@ __all__ = [
     "delete_from_index",
     "range_search",
     "search",
+    "search_adaptive",
     "upsert_into_index",
 ]

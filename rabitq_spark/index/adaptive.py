@@ -1,0 +1,288 @@
+"""Adaptive early-stop probing — the reference's one unbuilt README item
+(README.md:20 "early stop", unchecked upstream too), as a batch plan.
+
+The static pipeline (search()) probes a FIXED nprobe nearest clusters per
+query. Early stop instead expands probes in WAVES and retires a query as
+soon as geometry proves no unprobed cluster can improve its top-k:
+
+    for any x in cluster c:  dist(q, x) >= (max(0, ||q-c|| - r_c))^2
+
+where r_c = max_{x in c} ||x - c|| is the cluster radius (the max
+center_dist_sq the index already stores). Once the current kth EXACT
+reranked distance tau_q is below that triangle lower bound for every
+unprobed cluster, the query is done. Clusters are visited in lower-bound
+order, so retirement is a sound prefix cut: the first unprobed cluster
+with bound > tau_q proves the same for all that follow.
+
+Exactness: with an exhaustive rerank width (overfetch covering every
+probed row — the same configuration the other exhaustive oracle entries
+use), the result is PROVABLY bit-identical to brute-force kNN: every
+probed candidate is reranked with the same exact fold, and every
+unprobed candidate has dist > tau strictly (retirement tests bound >
+tau, and floating-point slack is absorbed by `safety`, below). This is a
+stronger contract than the static exhaustive configuration, which needs
+nprobe = n_clusters; early stop typically proves completeness after
+probing a small fraction of clusters.
+
+Scale shape: the driver holds only the query batch (the documented small
+side, same contract as knn_exact_fast and the fused shortlist), the
+(nq x n_clusters) centroid-distance matrix, per-cluster radii
+(n_clusters floats, one tiny agg job, memoized on the model), and the
+accumulated top-k (nq x k rows). Each wave is ONE Spark job over the
+wave's clusters only — partition-pruned scan, fused Arrow shortlist,
+exact rerank — so total index rows touched is exactly the probed set.
+Wave sizes double, bounding the number of jobs at O(log n_clusters) per
+batch even when a hard query needs wide coverage.
+
+Floating-point soundness: ||q-c|| comes from a float32 GEMM and radii
+from float32 build arithmetic, while tau is the rerank's float64 fold on
+the ORIGINAL vectors (the orthogonal rotation preserves true distances;
+float error does not cancel). `safety` deflates every lower bound
+multiplicatively (and subtracts a tiny absolute epsilon) so a bound
+inflated by float error cannot retire a query early. Default 1e-3 is
+~1000x the observed float32 relative error of the pipeline.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from rabitq_spark.functions.vector import l2_squared, pad_to_multiple
+from rabitq_spark.index.model import RaBitQModel
+from rabitq_spark.index.rotation import apply_rot
+from rabitq_spark.index.search import (
+    PROBE_SCHEMA,
+    _fused_shortlist,
+    quantize_probe_pairs,
+)
+from rabitq_spark.operators.topk import topk_per_group
+from rabitq_spark._dist import ensure_package_on_executors
+
+
+def cluster_radii_sq(model: RaBitQModel) -> np.ndarray:
+    """(n_clusters,) max center_dist_sq per cluster — one small agg job
+    over the index (result is n_clusters rows), memoized on the model.
+    Clusters absent from the index (empty posting lists) get radius 0:
+    their lower bound is then the full centroid distance, and probing
+    them is a no-op either way."""
+    memo = getattr(model, "_radii_sq", None)
+    if memo is not None:
+        return memo
+    rows = (
+        model.index_df.groupBy("cluster_id")
+        .agg(F.max("center_dist_sq").alias("r2"))
+        .collect()
+    )
+    radii = np.zeros(model.n_clusters, dtype=np.float64)
+    for row in rows:
+        radii[row["cluster_id"]] = max(float(row["r2"]), 0.0)
+    model._radii_sq = radii
+    return radii
+
+
+def search_adaptive(
+    model: RaBitQModel,
+    queries: DataFrame,
+    topk: int | None = None,
+    overfetch: int | None = None,
+    wave0: int = 4,
+    wave_growth: float = 2.0,
+    safety: float = 1e-3,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    kernel: str = "popcount",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Batch top-k ANN with per-query adaptive probe cutoff; returns
+    (query_id, neighbor_id, dist, rank) like search().
+
+    `overfetch` bounds the per-wave rerank width (R = overfetch x topk)
+    exactly as in search(); pass a value covering every probed row (e.g.
+    10**6) for the provably-brute-exact configuration. `stats`, if given
+    a dict, receives {"waves", "probed_clusters_total", "probed_rows_est",
+    "retired_early"} for instrumentation (driver-side counters only).
+
+    Reference parity: README.md:20 ("early stop", the one unchecked
+    feature the reference never built); the wave loop is the batch
+    analogue of a sequential scan breaking out of its posting-list loop.
+    """
+    spark = queries.sparkSession
+    ensure_package_on_executors(spark)
+    cfg = model.config
+    topk = topk or cfg.topk
+    r = (overfetch or cfg.overfetch) * topk
+    cp = model.centroids_proj
+    ncl = cp.shape[0]
+    scalar = np.float32(cfg.scalar)
+
+    qpd = queries.select(query_id, query_vec).toPandas()
+    q_ids = np.asarray(qpd[query_id].values)
+    q = np.vstack(qpd[query_vec].values).astype(np.float32)
+    nq = q.shape[0]
+    if q.shape[1] < model.dim_pad:
+        q = np.hstack(
+            [q, np.zeros((nq, model.dim_pad - q.shape[1]), np.float32)]
+        )
+    yp = apply_rot(q, model.rotation).astype(np.float32)
+    cp_sq = (cp**2).sum(axis=1)
+    d2 = (yp**2).sum(axis=1)[:, None] - 2.0 * (yp @ cp.T) + cp_sq[None, :]
+    np.maximum(d2, 0.0, out=d2)
+
+    radii = np.sqrt(cluster_radii_sq(model))  # (ncl,)
+    gap = np.sqrt(d2.astype(np.float64)) - radii[None, :]
+    np.maximum(gap, 0.0, out=gap)
+    # deflated triangle lower bound per (query, cluster): must stay <=
+    # the TRUE distance of every member despite float32 pipeline error
+    lbound = (gap * gap) * (1.0 - safety) - 1e-9
+
+    order = np.argsort(lbound, axis=1, kind="stable")  # per-query lb order
+    pos = np.zeros(nq, dtype=np.int64)
+    tau = np.full(nq, np.inf)
+    live = np.ones(nq, dtype=bool)
+    early_retired = np.zeros(nq, dtype=bool)
+    id_to_row = {v: i for i, v in enumerate(q_ids)}
+    acc: pd.DataFrame | None = None
+    waves = 0
+    probed_total = 0
+    wave = max(1, int(wave0))
+
+    # pre-pad query vectors once for the rerank join (zeros cancel in the
+    # exact difference, same as search() stage 7)
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        pad_to_multiple(F.col(query_vec), 64, model.dim).alias("__qvec"),
+    )
+
+    while live.any() and waves < 64:
+        pairs_q: list[np.ndarray] = []
+        pairs_c: list[np.ndarray] = []
+        for qi in np.flatnonzero(live):
+            p = int(pos[qi])
+            lb_row = lbound[qi]
+            ord_row = order[qi]
+            # lb-ordered prefix: stop at the first bound above tau —
+            # everything after it is provably outside the top-k
+            take = []
+            while p < ncl and len(take) < wave:
+                c = ord_row[p]
+                if lb_row[c] > tau[qi]:
+                    early_retired[qi] = True
+                    p = ncl  # sound prefix cut: retire
+                    break
+                take.append(c)
+                p += 1
+            pos[qi] = p
+            if take:
+                pairs_q.append(np.full(len(take), qi, dtype=np.int64))
+                pairs_c.append(np.asarray(take, dtype=np.int64))
+            if p >= ncl and not take:
+                live[qi] = False
+        if not pairs_q:
+            break
+        waves += 1
+        qi_arr = np.concatenate(pairs_q)
+        ci_arr = np.concatenate(pairs_c)
+        probed_total += len(ci_arr)
+
+        cols = quantize_probe_pairs(
+            yp, cp, qi_arr, ci_arr, d2, model.rand_bias, scalar,
+            cfg.theta_log_dim,
+        )
+        # Arrow table (typed, zero-copy) — the pandas/py-object route
+        # rejects numpy scalars in the non-Arrow fallback
+        import pyarrow as pa
+
+        qp = np.vstack(cols["qplanes"])
+        tbl = pa.table(
+            {
+                "query_id": pa.array(
+                    np.asarray(q_ids[qi_arr], dtype=np.int64), pa.int64()
+                ),
+                "cluster_id": pa.array(cols["cluster_id"], pa.int32()),
+                "y_c_dist_sq": pa.array(cols["y_c_dist_sq"], pa.float32()),
+                "lower_bound": pa.array(cols["lower_bound"], pa.float32()),
+                "delta": pa.array(cols["delta"], pa.float32()),
+                "scalar_sum": pa.array(cols["scalar_sum"], pa.float32()),
+                "qplanes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(qp.ravel(), pa.int64()), qp.shape[1]
+                ).cast(pa.list_(pa.int64())),
+            }
+        )
+        probes_df = spark.createDataFrame(tbl, PROBE_SCHEMA)
+        local = _fused_shortlist(
+            model,
+            probes_df,
+            r,
+            cfg.theta_log_dim,
+            prune_partitions=True,
+            kernel=kernel,
+        )
+        shortlist = topk_per_group(
+            local,
+            ["query_id"],
+            [F.col("rough").asc(), F.col("orig_id").asc()],
+            r,
+        ).select("query_id", "orig_id")
+        exact = (
+            shortlist.join(model.base_df, "orig_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                F.col("orig_id").alias("neighbor_id"),
+                l2_squared(F.col("__qvec"), F.col("vec")).alias("dist"),
+            )
+        )
+        wave_res = topk_per_group(
+            exact,
+            ["query_id"],
+            [F.col("dist").asc(), F.col("neighbor_id").asc()],
+            topk,
+        ).select("query_id", "neighbor_id", "dist").toPandas()
+
+        acc = (
+            wave_res
+            if acc is None
+            else pd.concat([acc, wave_res], ignore_index=True).drop_duplicates(
+                ["query_id", "neighbor_id"]
+            )
+        )
+        acc = (
+            acc.sort_values(
+                ["query_id", "dist", "neighbor_id"], ignore_index=True
+            )
+            .groupby("query_id", sort=False)
+            .head(topk)
+            .reset_index(drop=True)
+        )
+        counts = acc.groupby("query_id")["dist"].agg(["count", "max"])
+        for qid_val, row in counts.iterrows():
+            qi = id_to_row.get(qid_val)
+            if qi is not None and row["count"] >= topk:
+                tau[qi] = row["max"]
+        # retire queries whose next bound exceeds tau (pos hit ncl above,
+        # or will on the next pass)
+        for qi in np.flatnonzero(live):
+            if pos[qi] >= ncl:
+                live[qi] = False
+        wave = int(np.ceil(wave * wave_growth))
+
+    if stats is not None:
+        stats["waves"] = waves
+        stats["probed_clusters_total"] = int(probed_total)
+        stats["avg_probes_per_query"] = probed_total / max(nq, 1)
+        stats["retired_early"] = int(early_retired.sum())
+
+    if acc is None:
+        acc = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "dist": []}
+        )
+    out = spark.createDataFrame(
+        acc, "query_id bigint, neighbor_id bigint, dist double"
+    )
+    return topk_per_group(
+        out,
+        ["query_id"],
+        [F.col("dist").asc(), F.col("neighbor_id").asc()],
+        topk,
+    ).select("query_id", "neighbor_id", "dist", "rank")

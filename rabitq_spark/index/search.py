@@ -43,6 +43,58 @@ PROBE_SCHEMA = (
 )
 
 
+def quantize_probe_pairs(
+    yp: "np.ndarray",
+    cp: "np.ndarray",
+    qi: "np.ndarray",
+    ci: "np.ndarray",
+    d2: "np.ndarray",
+    bias: "np.ndarray",
+    scalar: "np.float32",
+    theta_log_dim: int,
+) -> dict:
+    """Stage-4 residual quantization for an EXPLICIT flat list of
+    (query, cluster) pairs (P8/P9/P10, src/rabitq.rs:304-317) — the
+    shared numpy core of _prepare_probes' batch path and
+    search_adaptive's driver-built probe waves. `yp` is the rotated
+    padded query block, `cp` the projected centroids, `qi`/`ci` parallel
+    index arrays selecting the pairs, `d2` the (nq, n_clusters) squared
+    centroid distances. Bit-identical to the original (nq, nb)-shaped
+    computation: every op is elementwise per pair."""
+    dim_pad = cp.shape[1]
+    n_words = dim_pad // 64
+    npairs = len(qi)
+    resid = (yp[qi] - cp[ci]).astype(np.float32)  # (npairs, dim_pad)
+    lb = resid.min(axis=1).astype(np.float32)
+    ub = resid.max(axis=1).astype(np.float32)
+    delta = ((ub - lb) * scalar).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        mult = np.where(delta > 0, np.float32(1.0) / delta, np.float32(0.0))
+    qu = ((resid - lb[:, None]) * mult[:, None] + bias[None, :]).astype(
+        np.uint8
+    )
+    scalar_sum = qu.sum(axis=1, dtype=np.uint32).astype(np.float32)
+    planes = np.empty((theta_log_dim, npairs, n_words), dtype=np.uint64)
+    for p in range(theta_log_dim):
+        bits = ((qu >> p) & 1).astype(np.uint8)
+        planes[p] = np.packbits(bits, axis=1, bitorder="little").view(np.uint64)
+    qplanes = (
+        planes.transpose(1, 0, 2)
+        .reshape(npairs, theta_log_dim * n_words)
+        .view(np.int64)
+    )
+    y_c = d2[qi, ci].astype(np.float32)
+    np.maximum(y_c, 0.0, out=y_c)
+    return {
+        "cluster_id": ci.astype(np.int32),
+        "y_c_dist_sq": y_c,
+        "lower_bound": lb,
+        "delta": delta,
+        "scalar_sum": scalar_sum,
+        "qplanes": list(qplanes),
+    }
+
+
 def _prepare_probes(
     model: RaBitQModel, queries: DataFrame, query_id: str, query_vec: str, nprobe: int
 ) -> DataFrame:
@@ -77,42 +129,20 @@ def _prepare_probes(
             nq = yp.shape[0]
             nb = min(nprobe, cp.shape[0])
             probe_idx = np.argpartition(d2, nb - 1, axis=1)[:, :nb]  # (nq, nb)
-            # stages 4: fully vectorized over (query, probe) pairs
-            resid = (yp[:, None, :] - cp[probe_idx]).astype(np.float32)  # (nq, nb, dim)
-            lb = resid.min(axis=2).astype(np.float32)  # (nq, nb)
-            ub = resid.max(axis=2).astype(np.float32)
-            delta = ((ub - lb) * scalar).astype(np.float32)
-            with np.errstate(divide="ignore"):
-                mult = np.where(delta > 0, np.float32(1.0) / delta, np.float32(0.0))
-            # P9 scalar quantize with dither (src/utils.rs:194-209): trunc as u8
-            qu = (
-                (resid - lb[:, :, None]) * mult[:, :, None] + bias[None, None, :]
-            ).astype(np.uint8)
-            scalar_sum = qu.sum(axis=2, dtype=np.uint32).astype(np.float32)
-            # P8 bit-plane packing (src/utils.rs:71-97), plane-major per pair
-            flat = qu.reshape(nq * nb, dim_pad)
-            planes = np.empty((theta_log_dim, nq * nb, n_words), dtype=np.uint64)
-            for p in range(theta_log_dim):
-                bits = ((flat >> p) & 1).astype(np.uint8)
-                planes[p] = np.packbits(bits, axis=1, bitorder="little").view(np.uint64)
-            # (planes, pairs, words) -> (pairs, planes*words), plane-major
-            qplanes = (
-                planes.transpose(1, 0, 2)
-                .reshape(nq * nb, theta_log_dim * n_words)
-                .view(np.int64)
+            # stage 4 via the shared flat-pair core (bit-identical to the
+            # former (nq, nb)-shaped inline code: every op is per pair)
+            cols = quantize_probe_pairs(
+                yp,
+                cp,
+                np.repeat(np.arange(nq), nb),
+                probe_idx.ravel(),
+                d2,
+                bias,
+                scalar,
+                theta_log_dim,
             )
-            y_c = np.take_along_axis(d2, probe_idx, axis=1).astype(np.float32)
-            np.maximum(y_c, 0.0, out=y_c)
             yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(pdf[query_id].values, nb),
-                    "cluster_id": probe_idx.ravel().astype(np.int32),
-                    "y_c_dist_sq": y_c.ravel(),
-                    "lower_bound": lb.ravel(),
-                    "delta": delta.ravel(),
-                    "scalar_sum": scalar_sum.ravel(),
-                    "qplanes": list(qplanes),
-                }
+                {"query_id": np.repeat(pdf[query_id].values, nb), **cols}
             )
 
     return queries.select(

@@ -238,6 +238,25 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_earlystop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive early-stop probing (reference README.md:20 — the one
+    feature the reference itself left unchecked): probes expand in waves
+    and a query retires as soon as the triangle inequality over per-
+    cluster radii proves no unprobed cluster can hold a better neighbor
+    (index/adaptive.py::search_adaptive). With the exhaustive rerank
+    width the output is PROVABLY bit-identical to brute-force kNN — a
+    stronger contract than probe-all exhaustive config, reached after
+    probing only the clusters geometry cannot exclude."""
+    from rabitq_spark.index import search_adaptive
+
+    model = _get_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search_adaptive(model, queries, topk=_KNN_K, overfetch=10**6)
+
+
 def q_ann_ivf_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive IVF+RaBitQ search through the FASTSCAN kernel
     (impl="fastscan", index/search.py::fastscan_asym): per-probe 4-bit
@@ -7124,6 +7143,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # freshest entries of the stale cohort to just past the window (r8).
     "knn_exact": q_knn_exact,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "ann_ivf_earlystop": q_ann_ivf_earlystop,
     "ann_ivf_fastscan": q_ann_ivf_fastscan,
     "concat_chunk_pack": q_concat_chunk_pack,
     "shuffle_shards": q_shuffle_shards,
@@ -7396,6 +7416,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_multibit": _SQL_KNN_EXACT,
     # exhaustive SQ8 shortlist (shortlist >= |base|) == exact brute force
     "ann_sq8": _SQL_KNN_EXACT,
+    "ann_ivf_earlystop": _SQL_KNN_EXACT,
     "ann_pq": _SQL_KNN_EXACT,
     "ann_ivfpq": _SQL_KNN_EXACT,
     "ann_ivfpq_cold": _SQL_KNN_EXACT,
