@@ -287,6 +287,14 @@ def main() -> None:
     # IVF and IVF wins. Performance evidence only — never an oracle input.
     scale_probe = _scale_probe(spark, n_base=1_000_000, nq=N_QUERIES)
 
+    # --- 10M x 256 point (round-7 verdict item 4): one decade further;
+    # multibit-4 index, fastscan kernel, brute GEMM control, hard gates
+    scale10m = (
+        _scale_probe_10m(spark)
+        if os.environ.get("SPARK_GRAFT_SCALE10M", "1") != "0"
+        else {}
+    )
+
     # --- dedup scale probes (round-5 verdict item 5): the operators a
     # 100 TB pipeline runs all day, measured past the toy-SF regime with
     # explicit pass gates (planted-duplicate recall, blocked-vs-control
@@ -338,6 +346,7 @@ def main() -> None:
         "rough_candidates_per_query": round(metrics.rough_count / max(nq, 1), 1),
         "precise_rerank_per_query": round(metrics.precise_count / max(nq, 1), 1),
         "scale_probe": scale_probe,
+        "scale_probe_10m": scale10m,
         "dedup_scale_probe": dedup_probe,
         "state_scale_probe": state_probe,
         "slope_probe": slope_probe,
@@ -386,6 +395,17 @@ def main() -> None:
         "scale_probe_brute_sec": scale_probe.get("brute_sec"),
         "scale_probe_recall": scale_probe.get("ivf_recall_at_k"),
         "kernel_ab": scale_probe.get("kernel_ab"),
+        "earlystop": scale_probe.get("earlystop"),
+        "scale10m": {
+            k: scale10m.get(k)
+            for k in (
+                "build_sec", "brute_sec", "ivf_sec", "fastscan_sec",
+                "recall_at_k", "recall_gate_0.9", "ivf_2x_brute_gate",
+                "fastscan_equal_gate",
+            )
+        }
+        if scale10m
+        else None,
         "dedup_probe_gates": {
             k: v for k, v in dedup_probe.items() if k.endswith("gate")
         },
@@ -476,6 +496,18 @@ def _sf1_section(spark, bench_queries) -> dict:
             # 11.6 s cold vs 0.25 s warm; a median would split the
             # difference and misread as a regression or win)
             out["queries"][name] = round(runs[0], 3)
+            # round-7 verdict item 6: when run 1 dwarfs run 2, name the
+            # cause IN the artifact — the gap is the one-time per-process
+            # model/fixture/JIT amortization (curated_retrieval builds the
+            # shared IVF model on first call; embedding_neardup warms the
+            # BLAS/GEMM prefilter), not a query regression
+            if name in repeat_set and len(runs) > 1 and runs[0] > 2 * runs[1]:
+                out.setdefault("cold_warm", {})[name] = {
+                    "cold_sec": round(runs[0], 3),
+                    "warm_sec": round(runs[1], 3),
+                    "cause": "first-call amortization (shared model/"
+                    "fixture build + JIT), not steady-state cost",
+                }
         except Exception:  # noqa: BLE001
             out["queries"][name] = -1.0
     from rabitq_spark.operators.dedup import release_caches
@@ -830,14 +862,10 @@ def _dedup_scale_probe(
     return out
 
 
-def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
+def _gaussian_base(spark, n_base: int, dim: int):
     """Seeded Gaussian-mixture base generated executor-side (as in
-    scripts/scaling_probe.py); measures the IVF and brute paths at a base
-    size past BRUTE_FORCE_MAX_BASE, where the cost rule switches to IVF."""
+    scripts/scaling_probe.py) — shared by the 1M and 10M scale probes."""
     import numpy as np
-    from pyspark.sql import functions as F
-
-    from rabitq_spark.operators.knn import knn_exact_fast
 
     centers = np.random.default_rng(7).standard_normal((64, dim)) * 3
 
@@ -853,12 +881,22 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
             )
             yield pd.DataFrame({"id": ids, "vec": list(vecs)})
 
-    base = (
+    return (
         spark.range(n_base)
         .repartition(32)
         .mapInPandas(gen, "id bigint, vec array<float>")
-        .cache()
     )
+
+
+def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
+    """Gaussian-mixture base; measures the IVF and brute paths at a base
+    size past BRUTE_FORCE_MAX_BASE, where the cost rule switches to IVF."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.operators.knn import knn_exact_fast
+
+    base = _gaussian_base(spark, n_base, dim).cache()
     base.count()
     queries = (
         base.limit(nq)
@@ -949,6 +987,39 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         kernel_ab["fused_sec"] / max(kernel_ab["fastscan_sec"], 1e-9), 2
     )
 
+    # adaptive early-stop probing (round-8; reference README.md:20): the
+    # triangle cutoff must cut probed clusters materially below the static
+    # nprobe at matched recall — the "rough candidates" saving the static
+    # plan cannot express
+    from rabitq_spark.index import search_adaptive
+
+    ad_stats: dict = {}
+    t0 = time.perf_counter()
+    approx_ad = search_adaptive(
+        model, queries, topk=TOPK, wave0=8, max_probes=cfg.nprobe,
+        stats=ad_stats,
+    ).toPandas()
+    earlystop_s = time.perf_counter() - t0
+    hits_ad = approx_ad.merge(
+        exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
+    )
+    earlystop = {
+        "sec": round(earlystop_s, 2),
+        "recall_at_k": round(len(hits_ad) / max(len(exact), 1), 4),
+        "avg_probes_per_query": round(ad_stats["avg_probes_per_query"], 1),
+        "static_nprobe": cfg.nprobe,
+        "probe_reduction_pct": round(
+            100 * (1 - ad_stats["avg_probes_per_query"] / cfg.nprobe), 1
+        ),
+        "retired_early": ad_stats["retired_early"],
+        "waves": ad_stats["waves"],
+        # the verdict's done-bar: probes drop >= 30% without recall loss
+        # beyond 0.01 of the static path's
+        "probe_saving_gate": ad_stats["avg_probes_per_query"]
+        <= 0.7 * cfg.nprobe,
+        "recall_gate": len(hits_ad) / max(len(exact), 1) >= recall - 0.01,
+    }
+
     # multi-bit point (bits_per_dim=4): the extended estimator needs ~1/8 of
     # the rerank width for full recall (scripts/multibit_probe.py), which is
     # what makes IVF decisively beat brute force at this scale
@@ -1008,8 +1079,77 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         "multibit4_effective_overfetch": auto_overfetch(model4, cfg4.nprobe, TOPK),
         "multibit4_fastscan_sec": round(ivf4_fs_s, 2),
         "multibit4_fastscan_equal_gate": bool(mb_equal),
+        "earlystop": earlystop,
         "kernel_ab": kernel_ab,
     }
+
+
+def _scale_probe_10m(
+    spark, n_base: int = 10_000_000, nq: int = 1000, dim: int = 256
+) -> dict:
+    """Second decade of the 100x story (round-7 verdict item 4): 10M x 256
+    (~10 GB f32, fits the 128 GiB sandbox). ONE multibit-4 index — the
+    measured-best config at 1M (recall 1.0 at 1/8 the rerank width) —
+    searched through both the jvm plan and the fastscan Arrow kernel,
+    against the brute GEMM control. Gates: recall >= 0.9 and
+    IVF >= 2x brute (fastscan wall * 2 <= brute wall).
+    SPARK_GRAFT_SCALE10M=0 skips (local iteration)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.operators.knn import knn_exact_fast
+
+    out: dict = {"n_base": n_base, "n_queries": nq, "dim": dim}
+    base = _gaussian_base(spark, n_base, dim).cache()
+    base.count()
+    queries = (
+        base.limit(nq)
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+        .cache()
+    )
+    queries.count()
+    k_clusters = int(np.sqrt(n_base))
+    cfg = RaBitQConfig(
+        n_clusters=k_clusters, nprobe=k_clusters // 32, topk=TOPK,
+        overfetch=16, bits_per_dim=4,
+    )
+    t0 = time.perf_counter()
+    model = build_index(
+        base, cfg, kmeans_sample_fraction=50_000 / n_base, n_rows=n_base
+    )
+    model.index_df = model.index_df.cache()
+    model.index_df.count()
+    model.base_df = model.base_df.cache()
+    model.base_df.count()
+    out["build_sec"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    exact = knn_exact_fast(queries, base, TOPK).toPandas()
+    out["brute_sec"] = round(time.perf_counter() - t0, 1)
+
+    search(model, queries.limit(10)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t0 = time.perf_counter()
+    jvm = search(model, queries).toPandas()
+    out["ivf_sec"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    fs = search(model, queries, impl="fastscan").toPandas()
+    out["fastscan_sec"] = round(time.perf_counter() - t0, 1)
+    out["fastscan_equal_gate"] = bool(
+        fs.sort_values(["query_id", "rank"], ignore_index=True).equals(
+            jvm.sort_values(["query_id", "rank"], ignore_index=True)
+        )
+    )
+    hits = fs.merge(
+        exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
+    )
+    out["recall_at_k"] = round(len(hits) / max(len(exact), 1), 4)
+    out["recall_gate_0.9"] = out["recall_at_k"] >= 0.9
+    out["ivf_2x_brute_gate"] = out["fastscan_sec"] * 2 <= out["brute_sec"]
+    for df in (model.index_df, model.base_df, base, queries):
+        df.unpersist()
+    return out
 
 
 if __name__ == "__main__":

@@ -7134,64 +7134,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is a driver-coverage decision: the driver's
     # correctness window checks the FIRST ~50 entries only, so entries are
     # rotated each round behind two fixed anchors, ordered by
-    # least-recently-driver-checked (union of CORRECTNESS_r01..r06; see
-    # scripts/rotate_registry note in PLAN.md round 7). Round-7 front:
-    # the 17 entries last checked in r2, then the r4 cohort — so every
-    # registry row stays <= 2 rounds stale as the window advances. The two
-    # round-7 additions (ann_ivf_fastscan, concat_chunk_pack) are NEVER-
-    # checked and slot directly behind the anchors; they displace the two
-    # freshest entries of the stale cohort to just past the window (r8).
+    # least-recently-driver-checked (union of CORRECTNESS_r01..r07).
+    # Round-8 front: the never-checked round-8 addition
+    # (ann_ivf_earlystop), then the 18-entry r4 cohort, then the r5
+    # cohort — the 50-entry window covers anchors + new + all of r4 + 29
+    # of r5; the r5 remainder is exactly 3 rounds stale at r8 close and
+    # fronts the r9 rotation. Within each cohort the previous relative
+    # order is kept (stable rotation, minimal churn).
     "knn_exact": q_knn_exact,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_earlystop": q_ann_ivf_earlystop,
-    "ann_ivf_fastscan": q_ann_ivf_fastscan,
-    "concat_chunk_pack": q_concat_chunk_pack,
-    "shuffle_shards": q_shuffle_shards,
-    "ann_pq4_fastscan": q_ann_pq4_fastscan,
-    "json_props": q_json_props,
-    "interval_join": q_interval_join,
-    "kmv_distinct_users": q_kmv_distinct_users,
-    "similarity_join": q_similarity_join,
-    "multimodal_features": q_multimodal_features,
-    "shipping_priority": q_shipping_priority,
-    "local_supplier_volume": q_local_supplier_volume,
-    "customers_without_orders": q_customers_without_orders,
-    "rollup_revenue": q_rollup_revenue,
-    "stream_window": q_stream_window,
-    "minhash_lsh_mllib": q_minhash_lsh_mllib,
-    "brp_lsh_mllib": q_brp_lsh_mllib,
-    "chunk_documents": q_chunk_documents,
-    "hash_split": q_hash_split,
-    "stratified_sample": q_stratified_sample,
-    "pivot_events": q_pivot_events,
-    "value_percentiles": q_value_percentiles,
-    "knn_cosine": q_knn_cosine,
-    "ann_ivf_multibit": q_ann_ivf_multibit,
-    "ann_sq8": q_ann_sq8,
-    "ann_pq": q_ann_pq,
-    "ann_ivfpq": q_ann_ivfpq,
-    "ann_ivfpq_cold": q_ann_ivfpq_cold,
-    "ann_ivfpq_filtered": q_ann_ivfpq_filtered,
-    "ann_ivfpq_append": q_ann_ivfpq_append,
-    "jl_project": q_jl_project,
-    "ann_jl_ivf": q_ann_jl_ivf,
-    "ann_ivf_cold_index": q_ann_ivf_cold_index,
-    "ann_ivf_cosine": q_ann_ivf_cosine,
-    "ann_ivf_filtered": q_ann_ivf_filtered,
-    "ann_range": q_ann_range,
-    "ann_ivf_delete": q_ann_ivf_delete,
-    "ann_ivf_compacted": q_ann_ivf_compacted,
-    "ann_ivf_upsert": q_ann_ivf_upsert,
-    "ann_ivf_cdc": q_ann_ivf_cdc,
-    "ann_stream_cdc": q_ann_stream_cdc,
-    "curated_retrieval": q_curated_retrieval,
-    "large_volume_orders": q_large_volume_orders,
-    "min_price_supplier": q_min_price_supplier,
-    "sft_turn_stats": q_sft_turn_stats,
-    "ann_stream_index": q_ann_stream_index,
-    "topk_orders_per_segment": q_topk_orders_per_segment,
-    "pricing_summary": q_pricing_summary,
-    "dedup_exact": q_dedup_exact,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "merge_documents": q_merge_documents,
     "zorder_events": q_zorder_events,
@@ -7301,6 +7253,54 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "constraint_audit": q_constraint_audit,
     "quantile_sketch": q_quantile_sketch,
     "neardup_state": q_neardup_state,
+    "ann_ivf_fastscan": q_ann_ivf_fastscan,
+    "concat_chunk_pack": q_concat_chunk_pack,
+    "shuffle_shards": q_shuffle_shards,
+    "ann_pq4_fastscan": q_ann_pq4_fastscan,
+    "json_props": q_json_props,
+    "interval_join": q_interval_join,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "similarity_join": q_similarity_join,
+    "multimodal_features": q_multimodal_features,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "customers_without_orders": q_customers_without_orders,
+    "rollup_revenue": q_rollup_revenue,
+    "stream_window": q_stream_window,
+    "minhash_lsh_mllib": q_minhash_lsh_mllib,
+    "brp_lsh_mllib": q_brp_lsh_mllib,
+    "chunk_documents": q_chunk_documents,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "pivot_events": q_pivot_events,
+    "value_percentiles": q_value_percentiles,
+    "knn_cosine": q_knn_cosine,
+    "ann_ivf_multibit": q_ann_ivf_multibit,
+    "ann_sq8": q_ann_sq8,
+    "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
+    "ann_ivfpq_cold": q_ann_ivfpq_cold,
+    "ann_ivfpq_filtered": q_ann_ivfpq_filtered,
+    "ann_ivfpq_append": q_ann_ivfpq_append,
+    "jl_project": q_jl_project,
+    "ann_jl_ivf": q_ann_jl_ivf,
+    "ann_ivf_cold_index": q_ann_ivf_cold_index,
+    "ann_ivf_cosine": q_ann_ivf_cosine,
+    "ann_ivf_filtered": q_ann_ivf_filtered,
+    "ann_range": q_ann_range,
+    "ann_ivf_delete": q_ann_ivf_delete,
+    "ann_ivf_compacted": q_ann_ivf_compacted,
+    "ann_ivf_upsert": q_ann_ivf_upsert,
+    "ann_ivf_cdc": q_ann_ivf_cdc,
+    "ann_stream_cdc": q_ann_stream_cdc,
+    "curated_retrieval": q_curated_retrieval,
+    "large_volume_orders": q_large_volume_orders,
+    "min_price_supplier": q_min_price_supplier,
+    "sft_turn_stats": q_sft_turn_stats,
+    "ann_stream_index": q_ann_stream_index,
+    "topk_orders_per_segment": q_topk_orders_per_segment,
+    "pricing_summary": q_pricing_summary,
+    "dedup_exact": q_dedup_exact,
 }
 
 
