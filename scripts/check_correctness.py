@@ -173,7 +173,7 @@ def main() -> int:
         if exact:
             print(f"[OK] {name}: {len(s)} rows, bit-exact ({row['spark_sec']}s)")
     spark.stop()
-    if not only:
+    if not only or _os.environ.get("SPARK_GRAFT_WRITE_LOCAL") == "1":
         out_name = (
             "/root/repo/CORRECTNESS_LOCAL.json"
             if SF_DIR.rstrip("/").endswith("sf0.01")
