@@ -287,16 +287,6 @@ def main() -> None:
     # IVF and IVF wins. Performance evidence only — never an oracle input.
     scale_probe = _scale_probe(spark, n_base=1_000_000, nq=N_QUERIES)
 
-    # --- 10M x 256 point (round-7 verdict item 4): one decade further;
-    # multibit-4 index, fastscan kernel, brute GEMM control, hard gates
-    if os.environ.get("SPARK_GRAFT_SCALE10M", "1") != "0":
-        try:
-            scale10m = _scale_probe_10m(spark)
-        except Exception as exc:  # noqa: BLE001 — never block the contract
-            scale10m = {"error": repr(exc)[:200]}
-    else:
-        scale10m = {}
-
     # --- dedup scale probes (round-5 verdict item 5): the operators a
     # 100 TB pipeline runs all day, measured past the toy-SF regime with
     # explicit pass gates (planted-duplicate recall, blocked-vs-control
@@ -323,6 +313,20 @@ def main() -> None:
         state_probe = run_state_scale_probe(spark, n_users=state_probe_users)
     else:
         state_probe = {}
+
+    # --- 10M x 256 point (round-7 verdict item 4): one decade further;
+    # multibit-4 index, jvm + fastscan kernels, brute GEMM control, hard
+    # gates. Runs LAST: its 10 GB scans + DISK_ONLY blocks leave enough
+    # JVM pressure behind that the dedup probe OOM'd when 10M ran before
+    # it (measured r8) — self-contained on parquet, so nothing after it
+    # needs a clean heap.
+    if os.environ.get("SPARK_GRAFT_SCALE10M", "1") != "0":
+        try:
+            scale10m = _scale_probe_10m(spark)
+        except Exception as exc:  # noqa: BLE001 — never block the contract
+            scale10m = {"error": repr(exc)[:200]}
+    else:
+        scale10m = {}
 
     result = {
         # headline = the engine's cost-based ANN path (exact at this base
