@@ -102,6 +102,12 @@ def _host_calibration(spark) -> dict:
 
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    # one ~13k-stage session runs every probe: the default 8g heap OOM'd
+    # twice in r8 (a 50 MB cache count failing AFTER the heavy probes —
+    # accumulated broadcast/stage metadata, not storage, which evicts).
+    # The sandbox has 128 GiB; give the bench session a real heap. Honors
+    # an explicit SPARK_DRIVER_MEM if the harness sets one.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_spark("rabitq_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
