@@ -101,15 +101,15 @@ def search_adaptive(
 
     `overfetch` bounds the per-wave rerank width (R = overfetch x topk)
     exactly as in search(); pass a value covering every probed row (e.g.
-    10**6) for the provably-brute-exact configuration. `max_probes` caps
+    10**6) for the provably-brute-exact configuration. `stats`, if a dict
+    is passed, receives waves / probed_clusters_total /
+    avg_probes_per_query / retired_early. `max_probes` caps
     the probed clusters per query (approximate mode — on heavily
     OVERLAPPING clusters the triangle bound is weak, radii span the gaps,
     and an uncapped run degrades toward a full scan; with the cap the
     contract matches static search at nprobe=max_probes except queries
     that retire earlier, which PROVABLY lose nothing). Leave None for the
-    exact contract. `stats`, if given
-    a dict, receives {"waves", "probed_clusters_total", "probed_rows_est",
-    "retired_early"} for instrumentation (driver-side counters only).
+    exact contract.
 
     Reference parity: README.md:20 ("early stop", the one unchecked
     feature the reference never built); the wave loop is the batch
