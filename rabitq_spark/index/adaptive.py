@@ -48,13 +48,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from rabitq_spark.functions.vector import l2_squared, pad_to_multiple
+from rabitq_spark.functions.vector import pad_to_multiple
 from rabitq_spark.index.model import RaBitQModel
 from rabitq_spark.index.rotation import apply_rot
 from rabitq_spark.index.search import (
     PROBE_SCHEMA,
     _fused_shortlist,
     auto_overfetch,
+    exact_rerank,
     quantize_probe_pairs,
 )
 from rabitq_spark.operators.topk import topk_per_group
@@ -67,9 +68,13 @@ def cluster_radii_sq(model: RaBitQModel) -> np.ndarray:
     Clusters absent from the index (empty posting lists) get radius 0:
     their lower bound is then the full centroid distance, and probing
     them is a no-op either way."""
+    # memo keyed on the index plan's identity: the repo's own pattern of
+    # reassigning model.index_df in place (bench/tests persist it) must
+    # invalidate the radii — stale (undersized) radii would make the
+    # triangle bound unsound and silently drop true neighbors
     memo = getattr(model, "_radii_sq", None)
-    if memo is not None:
-        return memo
+    if memo is not None and memo[0] == id(model.index_df):
+        return memo[1]
     rows = (
         model.index_df.groupBy("cluster_id")
         .agg(F.max("center_dist_sq").alias("r2"))
@@ -78,7 +83,7 @@ def cluster_radii_sq(model: RaBitQModel) -> np.ndarray:
     radii = np.zeros(model.n_clusters, dtype=np.float64)
     for row in rows:
         radii[row["cluster_id"]] = max(float(row["r2"]), 0.0)
-    model._radii_sq = radii
+    model._radii_sq = (id(model.index_df), radii)
     return radii
 
 
@@ -164,7 +169,17 @@ def search_adaptive(
         pad_to_multiple(F.col(query_vec), 64, model.dim).alias("__qvec"),
     )
 
+    forced_final = False
     while live.any() and waves < 64:
+        if waves == 62:
+            # wave-cap guard (round-8 advisor): degenerate knobs (wave0=1
+            # with wave_growth near 1) could otherwise exit the loop with
+            # live queries and silently miss true neighbors despite the
+            # docstring's exactness promise. The second-to-last allowed
+            # wave covers EVERY remaining cluster, so the loop always
+            # terminates with the exact contract intact.
+            wave = ncl
+            forced_final = True
         pairs_q: list[np.ndarray] = []
         pairs_c: list[np.ndarray] = []
         for qi in np.flatnonzero(live):
@@ -237,15 +252,9 @@ def search_adaptive(
             [F.col("rough").asc(), F.col("orig_id").asc()],
             r,
         ).select("query_id", "orig_id")
-        exact = (
-            shortlist.join(model.base_df, "orig_id")
-            .join(F.broadcast(qv), "query_id")
-            .select(
-                "query_id",
-                F.col("orig_id").alias("neighbor_id"),
-                l2_squared(F.col("__qvec"), F.col("vec")).alias("dist"),
-            )
-        )
+        # exact rerank: candidate-bound via the vec store when the model
+        # carries one, base join otherwise (bit-identical — exact_rerank)
+        exact = exact_rerank(model, shortlist, qv)
         wave_res = topk_per_group(
             exact,
             ["query_id"],
@@ -285,6 +294,7 @@ def search_adaptive(
         stats["probed_clusters_total"] = int(probed_total)
         stats["avg_probes_per_query"] = probed_total / max(nq, 1)
         stats["retired_early"] = int(early_retired.sum())
+        stats["forced_final_wave"] = forced_final
 
     if acc is None:
         acc = pd.DataFrame(

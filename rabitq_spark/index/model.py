@@ -37,6 +37,11 @@ class RaBitQModel:
     # (never computed with an extra job); lets search() size the rerank
     # width from the exact average cluster size instead of the sqrt(n)
     # approximation
+    vec_store: "object | None" = None  # optional VecStore (index/vecstore.py):
+    # fixed-width raw sidecar for candidate-bound exact rerank — the disk
+    # variant's point-read design (crates/disk/src/cache.rs:115-145). When
+    # set, search() stage 7 gathers ONLY candidate rows instead of joining
+    # (and thus fully scanning) base_df.
 
     @property
     def n_clusters(self) -> int:
@@ -64,6 +69,15 @@ class RaBitQModel:
             .parquet(f"{path}/index")
         )
         self.base_df.write.mode("overwrite").parquet(f"{path}/base")
+        if self.vec_store is not None:
+            # re-materialize the point-read sidecar under the save dir (same
+            # values — the store is a pure function of base_df, like index/)
+            from rabitq_spark.index.vecstore import build_vec_store
+
+            build_vec_store(
+                self.base_df, f"{path}/vecstore", dim=self.dim,
+                n_rows=self.n_rows,
+            )
         from rabitq_spark.index.rotation import BlockRotation
 
         if isinstance(self.rotation, BlockRotation):
@@ -122,11 +136,14 @@ class RaBitQModel:
             index_df=index,
             base_df=base,
             n_rows=self.n_rows,
+            vec_store=self.vec_store,
         )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> RaBitQModel:
         from rabitq_spark.index.rotation import BlockRotation
+
+        from rabitq_spark.index.vecstore import VecStore
 
         with open(f"{path}/meta.json") as f:
             meta = json.load(f)
@@ -148,4 +165,9 @@ class RaBitQModel:
             index_df=spark.read.parquet(f"{path}/index"),
             base_df=spark.read.parquet(f"{path}/base"),
             n_rows=meta.get("n_rows"),
+            vec_store=(
+                VecStore.open(f"{path}/vecstore")
+                if VecStore.exists(f"{path}/vecstore")
+                else None
+            ),
         )

@@ -571,6 +571,85 @@ def _fused_shortlist(
     )
 
 
+def exact_rerank(
+    model: RaBitQModel,
+    shortlist: DataFrame,
+    qv: DataFrame,
+    metrics: "SearchMetrics | None" = None,
+) -> DataFrame:
+    """Stage 7: exact squared-L2 over the shortlist — (query_id,
+    neighbor_id, dist), dist the deterministic double fold of l2_squared.
+
+    Two physically different plans, bit-identical results
+    (tests/test_vecstore.py):
+
+    * base-join (default): shortlist ⋈ base_df on orig_id. The shortlist
+      side broadcasts, so the base never shuffles — but the scan is
+      O(base): uniformly-spread candidate ids defeat row-group/page
+      pruning (measured at 10M x 256: every row group holds candidates at
+      1.6% density, so the rerank read the full 10 GB vector column).
+    * vec-store (when model.vec_store is set): gather ONLY candidate rows
+      from the fixed-width sidecar — O(candidates) reads, the disk
+      variant's point-read design (crates/disk/src/cache.rs:115-145). The
+      numpy fold mirrors l2_squared exactly: per-element float32→float64
+      cast, subtract, square, left-to-right accumulation (pad terms add
+      +0.0 and cancel bit-exactly, so the unpadded prefix suffices).
+
+    `metrics.rerank`, when wired, observes `rerank_base_rows` — the rows
+    the rerank actually read from base storage (== base row count for the
+    join plan, == candidate count for the store plan), making the
+    candidate-bound property a measurable artifact line, not a claim.
+    """
+    store = model.vec_store
+    if store is None:
+        base = model.base_df
+        if metrics is not None:
+            base = base.observe(
+                metrics.rerank, F.count(F.lit(1)).alias("rerank_base_rows")
+            )
+        return shortlist.join(base, "orig_id").join(
+            F.broadcast(qv), "query_id"
+        ).select(
+            "query_id",
+            F.col("orig_id").alias("neighbor_id"),
+            l2_squared(F.col("__qvec"), F.col("vec")).alias("dist"),
+        )
+
+    ensure_package_on_executors(shortlist.sparkSession)
+    dim = model.dim
+    joined = shortlist.join(F.broadcast(qv), "query_id")
+    if metrics is not None:
+        joined = joined.observe(
+            metrics.rerank, F.count(F.lit(1)).alias("rerank_base_rows")
+        )
+
+    def rr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["orig_id"].to_numpy(dtype=np.int64)
+            q = np.vstack(pdf["__qvec"].to_numpy())[:, :dim]
+            v = store.gather(ids)
+            # mirror l2_squared bit-for-bit: elementwise double cast, then
+            # (x-y)^2 in double, then a LEFT-TO-RIGHT vectorized fold
+            d = q.astype(np.float64) - v.astype(np.float64)
+            d2 = d * d
+            acc = np.zeros(len(ids), dtype=np.float64)
+            for j in range(dim):
+                acc = acc + d2[:, j]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": ids,
+                    "dist": acc,
+                }
+            )
+
+    return joined.mapInPandas(
+        rr, "query_id bigint, neighbor_id bigint, dist double"
+    )
+
+
 def auto_overfetch(model: RaBitQModel, nprobe: int, topk: int) -> int:
     """Scale-aware rerank width: overfetch such that R = overfetch × topk is
     ~2% of the rough-candidate pool, floored at config.overfetch. See
@@ -765,20 +844,14 @@ def search(
 
     # Stage 7: exact rerank on original vectors (J3 + D1 + final top-k).
     # base_df is padded; pad the query the same way (zeros cancel in the
-    # difference, so dist equals the unpadded exact distance).
+    # difference, so dist equals the unpadded exact distance). When the
+    # model carries a vec store, the rerank gathers candidate rows instead
+    # of scanning base — see exact_rerank.
     qv = queries.select(
         F.col(query_id).alias("query_id"),
         pad_to_multiple(F.col(query_vec), 64, model.dim).alias("__qvec"),
     )
-    exact = (
-        shortlist.join(model.base_df, "orig_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            F.col("orig_id").alias("neighbor_id"),
-            l2_squared(F.col("__qvec"), F.col("vec")).alias("dist"),
-        )
-    )
+    exact = exact_rerank(model, shortlist, qv, metrics=metrics)
     return topk_per_group(
         exact, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], topk
     ).select("query_id", "neighbor_id", "dist", "rank")
@@ -840,14 +913,5 @@ def range_search(
         F.col(query_id).alias("query_id"),
         pad_to_multiple(F.col(query_vec), 64, model.dim).alias("__qvec"),
     )
-    exact = (
-        cand.select("query_id", "orig_id")
-        .join(model.base_df, "orig_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            F.col("orig_id").alias("neighbor_id"),
-            l2_squared(F.col("__qvec"), F.col("vec")).alias("dist"),
-        )
-    )
+    exact = exact_rerank(model, cand.select("query_id", "orig_id"), qv)
     return exact.filter(F.col("dist") <= F.lit(radius_sq))

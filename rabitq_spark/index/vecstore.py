@@ -1,0 +1,233 @@
+"""Fixed-width raw vector store for candidate-bound exact rerank.
+
+Why this exists (the measured 10M-row finding, BENCH_r08 `scale10m`): the
+exact-rerank join `shortlist ⋈ base_df` is O(base), not O(candidates) —
+top-k candidate ids are uniformly spread over the id range, so at ~1.6%
+candidate density EVERY Parquet row group (and every page) contains
+candidates and min/max pruning, page indexes, and bloom filters all
+degrade to a full scan of the 10 GB vector column. Columnar formats
+cannot point-read rows; a candidate-bound rerank needs row-level random
+access.
+
+This module is the Spark re-expression of the reference disk variant's
+candidate block fetches (crates/disk/src/cache.rs:115-145 — the searcher
+fetches ONLY the blocks holding shortlist candidates, each one a bounded
+range read) and its S3 range-GET design (crates/disk/src/reader.rs): rows
+live at `ordinal * dim * 4` inside fixed-width float32 shard files, so one
+candidate costs one bounded read regardless of how ids spread across the
+base. Locally the reads are np.memmap gathers served by the page cache; on
+a cluster the store directory lives on shared storage and each gather is
+the byte-range-GET analogue.
+
+Layout under `dir/`:
+    meta.json             dim, row count, shard table (min_id/max_id/count)
+    shard_{i:05d}.vec     raw little-endian float32, count x dim
+    shard_{i:05d}.ids     raw little-endian int64, count (sorted ascending)
+
+Shards are id-range partitions (repartitionByRange), ids sorted within, so
+candidate lookup is: searchsorted over shard max_ids -> shard, searchsorted
+in the shard's id array -> ordinal -> one row read. Arbitrary (sparse,
+non-contiguous) int64 ids are supported; ordinals, not ids, index the rows.
+
+Vectors are stored UNPADDED (the first `dim` floats): the exact-rerank
+fold over padded arrays only ever adds (0-0)^2 = +0.0 terms at the tail,
+and x + 0.0 == x bit-for-bit for the non-negative partial sums involved,
+so folding the unpadded prefix is bit-identical to the padded fold
+(asserted in tests/test_vecstore.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+# Executor-process-local memmap cache: one (ids, vec) memmap pair per shard
+# file, reused across Arrow batches and queries. Keyed by absolute file
+# path; never pickled (VecStore instances ship only dir + meta).
+_MM_CACHE: dict = {}
+
+
+def _shard_mmaps(store_dir: str, shard: dict, dim: int):
+    key = os.path.join(store_dir, shard["name"])
+    hit = _MM_CACHE.get(key)
+    if hit is None:
+        ids = np.memmap(
+            key + ".ids", dtype="<i8", mode="r", shape=(shard["count"],)
+        )
+        vec = np.memmap(
+            key + ".vec", dtype="<f4", mode="r", shape=(shard["count"], dim)
+        )
+        hit = (ids, vec)
+        _MM_CACHE[key] = hit
+    return hit
+
+
+@dataclass
+class VecStore:
+    """Handle to a built store. Cheap to pickle into task closures: holds
+    only the directory path and the (small) shard table."""
+
+    dir: str
+    dim: int
+    n_rows: int
+    shards: list  # [{name, count, min_id, max_id}], ordered by min_id
+
+    @classmethod
+    def open(cls, store_dir: str) -> "VecStore":
+        with open(os.path.join(store_dir, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            dir=store_dir,
+            dim=meta["dim"],
+            n_rows=meta["n_rows"],
+            shards=meta["shards"],
+        )
+
+    @staticmethod
+    def exists(store_dir: str) -> bool:
+        return os.path.isfile(os.path.join(store_dir, "meta.json"))
+
+    def gather(self, ids: np.ndarray) -> np.ndarray:
+        """(n, dim) float32 rows for int64 `ids`, in the order given.
+        One bounded read per candidate row — O(candidates), never O(base).
+        Raises KeyError on an id the store does not hold (a shortlist id
+        always comes from an index built over the same base, so a miss is
+        a wiring bug, not a data condition)."""
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
+        out = np.empty((len(ids), self.dim), dtype=np.float32)
+        if len(ids) == 0:
+            return out
+        max_ids = np.array([s["max_id"] for s in self.shards], dtype=np.int64)
+        which = np.searchsorted(max_ids, ids, side="left")
+        if which.max(initial=-1) >= len(self.shards):
+            bad = ids[which >= len(self.shards)][0]
+            raise KeyError(f"id {bad} beyond store max {max_ids[-1]}")
+        for si in np.unique(which):
+            sel = np.flatnonzero(which == si)
+            sid_mm, vec_mm = _shard_mmaps(self.dir, self.shards[si], self.dim)
+            ords = np.searchsorted(sid_mm, ids[sel])
+            if (ords >= len(sid_mm)).any() or (
+                np.asarray(sid_mm[np.minimum(ords, len(sid_mm) - 1)])
+                != ids[sel]
+            ).any():
+                miss = ids[sel][
+                    np.asarray(sid_mm[np.minimum(ords, len(sid_mm) - 1)])
+                    != ids[sel]
+                ][0]
+                raise KeyError(f"id {miss} not in vec store {self.dir}")
+            out[sel] = vec_mm[ords]
+        return out
+
+
+def build_vec_store(
+    base: DataFrame,
+    store_dir: str,
+    dim: int,
+    id_col: str = "orig_id",
+    vec_col: str = "vec",
+    n_shards: int | None = None,
+    n_rows: int | None = None,
+    target_shard_bytes: int = 128 << 20,
+) -> VecStore:
+    """Write the store from a (id, vec) DataFrame: ONE range shuffle keyed
+    by id, then each task streams its sorted batches to a raw shard file —
+    O(n) sequential writes, no driver materialization. `vec` may be padded;
+    only the first `dim` floats per row are stored.
+
+    The directory must be visible to every executor (local disk in
+    local-mode, shared/object storage on a cluster — where each shard file
+    is the range-GET target, see module docstring)."""
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    os.makedirs(store_dir, exist_ok=True)
+    row_bytes = dim * 4
+    if n_shards is None:
+        if n_rows:
+            # ~128 MB shards: big enough for sequential-write efficiency,
+            # small enough that one task's sorted stream fits comfortably
+            n_shards = max(1, (n_rows * row_bytes) // target_shard_bytes)
+        else:
+            n_shards = int(
+                base.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+
+    def write(it):
+        import pandas as pd
+
+        pid = TaskContext.get().partitionId()
+        name = f"shard_{pid:05d}"
+        vec_path = os.path.join(store_dir, name + ".vec")
+        ids_path = os.path.join(store_dir, name + ".ids")
+        count = 0
+        min_id = None
+        max_id = None
+        with open(vec_path, "wb") as fv, open(ids_path, "wb") as fi:
+            for pdf in it:
+                ids = pdf["__id"].to_numpy(dtype="<i8")
+                if len(ids) == 0:
+                    continue
+                vecs = np.vstack(pdf["__vec"].to_numpy())[:, :dim].astype(
+                    "<f4", copy=False
+                )
+                fi.write(np.ascontiguousarray(ids).tobytes())
+                fv.write(np.ascontiguousarray(vecs).tobytes())
+                count += len(ids)
+                min_id = int(ids[0]) if min_id is None else min_id
+                max_id = int(ids[-1])
+        if count == 0:
+            os.unlink(vec_path)
+            os.unlink(ids_path)
+            return
+        yield pd.DataFrame(
+            {
+                "name": [name],
+                "count": [count],
+                "min_id": [min_id],
+                "max_id": [max_id],
+            }
+        )
+
+    rows = (
+        base.select(
+            F.col(id_col).cast("bigint").alias("__id"),
+            F.col(vec_col).alias("__vec"),
+        )
+        .repartitionByRange(n_shards, "__id")
+        .sortWithinPartitions("__id")
+        .mapInPandas(write, "name string, count bigint, min_id bigint, max_id bigint")
+        .collect()
+    )
+    shards = sorted(
+        (r.asDict() for r in rows), key=lambda s: s["min_id"]
+    )
+    n_rows = sum(s["count"] for s in shards)
+    meta = {
+        "dim": dim,
+        "n_rows": n_rows,
+        "row_bytes": row_bytes,
+        "shards": shards,
+        "format_version": 1,
+    }
+    with open(os.path.join(store_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return VecStore(dir=store_dir, dim=dim, n_rows=n_rows, shards=shards)
+
+
+def attach_vec_store(model, store_dir: str) -> "VecStore":
+    """Build (if absent) and attach a store for `model.base_df`; search()
+    then reranks candidate-bound through it. Reuses an existing store at
+    `store_dir` without a job — callers own cache invalidation (a store is
+    a function of the base data, exactly like the index itself)."""
+    if VecStore.exists(store_dir):
+        store = VecStore.open(store_dir)
+    else:
+        store = build_vec_store(
+            model.base_df, store_dir, dim=model.dim, n_rows=model.n_rows
+        )
+    model.vec_store = store
+    return store

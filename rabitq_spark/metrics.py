@@ -23,6 +23,7 @@ class SearchMetrics:
 
     rough: Observation = field(default_factory=lambda: Observation("rabitq_rough"))
     precise: Observation = field(default_factory=lambda: Observation("rabitq_precise"))
+    rerank: Observation = field(default_factory=lambda: Observation("rabitq_rerank"))
 
     @property
     def rough_count(self) -> int:
@@ -33,6 +34,14 @@ class SearchMetrics:
     def precise_count(self) -> int:
         """Candidates exactly reranked (METRICS.precise)."""
         return int(self.precise.get["precise_count"])
+
+    @property
+    def rerank_base_rows(self) -> int:
+        """Rows the exact rerank read from base storage: the full base row
+        count under the join plan, the candidate count under the vec-store
+        point-read plan — the measurable form of 'candidate-bound rerank'
+        (round-8 verdict item 5)."""
+        return int(self.rerank.get["rerank_base_rows"])
 
     @property
     def ratio(self) -> float:

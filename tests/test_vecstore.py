@@ -1,0 +1,195 @@
+"""Vec-store point-read rerank (index/vecstore.py): gather round-trip on
+gappy ids, search()/search_adaptive() with a store bit-identical to the
+base-join plan, candidate-bound rerank_base_rows metric, save/load carries
+the store, missing-id loudness, and the unpadded-fold bit-exactness claim
+(the Spark analogue of the disk variant's candidate point reads,
+crates/disk/src/cache.rs:115-145)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rabitq_spark.config import RaBitQConfig
+from rabitq_spark.index import RaBitQModel, build_index, search
+from rabitq_spark.index.vecstore import VecStore, attach_vec_store, build_vec_store
+from rabitq_spark.metrics import SearchMetrics
+
+K = 5
+NQ = 8
+
+
+@pytest.fixture(scope="module")
+def gappy_base(spark):
+    # sparse, non-contiguous ids across shard boundaries; dim 100 forces
+    # padding to 128 so the unpadded-prefix fold claim is exercised
+    rng = np.random.default_rng(11)
+    ids = np.sort(rng.choice(100_000, size=600, replace=False)).astype(np.int64)
+    vecs = rng.standard_normal((600, 100)).astype(np.float32)
+    pdf = pd.DataFrame({"id": ids, "vec": list(vecs)})
+    return (
+        spark.createDataFrame(pdf, "id bigint, vec array<float>"),
+        ids,
+        vecs,
+    )
+
+
+@pytest.fixture(scope="module")
+def stored_model(spark, gappy_base, tmp_path_factory):
+    base, ids, vecs = gappy_base
+    cfg = RaBitQConfig(n_clusters=8, nprobe=4, topk=K, overfetch=8)
+    model = build_index(base, cfg, n_rows=len(ids))
+    model.index_df = model.index_df.cache()
+    store_dir = str(tmp_path_factory.mktemp("vecstore"))
+    build_vec_store(
+        model.base_df, store_dir, dim=model.dim, n_shards=5
+    )
+    model.vec_store = VecStore.open(store_dir)
+    return model
+
+
+def _queries(spark, gappy_base):
+    base, ids, vecs = gappy_base
+    pdf = pd.DataFrame(
+        {"query_id": ids[:NQ], "qvec": list(vecs[:NQ])}
+    )
+    return spark.createDataFrame(pdf, "query_id bigint, qvec array<float>")
+
+
+def test_gather_roundtrip_gappy_ids(spark, gappy_base, stored_model):
+    _, ids, vecs = gappy_base
+    store = stored_model.vec_store
+    pick = np.concatenate([ids[::7], ids[-3:], ids[:1]])  # shuffled, repeated
+    got = store.gather(pick)
+    want = vecs[np.searchsorted(ids, pick)]
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gather_missing_id_raises(stored_model):
+    with pytest.raises(KeyError):
+        stored_model.vec_store.gather(np.array([123_456_789], dtype=np.int64))
+
+
+def test_store_search_bitexact_vs_join(spark, gappy_base, stored_model):
+    queries = _queries(spark, gappy_base)
+    # exhaustive AND approximate configs, jvm and fused impls
+    for kwargs in (
+        dict(nprobe=stored_model.n_clusters, overfetch=10**6),
+        dict(),
+        dict(impl="fused"),
+    ):
+        with_store = (
+            search(stored_model, queries, topk=K, **kwargs)
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        stored_model.vec_store, saved = None, stored_model.vec_store
+        try:
+            join_plan = (
+                search(stored_model, queries, topk=K, **kwargs)
+                .toPandas()
+                .sort_values(["query_id", "rank"], ignore_index=True)
+            )
+        finally:
+            stored_model.vec_store = saved
+        pd.testing.assert_frame_equal(with_store, join_plan, check_exact=True)
+
+
+def test_adaptive_with_store_bitexact(spark, gappy_base, stored_model):
+    from rabitq_spark.index.adaptive import search_adaptive
+    from rabitq_spark.operators.knn import knn_exact
+
+    base, _, _ = gappy_base
+    queries = _queries(spark, gappy_base)
+    got = (
+        search_adaptive(stored_model, queries, topk=K, overfetch=10**6)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        knn_exact(queries, base, K)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_rerank_rows_candidate_bound(spark, gappy_base, stored_model):
+    queries = _queries(spark, gappy_base)
+    m = SearchMetrics()
+    res = search(stored_model, queries, topk=K, metrics=m).toPandas()
+    assert len(res) > 0
+    # store plan: rows read == candidates (== precise_count), never ~base
+    assert m.rerank_base_rows == m.precise_count
+    assert m.rerank_base_rows < 600
+
+    m2 = SearchMetrics()
+    stored_model.vec_store, saved = None, stored_model.vec_store
+    try:
+        search(stored_model, queries, topk=K, metrics=m2).toPandas()
+    finally:
+        stored_model.vec_store = saved
+    # join plan: the scan is O(base) regardless of candidate count
+    assert m2.rerank_base_rows == 600
+
+
+def test_save_load_carries_store(spark, gappy_base, stored_model, tmp_path):
+    queries = _queries(spark, gappy_base)
+    path = str(tmp_path / "model")
+    stored_model.save(path)
+    loaded = RaBitQModel.load(spark, path)
+    assert loaded.vec_store is not None
+    got = (
+        search(loaded, queries, topk=K, nprobe=loaded.n_clusters, overfetch=10**6)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        search(
+            stored_model, queries, topk=K,
+            nprobe=stored_model.n_clusters, overfetch=10**6,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_unpadded_fold_bit_equals_padded():
+    # the store keeps the unpadded prefix; the claim it rests on: folding
+    # (x-y)^2 over the first dim terms == folding over dim_pad terms when
+    # the tail is zeros on both sides (each pad term adds exactly +0.0)
+    rng = np.random.default_rng(3)
+    q = np.zeros(128, np.float32)
+    v = np.zeros(128, np.float32)
+    q[:100] = rng.standard_normal(100).astype(np.float32)
+    v[:100] = rng.standard_normal(100).astype(np.float32)
+
+    def fold(a, b, n):
+        acc = np.float64(0.0)
+        for j in range(n):
+            d = np.float64(a[j]) - np.float64(b[j])
+            acc = acc + d * d
+        return acc
+
+    assert fold(q, v, 100) == fold(q, v, 128)
+
+
+def test_attach_builds_and_reuses(spark, gappy_base, tmp_path):
+    base, ids, _ = gappy_base
+    cfg = RaBitQConfig(n_clusters=8, nprobe=4, topk=K, overfetch=8)
+    model = build_index(base, cfg, n_rows=len(ids))
+    d = str(tmp_path / "store")
+    s1 = attach_vec_store(model, d)
+    assert model.vec_store is s1 and s1.n_rows == len(ids)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
+    }
+    s2 = attach_vec_store(model, d)  # reuse: no rebuild, no file touch
+    assert s2.n_rows == len(ids)
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
+    }
