@@ -238,6 +238,39 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_vecstore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive search whose exact rerank runs through the vec-store
+    POINT-READ path (index/vecstore.py — the Spark form of the disk
+    variant's candidate block fetches, crates/disk/src/cache.rs:115-145):
+    candidate rows are gathered from a fixed-width raw sidecar in
+    O(candidates) reads instead of joining (and fully scanning) the base
+    table. The numpy rerank fold mirrors l2_squared bit-for-bit, so the
+    exhaustive configuration still equals brute force exactly — this
+    entry oracle-checks the store build, the sorted-id shard lookup, and
+    the fold, end to end."""
+    import tempfile
+
+    from rabitq_spark.index import search
+    from rabitq_spark.index.vecstore import attach_vec_store
+
+    key = (sf_dir, "vecstore")
+    if key not in _MODEL_CACHE:
+        base_model = _get_model(spark, sf_dir)
+        import copy
+
+        model = copy.copy(base_model)
+        attach_vec_store(model, tempfile.mkdtemp(prefix="rabitq_vecstore_"))
+        _MODEL_CACHE[key] = model
+    model = _MODEL_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
 def q_ann_ivf_earlystop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive early-stop probing (reference README.md:20 — the one
     feature the reference itself left unchecked): probes expand in waves
@@ -7134,63 +7167,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is a driver-coverage decision: the driver's
     # correctness window checks the FIRST ~50 entries only, so entries are
     # rotated each round behind two fixed anchors, ordered by
-    # least-recently-driver-checked (union of CORRECTNESS_r01..r07).
-    # Round-8 front: the never-checked round-8 addition
-    # (ann_ivf_earlystop), then the 18-entry r4 cohort, then the r5
-    # cohort — the 50-entry window covers anchors + new + all of r4 + 29
-    # of r5; the r5 remainder is exactly 3 rounds stale at r8 close and
-    # fronts the r9 rotation. Within each cohort the previous relative
-    # order is kept (stable rotation, minimal churn).
+    # least-recently-driver-checked (union of CORRECTNESS_r01..r08:
+    # 160/160 green). Round-9 front: the never-checked round-9 addition
+    # (ann_ivf_vecstore), then the 14-entry r5 cohort (exactly 3 rounds
+    # stale at r8 close), then the r6 cohort — the 50-entry window covers
+    # anchors + new + all of r5 + 33 of r6; the r6 remainder (15) is 3
+    # rounds stale at r9 close and fronts the r10 rotation. Within each
+    # cohort the previous relative order is kept (stable rotation).
     "knn_exact": q_knn_exact,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
-    "ann_ivf_earlystop": q_ann_ivf_earlystop,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "merge_documents": q_merge_documents,
-    "zorder_events": q_zorder_events,
-    "neardup_minhash": q_neardup_minhash,
-    "neardup_incremental": q_neardup_incremental,
-    "neardup_ngram": q_neardup_ngram,
-    "neardup_groups": q_neardup_groups,
-    "pagerank_neardup": q_pagerank_neardup,
-    "cms_token_counts": q_cms_token_counts,
-    "phrase_search": q_phrase_search,
-    "neardup_stream": q_neardup_stream,
-    "dedup_keep_best": q_dedup_keep_best,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "duplicate_spans": q_duplicate_spans,
-    "dup_span_profile": q_dup_span_profile,
-    "remove_dup_spans": q_remove_dup_spans,
-    "diversity_sample": q_diversity_sample,
-    "bigram_coherence": q_bigram_coherence,
-    "neardup_state_stream": q_neardup_state_stream,
-    "group_split": q_group_split,
-    "orc_roundtrip": q_orc_roundtrip,
-    "maxsim_ivf": q_maxsim_ivf,
-    "ewma_user_value": q_ewma_user_value,
-    "stream_ewma": q_stream_ewma,
-    "scd2_documents": q_scd2_documents,
-    "scd2_as_of": q_scd2_as_of,
-    "semantic_contamination": q_semantic_contamination,
-    "kmv_windowed": q_kmv_windowed,
-    "dedup_cascade": q_dedup_cascade,
-    "embedding_neardup_state": q_embedding_neardup_state,
-    "embedding_state_stream": q_embedding_state_stream,
-    "asof_tolerance_click": q_asof_tolerance_click,
-    "asof_nearest_tolerance": q_asof_nearest_tolerance,
-    "maxsim_search": q_maxsim_search,
-    "training_pipeline": q_training_pipeline,
-    "bpe_token_stats": q_bpe_token_stats,
-    "simhash_pairs": q_simhash_pairs,
-    "embedding_neardup": q_embedding_neardup,
-    "text_stats": q_text_stats,
-    "quality_scores": q_quality_scores,
-    "lang_guess": q_lang_guess,
-    "top_tokens": q_top_tokens,
-    "asof_purchase_click": q_asof_purchase_click,
-    "asof_next_click": q_asof_next_click,
-    "asof_nearest_click": q_asof_nearest_click,
-    "window_events": q_window_events,
-    "sessionize": q_sessionize,
+    "ann_ivf_vecstore": q_ann_ivf_vecstore,
     "funnel": q_funnel,
     "hopping_window": q_hopping_window,
     "jaccard_estimate": q_jaccard_estimate,
@@ -7301,6 +7287,54 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
+    "ann_ivf_earlystop": q_ann_ivf_earlystop,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "merge_documents": q_merge_documents,
+    "zorder_events": q_zorder_events,
+    "neardup_minhash": q_neardup_minhash,
+    "neardup_incremental": q_neardup_incremental,
+    "neardup_ngram": q_neardup_ngram,
+    "neardup_groups": q_neardup_groups,
+    "pagerank_neardup": q_pagerank_neardup,
+    "cms_token_counts": q_cms_token_counts,
+    "phrase_search": q_phrase_search,
+    "neardup_stream": q_neardup_stream,
+    "dedup_keep_best": q_dedup_keep_best,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "duplicate_spans": q_duplicate_spans,
+    "dup_span_profile": q_dup_span_profile,
+    "remove_dup_spans": q_remove_dup_spans,
+    "diversity_sample": q_diversity_sample,
+    "bigram_coherence": q_bigram_coherence,
+    "neardup_state_stream": q_neardup_state_stream,
+    "group_split": q_group_split,
+    "orc_roundtrip": q_orc_roundtrip,
+    "maxsim_ivf": q_maxsim_ivf,
+    "ewma_user_value": q_ewma_user_value,
+    "stream_ewma": q_stream_ewma,
+    "scd2_documents": q_scd2_documents,
+    "scd2_as_of": q_scd2_as_of,
+    "semantic_contamination": q_semantic_contamination,
+    "kmv_windowed": q_kmv_windowed,
+    "dedup_cascade": q_dedup_cascade,
+    "embedding_neardup_state": q_embedding_neardup_state,
+    "embedding_state_stream": q_embedding_state_stream,
+    "asof_tolerance_click": q_asof_tolerance_click,
+    "asof_nearest_tolerance": q_asof_nearest_tolerance,
+    "maxsim_search": q_maxsim_search,
+    "training_pipeline": q_training_pipeline,
+    "bpe_token_stats": q_bpe_token_stats,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "text_stats": q_text_stats,
+    "quality_scores": q_quality_scores,
+    "lang_guess": q_lang_guess,
+    "top_tokens": q_top_tokens,
+    "asof_purchase_click": q_asof_purchase_click,
+    "asof_next_click": q_asof_next_click,
+    "asof_nearest_click": q_asof_nearest_click,
+    "window_events": q_window_events,
+    "sessionize": q_sessionize,
 }
 
 
@@ -7417,6 +7451,9 @@ ORACLE_SQL: dict[str, str] = {
     # exhaustive SQ8 shortlist (shortlist >= |base|) == exact brute force
     "ann_sq8": _SQL_KNN_EXACT,
     "ann_ivf_earlystop": _SQL_KNN_EXACT,
+    # exhaustive config through the vec-store point-read rerank == the
+    # same brute force (the store fold mirrors l2_squared bit-for-bit)
+    "ann_ivf_vecstore": _SQL_KNN_EXACT,
     "ann_pq": _SQL_KNN_EXACT,
     "ann_ivfpq": _SQL_KNN_EXACT,
     "ann_ivfpq_cold": _SQL_KNN_EXACT,
