@@ -460,6 +460,14 @@ def neardup_ngram_pairs(
     360-400x at both scales; boundary recall at J = 0.8 exactly is 0.944
     (>= 0.9998 at J >= 0.9).
 
+    .. versionchanged:: round 8
+        The default `min_band_hits` moved 1 -> 2. Callers who need the old
+        boundary-recall behavior (collision probability ~0.991 at exactly
+        J=0.8, at the quadratic-candidate cost above) must pass
+        `min_band_hits=1` explicitly — the change is silent otherwise
+        because outputs only differ on pairs whose bands collide exactly
+        once, i.e. borderline-J pairs on large same-language corpora.
+
     Grams are hashed with a rolling polynomial over the code-point array
     (rolling_gram_hashes) — integer Horner fold in codegen, no per-gram
     string allocation, no md5. The distinct set is taken over hash values;

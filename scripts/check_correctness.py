@@ -180,9 +180,17 @@ def main() -> int:
             else "/root/repo/CORRECTNESS_LOCAL_"
             + SF_DIR.rstrip("/").rsplit("/", 1)[-1] + ".json"
         )
+        if only and _os.path.exists(out_name):
+            # round-8 advisor: a --only run must never REPLACE the canonical
+            # full-sweep report with a subset (that would silently mask
+            # regressions in the entries not run) — merge into it instead
+            with open(out_name) as f:
+                merged = json.load(f)
+            merged.update(report)
+            report = merged
         with open(out_name, "w") as f:
             json.dump(report, f, indent=1)
-        print("wrote", out_name)
+        print("wrote", out_name, "(merged)" if only else "")
     print("FAILED:", sorted(set(failed)) if failed else "none")
     return 1 if failed else 0
 

@@ -265,6 +265,66 @@ def test_image_decoders_roundtrip():
     assert (up[::2][:, ::2] == img).all()
 
 
+def _tiny_png(img):
+    """Minimal valid RGB PNG via stdlib zlib — no codec library needed to
+    CONSTRUCT one; decoding it is what needs PIL."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_decode_png_with_pil():
+    """JPEG/PNG decode behind the optional pillow extra (round-8 verdict
+    item 6): real decode when PIL is importable, skip otherwise."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("PIL")
+    from rabitq_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    assert (decode_image(_tiny_png(img)) == img).all()
+
+
+def test_image_decode_png_without_pil_raises():
+    """Without PIL the codec boundary must stay LOUD (NotImplementedError
+    naming the extra), never a fake decode."""
+    import numpy as np
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: the raise branch is unreachable")
+    except ImportError:
+        pass
+    from rabitq_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(_tiny_png(img))
+
+
 def test_wav_decoder_roundtrip():
     import numpy as np
 
