@@ -688,6 +688,7 @@ def search(
     broadcast_probes: bool = True,
     fused_max_probe_rows: int = 1_000_000,
     fastscan_max_lut_bytes: int = 256 << 20,
+    arrow_min_queries_per_cluster: float = 12.0,
     index_predicate=None,
     allowed: "DataFrame | None" = None,
 ) -> DataFrame:
@@ -750,6 +751,21 @@ def search(
         n_probe_rows = probes.count()
         if n_probe_rows > fused_max_probe_rows:
             impl = "jvm"
+        elif arrow_min_queries_per_cluster > 0 and (
+            n_probe_rows
+            < arrow_min_queries_per_cluster
+            * probes.select("cluster_id").distinct().count()
+        ):
+            # Geometry dispatch (measured at 10M x 256, 0.5% coverage, r9):
+            # the Arrow kernels pay a per-(cluster, batch)-group setup
+            # (pandas group materialization, LUT build/gather) that needs
+            # enough probing queries per cluster to amortize — at ~6.4
+            # queries/cluster the jvm codegen join won 18.5 s vs fused
+            # 55.4 / fastscan 76.5; at 31 queries/cluster fused won 7.3 s
+            # vs jvm 12.5 (1M probe). Threshold 12 sits between the two
+            # measured regimes; kernel-pinning tests/benches pass 0 to
+            # force the Arrow path.
+            impl = "jvm"
         elif impl == "fastscan" and (
             model.dim_pad * ((1 << cfg.theta_log_dim) - 1) >= 1 << 24
         ):
@@ -781,7 +797,7 @@ def search(
             prune_partitions=prune_partitions,
             kernel="fastscan" if impl == "fastscan" else "popcount",
         )
-        if metrics is not None:
+        if metrics is not None and metrics.observe_rough:
             local = local.observe(
                 metrics.rough, F.count(F.lit(1)).alias("rough_count")
             )
@@ -827,8 +843,10 @@ def search(
                 F.col(allowed.columns[0]).alias("orig_id")
             ).distinct()
             cand = cand.join(ok, "orig_id", "left_semi")
-        if metrics is not None:
-            # A10 rough-candidate counter (src/metrics.rs analogue, no extra pass)
+        if metrics is not None and metrics.observe_rough:
+            # A10 rough-candidate counter (src/metrics.rs analogue, no
+            # extra pass — but the CollectMetrics node splits the codegen
+            # span; see SearchMetrics.observe_rough for the at-scale cost)
             cand = cand.observe(
                 metrics.rough, F.count(F.lit(1)).alias("rough_count")
             )

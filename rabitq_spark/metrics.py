@@ -24,6 +24,14 @@ class SearchMetrics:
     rough: Observation = field(default_factory=lambda: Observation("rabitq_rough"))
     precise: Observation = field(default_factory=lambda: Observation("rabitq_precise"))
     rerank: Observation = field(default_factory=lambda: Observation("rabitq_rerank"))
+    # The rough counter observes the FULL candidate stream. CollectMetrics
+    # splits the whole-stage-codegen span that otherwise fuses scan → join
+    # → estimator → window pre-trim, and at scale that split is ruinous —
+    # measured at 10M × 256 / 146M candidates: 18.5 s → 230.6 s wall.
+    # Large-scale callers set observe_rough=False and derive the rough
+    # count analytically (probe table ⋈ cluster sizes — one tiny agg);
+    # precise/rerank observe streams bounded by nq × R and stay cheap.
+    observe_rough: bool = True
 
     @property
     def rough_count(self) -> int:

@@ -315,6 +315,9 @@ def q_ann_ivf_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=model.n_clusters,
         overfetch=10**6,
         impl="fastscan",
+        # pin the kernel: this entry ORACLE-CHECKS the fastscan path, so
+        # the geometry dispatch must not silently route it to jvm
+        arrow_min_queries_per_cluster=0,
     )
 
 

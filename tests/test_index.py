@@ -76,7 +76,9 @@ def test_fused_impl_equals_jvm(spark, model_and_data):
     a = search(model, queries, impl="jvm").toPandas().sort_values(
         ["query_id", "rank"], ignore_index=True
     )
-    b = search(model, queries, impl="fused").toPandas().sort_values(
+    b = search(
+        model, queries, impl="fused", arrow_min_queries_per_cluster=0
+    ).toPandas().sort_values(
         ["query_id", "rank"], ignore_index=True
     )
     pd.testing.assert_frame_equal(a, b, check_exact=True)
@@ -87,7 +89,9 @@ def test_fastscan_impl_equals_jvm(spark, model_and_data):
     a = search(model, queries, impl="jvm").toPandas().sort_values(
         ["query_id", "rank"], ignore_index=True
     )
-    b = search(model, queries, impl="fastscan").toPandas().sort_values(
+    b = search(
+        model, queries, impl="fastscan", arrow_min_queries_per_cluster=0
+    ).toPandas().sort_values(
         ["query_id", "rank"], ignore_index=True
     )
     pd.testing.assert_frame_equal(a, b, check_exact=True)

@@ -79,7 +79,7 @@ def test_store_search_bitexact_vs_join(spark, gappy_base, stored_model):
     for kwargs in (
         dict(nprobe=stored_model.n_clusters, overfetch=10**6),
         dict(),
-        dict(impl="fused"),
+        dict(impl="fused", arrow_min_queries_per_cluster=0),
     ):
         with_store = (
             search(stored_model, queries, topk=K, **kwargs)
