@@ -934,6 +934,20 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
     model.base_df.count()
     build_s = time.perf_counter() - t0
 
+    # candidate-bound rerank sidecar (round 9): the engine's default plan
+    # when a model carries a store; like the base, a pure function of the
+    # seeded data — built once under .benchdata, reused across rounds
+    from rabitq_spark.index.vecstore import VecStore, build_vec_store
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    store_dir = os.path.join(repo, ".benchdata", f"scale1m_{dim}_vecstore")
+    t0 = time.perf_counter()
+    if not VecStore.exists(store_dir):
+        build_vec_store(model.base_df, store_dir, dim=dim, n_rows=n_base)
+    vec_store = VecStore.open(store_dir)
+    model.vec_store = vec_store
+    vecstore_s = time.perf_counter() - t0
+
     search(model, queries.limit(10)).write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
     approx = search(model, queries).toPandas()
@@ -1053,15 +1067,6 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
     # candidate-bound rerank through a shared vec store (the engine's
     # default plan when a store is attached), so the A/B isolates probing.
     try:
-        from rabitq_spark.index.vecstore import VecStore, build_vec_store
-
-        repo = os.path.dirname(os.path.abspath(__file__))
-        store_dir = os.path.join(repo, ".benchdata", f"scale1m_{dim}_vecstore")
-        if not VecStore.exists(store_dir):
-            build_vec_store(
-                model.base_df, store_dir, dim=dim, n_rows=n_base
-            )
-        model.vec_store = VecStore.open(store_dir)
         import pandas as pd
 
         qpd_all = queries.toPandas()
@@ -1121,7 +1126,6 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         }
         for b in batches:
             b.unpersist()
-        model.vec_store = None
     except Exception as exc:  # noqa: BLE001 — never block the bench contract
         seq_latency = {"error": repr(exc)[:200]}
 
@@ -1136,6 +1140,7 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
     model4 = build_index(
         base, cfg4, kmeans_sample_fraction=50_000 / n_base, n_rows=n_base
     )
+    model4.vec_store = vec_store  # same base -> same store
     model4.index_df = model4.index_df.cache()
     model4.index_df.count()
     model4.base_df = model4.base_df.cache()
@@ -1173,6 +1178,7 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         "n_base": n_base,
         "n_queries": nq,
         "build_sec": round(build_s, 2),
+        "vecstore_sec": round(vecstore_s, 2),
         "ivf_sec": round(ivf_s, 2),
         "brute_sec": round(brute_s, 2),
         "ivf_recall_at_k": round(recall, 4),
@@ -1282,12 +1288,13 @@ def _scale_probe_10m(
     search(model, queries.limit(10)).write.format("noop").mode(
         "overwrite"
     ).save()
-    # observe_rough=False: the rough counter's CollectMetrics node splits
-    # the codegen span over the 146M-row candidate stream — measured 18.5
-    # -> 230.6 s at this geometry. The rerank/precise observers stream
-    # nq x R rows and stay free; the rough count is derived analytically
-    # below (probe table x cluster sizes — the same number, one tiny agg).
-    met = SearchMetrics(observe_rough=False)
+    # rough/precise observers OFF: bisected at this geometry (round 9),
+    # the rough CollectMetrics splits the codegen span over the 146M-row
+    # candidate stream (+77 s) and the precise one above the top-R filter
+    # defeats WindowGroupLimit (+135 s on a 19 s search). The rerank
+    # observer streams nq x R rows and measured free; the rough count is
+    # derived analytically below (probe table x cluster sizes).
+    met = SearchMetrics(observe_rough=False, observe_precise=False)
     t0 = time.perf_counter()
     jvm = search(model, queries, metrics=met).toPandas()
     out["ivf_sec"] = round(time.perf_counter() - t0, 1)

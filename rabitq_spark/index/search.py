@@ -855,7 +855,10 @@ def search(
         shortlist = topk_per_group(
             cand, ["query_id"], [F.col("rough").asc(), F.col("orig_id").asc()], r
         ).select("query_id", "orig_id")
-    if metrics is not None:
+    if metrics is not None and metrics.observe_precise:
+        # CollectMetrics directly above the top-R filter defeats the
+        # WindowGroupLimit pre-shuffle trim at scale — see
+        # SearchMetrics.observe_precise for the bisected cost
         shortlist = shortlist.observe(
             metrics.precise, F.count(F.lit(1)).alias("precise_count")
         )

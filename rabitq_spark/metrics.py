@@ -24,14 +24,18 @@ class SearchMetrics:
     rough: Observation = field(default_factory=lambda: Observation("rabitq_rough"))
     precise: Observation = field(default_factory=lambda: Observation("rabitq_precise"))
     rerank: Observation = field(default_factory=lambda: Observation("rabitq_rerank"))
-    # The rough counter observes the FULL candidate stream. CollectMetrics
-    # splits the whole-stage-codegen span that otherwise fuses scan → join
-    # → estimator → window pre-trim, and at scale that split is ruinous —
-    # measured at 10M × 256 / 146M candidates: 18.5 s → 230.6 s wall.
-    # Large-scale callers set observe_rough=False and derive the rough
-    # count analytically (probe table ⋈ cluster sizes — one tiny agg);
-    # precise/rerank observe streams bounded by nq × R and stay cheap.
+    # The rough/precise counters wrap the candidate stream and the top-R
+    # shortlist in CollectMetrics nodes. At scale those nodes are ruinous
+    # — bisected at 10M × 256 / 146M candidates (round 9): the rough
+    # observer splits the whole-stage-codegen span over the full candidate
+    # stream (+77 s), and the precise observer above the top-R filter
+    # defeats the WindowGroupLimit pre-shuffle trim (+135 s on a 19 s
+    # search). Large-scale callers disable both and derive the counts
+    # analytically (rough = probe table ⋈ cluster sizes; precise ≈ nq × R)
+    # — the rerank observer sits on streams bounded by nq × R rows with no
+    # window/codegen interaction and measured free, so it has no flag.
     observe_rough: bool = True
+    observe_precise: bool = True
 
     @property
     def rough_count(self) -> int:
