@@ -7,6 +7,7 @@ from rabitq_spark.index.build import (
 )
 from rabitq_spark.index.model import RaBitQModel
 from rabitq_spark.index.search import range_search, search
+from rabitq_spark.index.vecstore import VecStore, attach_vec_store, build_vec_store
 
 # imported LAST: adaptive pulls in rabitq_spark.operators, whose ann/simjoin
 # modules import RaBitQModel/search back from THIS package — the names above
@@ -15,8 +16,11 @@ from rabitq_spark.index.adaptive import search_adaptive  # noqa: E402
 
 __all__ = [
     "RaBitQModel",
+    "VecStore",
     "append_to_index",
+    "attach_vec_store",
     "build_index",
+    "build_vec_store",
     "compact_index",
     "delete_from_index",
     "range_search",
