@@ -116,6 +116,12 @@ def search_adaptive(
     that retire earlier, which PROVABLY lose nothing). Leave None for the
     exact contract.
 
+    `kernel` picks the per-wave rough scorer: "popcount"/"fastscan" run
+    the fused Arrow shortlist; "jvm" runs the codegen join (identical
+    results — same estimator, same global top-R trim). Use "jvm" when
+    waves spread few queries over many clusters (the geometry-dispatch
+    regime, search.py) — e.g. large disk-resident indexes.
+
     Reference parity: README.md:20 ("early stop", the one unchecked
     feature the reference never built); the wave loop is the batch
     analogue of a sequential scan breaking out of its posting-list loop.
@@ -238,14 +244,43 @@ def search_adaptive(
             }
         )
         probes_df = spark.createDataFrame(tbl, PROBE_SCHEMA)
-        local = _fused_shortlist(
-            model,
-            probes_df,
-            r,
-            cfg.theta_log_dim,
-            prune_partitions=True,
-            kernel=kernel,
-        )
+        if kernel == "jvm":
+            # JVM wave scorer — search()'s stages 5-6 on the wave's probe
+            # table. The Arrow shortlist pays a per-(cluster, batch) group
+            # setup that needs ~12+ probing queries per cluster to
+            # amortize (the geometry dispatch finding, search.py); waves
+            # over many clusters with few queries each sit far below
+            # that, exactly where the codegen join wins (measured at
+            # 10M x 256: fused 55 s vs jvm join 18.5 s at 6 q/cluster).
+            from rabitq_spark.index.search import (
+                rough_distance_expr,
+                rough_distance_expr_multibit,
+            )
+
+            index = model.index_df
+            probed_set = [int(c) for c in np.unique(ci_arr)]
+            if 2 * len(probed_set) <= ncl:
+                index = index.filter(F.col("cluster_id").isin(probed_set))
+            est = (
+                rough_distance_expr_multibit(
+                    cfg.bits_per_dim, cfg.theta_log_dim, model.n_words,
+                    model.dim_pad,
+                )
+                if cfg.bits_per_dim > 1
+                else rough_distance_expr(cfg.theta_log_dim, model.n_words)
+            )
+            local = index.join(F.broadcast(probes_df), "cluster_id").select(
+                "query_id", "orig_id", est.alias("rough")
+            )
+        else:
+            local = _fused_shortlist(
+                model,
+                probes_df,
+                r,
+                cfg.theta_log_dim,
+                prune_partitions=True,
+                kernel=kernel,
+            )
         shortlist = topk_per_group(
             local,
             ["query_id"],
