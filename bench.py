@@ -1086,7 +1086,7 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         ).save()
         search_adaptive(
             model, batches[0].limit(10), topk=TOPK, wave0=16,
-            wave_growth=4.0, max_probes=cfg.nprobe,
+            wave_growth=4.0, max_probes=cfg.nprobe, kernel="jvm",
         ).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         static_res = [
@@ -1100,9 +1100,13 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         for b in batches:
             st: dict = {}
             adaptive_res.append(
+                # kernel="jvm": a 100-query wave spreads ~1.6 queries per
+                # cluster — far below the Arrow kernels' amortization
+                # point (measured: popcount waves 38.1 s vs jvm 21.8 s
+                # for this exact workload; static 24.0 s)
                 search_adaptive(
                     model, b, topk=TOPK, wave0=16, wave_growth=4.0,
-                    max_probes=cfg.nprobe, stats=st,
+                    max_probes=cfg.nprobe, kernel="jvm", stats=st,
                 ).toPandas()
             )
             probes_total += st["avg_probes_per_query"] * seq_bs
