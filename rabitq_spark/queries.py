@@ -3593,13 +3593,17 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.streaming.stateful import streaming_ewma
 
     ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
     src = tempfile.mkdtemp(prefix="ewma_stream_in_")
-    sl = n // 8 + 1
+    # slice by the ACTUAL id range, not [0, n): benchdata replicas carry
+    # key-OFFSET ids, and the [0, n) assumption silently streamed only the
+    # first replica at sf1.0 (measured: exactly 1/10 of sessions)
+    lo_id, hi_id = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    sl = (hi_id - lo_id) // 8 + 1
     for i in range(8):
         (
             ev.filter(
-                (F.col("event_id") >= i * sl) & (F.col("event_id") < (i + 1) * sl)
+                (F.col("event_id") >= lo_id + i * sl)
+                & (F.col("event_id") < lo_id + (i + 1) * sl)
             )
             .select("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1)
@@ -3649,13 +3653,17 @@ def q_stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.streaming.stateful import stateful_sessionize
 
     ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
     src = tempfile.mkdtemp(prefix="sess_state_in_")
-    sl = n // 8 + 1
+    # slice by the ACTUAL id range, not [0, n): benchdata replicas carry
+    # key-OFFSET ids, and the [0, n) assumption silently streamed only the
+    # first replica at sf1.0 (measured: exactly 1/10 of sessions)
+    lo_id, hi_id = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    sl = (hi_id - lo_id) // 8 + 1
     for i in range(8):
         (
             ev.filter(
-                (F.col("event_id") >= i * sl) & (F.col("event_id") < (i + 1) * sl)
+                (F.col("event_id") >= lo_id + i * sl)
+                & (F.col("event_id") < lo_id + (i + 1) * sl)
             )
             .select("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1)
@@ -3708,14 +3716,18 @@ def q_stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.streaming.stateful import stateful_sessionize_timeout
 
     ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
     max_us = ev.agg(F.max("ts_us")).first()[0]
     src = tempfile.mkdtemp(prefix="sess_timeout_in_")
-    sl = n // 8 + 1
+    # slice by the ACTUAL id range, not [0, n): benchdata replicas carry
+    # key-OFFSET ids, and the [0, n) assumption silently streamed only the
+    # first replica at sf1.0 (measured: exactly 1/10 of sessions)
+    lo_id, hi_id = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    sl = (hi_id - lo_id) // 8 + 1
     for i in range(8):
         (
             ev.filter(
-                (F.col("event_id") >= i * sl) & (F.col("event_id") < (i + 1) * sl)
+                (F.col("event_id") >= lo_id + i * sl)
+                & (F.col("event_id") < lo_id + (i + 1) * sl)
             )
             .select("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1)

@@ -290,8 +290,17 @@ def _update_session_timeout_state(
             else:
                 last, n, cents = ts, n + 1, cents + int(c)
     state.update((start, last, n, cents))
-    # close when the watermark passes the gap boundary (epoch millis)
-    state.setTimeoutTimestamp((last + 999) // 1000 + _GAP_US // 1000)
+    # close when the watermark passes the gap boundary (epoch millis).
+    # The deadline is clamped to watermark+1: with time-UNORDERED input
+    # batches (e.g. id-sliced multi-replica corpora) a group's gap
+    # boundary can already be behind the global watermark, and Spark
+    # rejects past timestamps (measured at sf1.0: INVALID_TIMEOUT_
+    # TIMESTAMP). Clamping defers the close to the next trigger — same
+    # emissions on drain (the sentinel flush advances the watermark past
+    # every timer), and any same-session stragglers still merge through
+    # the data path before the timer fires.
+    deadline = (last + 999) // 1000 + _GAP_US // 1000
+    state.setTimeoutTimestamp(max(deadline, state.getCurrentWatermarkMs() + 1))
     yield pd.DataFrame(
         out,
         columns=[
