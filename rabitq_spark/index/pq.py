@@ -58,6 +58,7 @@ from pyspark.sql.types import (
 )
 
 from rabitq_spark.functions.vector import l2_squared
+from rabitq_spark.index.vecstore import store_exact_rerank
 from rabitq_spark.operators.topk import topk_per_group
 
 
@@ -410,6 +411,7 @@ def ivfpq_search(
     broadcast_max_bytes: int = 256 * 1024 * 1024,
     impl: str = "jvm",
     predicate: Column | None = None,
+    vec_store=None,
 ) -> DataFrame:
     """IVF-PQ k-NN: per query, probe the `nprobe` nearest coarse cells;
     each probe carries a residual ADC LUT for (q − centroid), so the hot
@@ -432,7 +434,7 @@ def ivfpq_search(
     if impl == "arrow":
         return _ivfpq_search_arrow(
             queries, coded_base, k, coarse, codebook, nprobe,
-            max(shortlist, k), query_id, query_vec,
+            max(shortlist, k), query_id, query_vec, vec_store=vec_store,
         )
     cnorm = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
     conorm = (co * co).sum(axis=1)
@@ -510,17 +512,22 @@ def ivfpq_search(
         [F.col("__rough").asc(), F.col("neighbor_id").asc()],
         max(shortlist, k),
     ).select("query_id", "neighbor_id")
-    bv = coded_base.select(F.col("__bid").alias("neighbor_id"), "__bvec")
     qv = probe_df.select("query_id", "__qvec").dropDuplicates(["query_id"])
-    scored = (
-        short.join(bv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+    if vec_store is not None:
+        # candidate-bound point reads (index/vecstore.py) instead of the
+        # O(base) __bvec join — bit-identical fold, same output
+        scored = store_exact_rerank(short, qv, vec_store)
+    else:
+        bv = coded_base.select(F.col("__bid").alias("neighbor_id"), "__bvec")
+        scored = (
+            short.join(bv, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+            )
         )
-    )
     return topk_per_group(
         scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
     ).select("query_id", "neighbor_id", "dist", "rank")
@@ -538,6 +545,7 @@ def pq_search(
     base_vec: str = "vec",
     coded_base: DataFrame | None = None,
     impl: str = "jvm",
+    vec_store=None,
 ) -> DataFrame:
     """Two-phase PQ k-NN: ADC shortlist on m-byte codes → exact rerank.
 
@@ -579,16 +587,19 @@ def pq_search(
             max(shortlist, k),
         ).select("query_id", "neighbor_id")
         qv = q.select("query_id", "__qvec")
-    bv = coded_base.select(F.col("__bid").alias("neighbor_id"), "__bvec")
-    scored = (
-        short.join(bv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+    if vec_store is not None:
+        scored = store_exact_rerank(short, qv, vec_store)
+    else:
+        bv = coded_base.select(F.col("__bid").alias("neighbor_id"), "__bvec")
+        scored = (
+            short.join(bv, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+            )
         )
-    )
     return topk_per_group(
         scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
     ).select("query_id", "neighbor_id", "dist", "rank")
@@ -722,6 +733,7 @@ def _ivfpq_search_arrow(
     shortlist: int,
     query_id: str,
     query_vec: str,
+    vec_store=None,
 ) -> DataFrame:
     """Large-batch IVF-PQ: ship QUERY VECTORS (2 KB each), not LUTs (64 KB
     per probe row) — the materialized-LUT plan is O(nq × nprobe × m × ksub)
@@ -815,19 +827,22 @@ def _ivfpq_search_arrow(
         [F.col("__rough").asc(), F.col("neighbor_id").asc()],
         shortlist,
     ).select("query_id", "neighbor_id")
-    bv = coded_base.select(F.col("__bid").alias("neighbor_id"), "__bvec")
     qv = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
     )
-    scored = (
-        short.join(bv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+    if vec_store is not None:
+        scored = store_exact_rerank(short, qv, vec_store)
+    else:
+        bv = coded_base.select(F.col("__bid").alias("neighbor_id"), "__bvec")
+        scored = (
+            short.join(bv, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+            )
         )
-    )
     return topk_per_group(
         scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
     ).select("query_id", "neighbor_id", "dist", "rank")

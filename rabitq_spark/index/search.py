@@ -615,38 +615,10 @@ def exact_rerank(
             l2_squared(F.col("__qvec"), F.col("vec")).alias("dist"),
         )
 
-    ensure_package_on_executors(shortlist.sparkSession)
-    dim = model.dim
-    joined = shortlist.join(F.broadcast(qv), "query_id")
-    if metrics is not None:
-        joined = joined.observe(
-            metrics.rerank, F.count(F.lit(1)).alias("rerank_base_rows")
-        )
+    from rabitq_spark.index.vecstore import store_exact_rerank
 
-    def rr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["orig_id"].to_numpy(dtype=np.int64)
-            q = np.vstack(pdf["__qvec"].to_numpy())[:, :dim]
-            v = store.gather(ids)
-            # mirror l2_squared bit-for-bit: elementwise double cast, then
-            # (x-y)^2 in double, then a LEFT-TO-RIGHT vectorized fold
-            d = q.astype(np.float64) - v.astype(np.float64)
-            d2 = d * d
-            acc = np.zeros(len(ids), dtype=np.float64)
-            for j in range(dim):
-                acc = acc + d2[:, j]
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "neighbor_id": ids,
-                    "dist": acc,
-                }
-            )
-
-    return joined.mapInPandas(
-        rr, "query_id bigint, neighbor_id bigint, dist double"
+    return store_exact_rerank(
+        shortlist, qv, store, id_col="orig_id", metrics=metrics
     )
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rabitq_spark.functions.vector import l2_squared
+from rabitq_spark.index.vecstore import store_exact_rerank
 from rabitq_spark.operators.topk import topk_per_group
 
 
@@ -130,6 +131,7 @@ def sq8_search(
     base_id: str = "id",
     base_vec: str = "vec",
     coded_base: DataFrame | None = None,
+    vec_store=None,
 ) -> DataFrame:
     """Two-phase SQ8 k-NN: rough shortlist on int codes → exact rerank.
 
@@ -159,19 +161,23 @@ def sq8_search(
         [F.col("__rough").asc(), F.col("neighbor_id").asc()],
         max(shortlist, k),
     ).select("query_id", "neighbor_id")
-    bv = coded_base.select(
-        F.col("__bid").alias("neighbor_id"), F.col("__bvec").alias("__bvec")
-    )
     qv = q.select("query_id", "__qvec")
-    scored = (
-        short.join(bv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+    if vec_store is not None:
+        # candidate-bound point reads (index/vecstore.py) — same fold
+        scored = store_exact_rerank(short, qv, vec_store)
+    else:
+        bv = coded_base.select(
+            F.col("__bid").alias("neighbor_id"), F.col("__bvec").alias("__bvec")
         )
-    )
+        scored = (
+            short.join(bv, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
+            )
+        )
     return topk_per_group(
         scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
     ).select("query_id", "neighbor_id", "dist", "rank")

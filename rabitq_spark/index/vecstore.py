@@ -218,6 +218,67 @@ def build_vec_store(
     return VecStore(dir=store_dir, dim=dim, n_rows=n_rows, shards=shards)
 
 
+def store_exact_rerank(
+    shortlist: DataFrame,
+    qv: DataFrame,
+    store: VecStore,
+    id_col: str = "neighbor_id",
+    qvec_col: str = "__qvec",
+    metrics=None,
+) -> DataFrame:
+    """Generic candidate-bound exact rerank: gather each shortlist row's
+    base vector from `store` and emit (query_id, neighbor_id, dist) with
+    dist the l2_squared-mirroring double fold (elementwise f32→f64 cast,
+    (x-y)² in double, left-to-right accumulation — bit-identical to the
+    Column expression; a zero tail on both sides adds exact +0.0 terms,
+    so folding the store's dim-length prefix is safe for padded queries).
+
+    `shortlist` is (query_id, <id_col>); `qv` is (query_id, <qvec_col>)
+    and broadcasts. Shared by the RaBitQ stage-7 rerank and the PQ / SQ8
+    family reranks — any shortlist-then-exact plan whose base join would
+    otherwise scan O(base)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rabitq_spark._dist import ensure_package_on_executors
+
+    ensure_package_on_executors(shortlist.sparkSession)
+    dim = store.dim
+    joined = shortlist.join(F.broadcast(qv), "query_id")
+    if metrics is not None:
+        # rows actually read from base storage == candidates. Observed on
+        # the post-join stream, NOT the shortlist: a CollectMetrics node
+        # directly above the top-R filter defeats the WindowGroupLimit
+        # pre-shuffle trim (bisected +135 s at 10M — metrics.py)
+        joined = joined.observe(
+            metrics.rerank, F.count(F.lit(1)).alias("rerank_base_rows")
+        )
+
+    def rr(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.vstack(pdf[qvec_col].to_numpy())[:, :dim]
+            v = store.gather(ids)
+            d = q.astype(np.float64) - v.astype(np.float64)
+            d2 = d * d
+            acc = np.zeros(len(ids), dtype=np.float64)
+            for j in range(dim):
+                acc = acc + d2[:, j]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": ids,
+                    "dist": acc,
+                }
+            )
+
+    return joined.mapInPandas(
+        rr, "query_id bigint, neighbor_id bigint, dist double"
+    )
+
+
 def attach_vec_store(model, store_dir: str) -> "VecStore":
     """Build (if absent) and attach a store for `model.base_df`; search()
     then reranks candidate-bound through it. Reuses an existing store at

@@ -193,3 +193,61 @@ def test_attach_builds_and_reuses(spark, gappy_base, tmp_path):
     assert mtimes == {
         f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
     }
+
+
+def test_pq_family_store_rerank_bitexact(spark, gappy_base, tmp_path):
+    """vec_store wired into the PQ / IVF-PQ / SQ8 reranks must be
+    frame-identical to their __bvec-join plans (same fold, same trim)."""
+    from rabitq_spark.index.pq import (
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_train,
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+    from rabitq_spark.index.sq8 import sq8_search, sq8_train
+
+    base, ids, vecs = gappy_base
+    store = build_vec_store(
+        base, str(tmp_path / "pqstore"), dim=100, id_col="id", vec_col="vec",
+        n_shards=4,
+    )
+    queries = _queries(spark, gappy_base)
+
+    cb = pq_train(base, m=4, ksub=8, max_sample_rows=600)
+    coded = pq_encode(base, cb).cache()
+    a = pq_search(queries, base, K, cb, shortlist=32, coded_base=coded)
+    b = pq_search(
+        queries, base, K, cb, shortlist=32, coded_base=coded, vec_store=store
+    )
+    pd.testing.assert_frame_equal(
+        b.toPandas().sort_values(["query_id", "rank"], ignore_index=True),
+        a.toPandas().sort_values(["query_id", "rank"], ignore_index=True),
+        check_exact=True,
+    )
+
+    coarse, cb2 = ivfpq_train(base, n_clusters=8, m=4, ksub=8, max_sample_rows=600)
+    coded2 = ivfpq_encode(base, coarse, cb2).cache()
+    for impl in ("jvm", "arrow"):
+        a = ivfpq_search(
+            queries, coded2, K, coarse, cb2, nprobe=4, shortlist=32, impl=impl
+        )
+        b = ivfpq_search(
+            queries, coded2, K, coarse, cb2, nprobe=4, shortlist=32,
+            impl=impl, vec_store=store,
+        )
+        pd.testing.assert_frame_equal(
+            b.toPandas().sort_values(["query_id", "rank"], ignore_index=True),
+            a.toPandas().sort_values(["query_id", "rank"], ignore_index=True),
+            check_exact=True,
+        )
+
+    lo, hi = sq8_train(base)
+    a = sq8_search(queries, base, K, lo, hi, shortlist=32)
+    b = sq8_search(queries, base, K, lo, hi, shortlist=32, vec_store=store)
+    pd.testing.assert_frame_equal(
+        b.toPandas().sort_values(["query_id", "rank"], ignore_index=True),
+        a.toPandas().sort_values(["query_id", "rank"], ignore_index=True),
+        check_exact=True,
+    )
