@@ -105,7 +105,7 @@ def search_adaptive(
     safety: float = 1e-3,
     query_id: str = "query_id",
     query_vec: str = "qvec",
-    kernel: str = "popcount",
+    kernel: str = "auto",
     stats: dict | None = None,
 ) -> DataFrame:
     """Batch top-k ANN with per-query adaptive probe cutoff; returns
@@ -125,9 +125,10 @@ def search_adaptive(
 
     `kernel` picks the per-wave rough scorer: "popcount"/"fastscan" run
     the fused Arrow shortlist; "jvm" runs the codegen join (identical
-    results — same estimator, same global top-R trim). Use "jvm" when
-    waves spread few queries over many clusters (the geometry-dispatch
-    regime, search.py) — e.g. large disk-resident indexes.
+    results — same estimator, same global top-R trim); "auto" (default)
+    picks PER WAVE by the same geometry rule as search() — the codegen
+    join below ~12 probing queries per probed cluster (small sequential
+    batches, very wide cluster counts), the Arrow kernel above it.
 
     Reference parity: README.md:20 ("early stop", the one unchecked
     feature the reference never built); the wave loop is the batch
@@ -281,7 +282,17 @@ def search_adaptive(
             }
         )
         probes_df = spark.createDataFrame(tbl, PROBE_SCHEMA)
-        if kernel == "jvm":
+        wave_kernel = kernel
+        if wave_kernel == "auto":
+            # per-wave geometry dispatch, the same rule as search(): the
+            # Arrow kernels' per-(cluster, batch) group setup needs ~12+
+            # probing queries per cluster to amortize; below that the
+            # codegen join wins (measured: sequential 100-query batches
+            # popcount 38.1 s vs jvm 21.8 s; full 1k batch fused 7.3 s vs
+            # jvm 12.5 s at 31 q/cluster)
+            q_per_cluster = len(ci_arr) / max(len(np.unique(ci_arr)), 1)
+            wave_kernel = "popcount" if q_per_cluster >= 12 else "jvm"
+        if wave_kernel == "jvm":
             # JVM wave scorer — search()'s stages 5-6 on the wave's probe
             # table. The Arrow shortlist pays a per-(cluster, batch) group
             # setup that needs ~12+ probing queries per cluster to
@@ -316,7 +327,7 @@ def search_adaptive(
                 r,
                 cfg.theta_log_dim,
                 prune_partitions=True,
-                kernel=kernel,
+                kernel=wave_kernel,
             )
         shortlist = topk_per_group(
             local,
