@@ -46,20 +46,25 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 # Executor-process-local memmap cache: one (ids, vec) memmap pair per shard
-# file, reused across Arrow batches and queries. Keyed by absolute file
-# path; never pickled (VecStore instances ship only dir + meta).
+# file, reused across Arrow batches and queries. Keyed by file identity
+# (path + mtime + size), not path alone: Spark reuses Python worker
+# processes across jobs (spark.python.worker.reuse), so a store REBUILT
+# into the same directory would otherwise be served by memmaps of the old
+# shard files. Never pickled (VecStore instances ship only dir + meta).
 _MM_CACHE: dict = {}
 
 
 def _shard_mmaps(store_dir: str, shard: dict, dim: int):
-    key = os.path.join(store_dir, shard["name"])
+    base = os.path.join(store_dir, shard["name"])
+    st = os.stat(base + ".vec")
+    key = (base, st.st_mtime_ns, st.st_size)
     hit = _MM_CACHE.get(key)
     if hit is None:
         ids = np.memmap(
-            key + ".ids", dtype="<i8", mode="r", shape=(shard["count"],)
+            base + ".ids", dtype="<i8", mode="r", shape=(shard["count"],)
         )
         vec = np.memmap(
-            key + ".vec", dtype="<f4", mode="r", shape=(shard["count"], dim)
+            base + ".vec", dtype="<f4", mode="r", shape=(shard["count"], dim)
         )
         hit = (ids, vec)
         _MM_CACHE[key] = hit

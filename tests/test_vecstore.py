@@ -251,3 +251,21 @@ def test_pq_family_store_rerank_bitexact(spark, gappy_base, tmp_path):
         a.toPandas().sort_values(["query_id", "rank"], ignore_index=True),
         check_exact=True,
     )
+
+
+def test_rebuild_same_dir_serves_fresh_rows(spark, gappy_base, tmp_path):
+    # Spark reuses Python worker processes, so the memmap cache must key on
+    # file identity, not path: a store REBUILT into the same directory with
+    # different vectors has to serve the NEW rows from the same process.
+    base, ids, vecs = gappy_base
+    store_dir = str(tmp_path / "rebuilt")
+    s1 = build_vec_store(base, store_dir, dim=100, n_shards=3, id_col="id")
+    got1 = s1.gather(ids[:4])  # populate this process's memmap cache
+    np.testing.assert_array_equal(got1, vecs[:4])
+
+    shifted = base.withColumn(
+        "vec", F.transform("vec", lambda x: x + F.lit(1.0).cast("float"))
+    )
+    s2 = build_vec_store(shifted, store_dir, dim=100, n_shards=3, id_col="id")
+    got2 = s2.gather(ids[:4])
+    np.testing.assert_array_equal(got2, vecs[:4] + np.float32(1.0))
