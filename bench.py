@@ -326,6 +326,21 @@ def main() -> None:
     # JVM pressure behind that the dedup probe OOM'd when 10M ran before
     # it (measured r8) — self-contained on parquet, so nothing after it
     # needs a clean heap.
+    # --- dedup second decade (round-9): 10M-doc minhash, recall +
+    # linearity gates against the 1M point from THIS session. Runs with
+    # the heavy tail (before the ANN 10M probe) for the same heap-hygiene
+    # reason — its 3 GB cached corpus is dropped before scale10m starts.
+    if (
+        os.environ.get("SPARK_GRAFT_DEDUP10M", "1") != "0"
+        and dedup_probe.get("minhash_sec")
+    ):
+        try:
+            dedup10m = _dedup_scale_probe_10m(spark, dedup_probe["minhash_sec"])
+        except Exception as exc:  # noqa: BLE001 — never block the contract
+            dedup10m = {"error": repr(exc)[:200]}
+    else:
+        dedup10m = {}
+
     if os.environ.get("SPARK_GRAFT_SCALE10M", "1") != "0":
         try:
             scale10m = _scale_probe_10m(spark)
@@ -360,6 +375,7 @@ def main() -> None:
         "scale_probe": scale_probe,
         "scale_probe_10m": scale10m,
         "dedup_scale_probe": dedup_probe,
+        "dedup_scale_probe_10m": dedup10m,
         "state_scale_probe": state_probe,
         "slope_probe": slope_probe,
         "sf1": sf1,
@@ -423,6 +439,15 @@ def main() -> None:
         "dedup_probe_gates": {
             k: v for k, v in dedup_probe.items() if k.endswith("gate")
         },
+        "dedup10m": {
+            k: dedup10m.get(k)
+            for k in (
+                "sec", "docs_per_sec", "planted_recall", "recall_gate",
+                "slope_vs_1m", "linear_gate",
+            )
+        }
+        if dedup10m
+        else None,
         "state_probe_gates": {
             k: v for k, v in state_probe.items() if k.endswith("gate")
         },
@@ -649,6 +674,104 @@ def _llm_slope_probe(spark) -> dict:
     return out
 
 
+def _gen_planted_docs(dup_every: int = 20):
+    """mapInPandas generator for the synthetic planted-near-dup corpus used
+    by both dedup scale probes (1M and 10M): 40 random tokens from a 4k
+    vocab per doc; every `dup_every`-th id copies the last pristine row's
+    text + one appended word (3-shingle Jaccard 38/39 = 0.974 >= 0.8)."""
+
+    def gen_docs(it):
+        import numpy as np
+        import pandas as pd
+
+        vocab = np.array([f"w{j:04d}" for j in range(4096)])
+        for pdf in it:
+            ids = pdf["id"].values
+            rng = np.random.default_rng(3 ^ int(ids[0]))
+            toks = vocab[rng.integers(0, 4096, (len(ids), 40))]
+            texts = [" ".join(t) for t in toks]
+            docs, partner = [], []
+            last_clean = -1  # last row kept pristine (a planted row's text
+            # is modified, so pairing against it would break the pair)
+            for i, d in enumerate(ids):
+                # planted near-dup: last pristine row's text + one appended
+                # word (Jaccard of 3-shingle sets = 38/39 = 0.974 >= 0.8)
+                if d % dup_every == 1 and last_clean >= 0:
+                    docs.append(texts[last_clean] + " extra")
+                    partner.append(int(ids[last_clean]))
+                else:
+                    docs.append(texts[i])
+                    partner.append(-1)
+                    last_clean = i
+            yield pd.DataFrame(
+                {"doc_id": ids, "text": docs, "partner": partner}
+            )
+
+    return gen_docs
+
+
+def _dedup_scale_probe_10m(spark, t_1m: float | None) -> dict:
+    """Second-decade minhash probe (round-9): 10M planted docs — one decade
+    past `_dedup_scale_probe`'s 1M point, the dedup analogue of
+    `_scale_probe_10m`. Same banded-LSH plan; the naive / embedding
+    controls are NOT repeated (agreement is pinned at the 1M point — this
+    probe measures SCALING, not correctness). Corpus is generated and
+    cached MEMORY_AND_DISK (~3 GB of text; the at-scale shape, matching
+    the 10M ANN probe's DISK_ONLY stance).
+
+    Gates: planted-pair recall >= 0.95 at 10M, and a linearity slope
+    against the 1M run from the SAME session —
+    (t_10m / t_1m) / 10 <= 1.5 — i.e. 10x docs costs <= 15x wall, the
+    sub-quadratic evidence (naive all-pairs would be 100x)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from rabitq_spark.operators.dedup import (
+        neardup_minhash_pairs,
+        release_caches,
+    )
+
+    n_docs = 10_000_000
+    docs = (
+        spark.range(n_docs)
+        .repartition(64)
+        .mapInPandas(
+            _gen_planted_docs(), "doc_id bigint, text string, partner bigint"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs.count()
+    planted = docs.filter(F.col("partner") >= 0).select(
+        F.least("doc_id", "partner").alias("id_a"),
+        F.greatest("doc_id", "partner").alias("id_b"),
+    ).cache()
+    n_planted = planted.count()
+
+    t0 = time.perf_counter()
+    pairs = neardup_minhash_pairs(docs.select("doc_id", "text")).cache()
+    n_pairs = pairs.count()
+    t_10m = time.perf_counter() - t0
+    found = planted.join(pairs, ["id_a", "id_b"], "left_semi").count()
+    recall = found / max(n_planted, 1)
+    slope = (t_10m / t_1m) / 10.0 if t_1m else None
+    out = {
+        "n_docs": n_docs,
+        "sec": round(t_10m, 1),
+        "docs_per_sec": round(n_docs / t_10m),
+        "pairs": n_pairs,
+        "planted": n_planted,
+        "planted_recall": round(recall, 4),
+        "recall_gate": recall >= 0.95,
+        "sec_1m_same_session": round(t_1m, 1) if t_1m else None,
+        "slope_vs_1m": round(slope, 3) if slope is not None else None,
+        "linear_gate": (slope <= 1.5) if slope is not None else None,
+    }
+    for df in (pairs, planted, docs):
+        df.unpersist()
+    release_caches()
+    return out
+
+
 def _dedup_scale_probe(
     spark, n_docs: int = 1_000_000, n_emb: int = 200_000, dim: int = 64
 ) -> dict:
@@ -685,36 +808,13 @@ def _dedup_scale_probe(
     dup_every = 20
 
     # ---- MinHash @ 1M ----
-    def gen_docs(it):
-        import pandas as pd
-
-        vocab = np.array([f"w{j:04d}" for j in range(4096)])
-        for pdf in it:
-            ids = pdf["id"].values
-            rng = np.random.default_rng(3 ^ int(ids[0]))
-            toks = vocab[rng.integers(0, 4096, (len(ids), 40))]
-            texts = [" ".join(t) for t in toks]
-            docs, partner = [], []
-            last_clean = -1  # last row kept pristine (a planted row's text
-            # is modified, so pairing against it would break the pair)
-            for i, d in enumerate(ids):
-                # planted near-dup: last pristine row's text + one appended
-                # word (Jaccard of 3-shingle sets = 38/39 = 0.974 >= 0.8)
-                if d % dup_every == 1 and last_clean >= 0:
-                    docs.append(texts[last_clean] + " extra")
-                    partner.append(int(ids[last_clean]))
-                else:
-                    docs.append(texts[i])
-                    partner.append(-1)
-                    last_clean = i
-            yield pd.DataFrame(
-                {"doc_id": ids, "text": docs, "partner": partner}
-            )
-
     docs = (
         spark.range(n_docs)
         .repartition(32)
-        .mapInPandas(gen_docs, "doc_id bigint, text string, partner bigint")
+        .mapInPandas(
+            _gen_planted_docs(dup_every),
+            "doc_id bigint, text string, partner bigint",
+        )
         .cache()
     )
     docs.count()
