@@ -1042,9 +1042,47 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     store_dir = os.path.join(repo, ".benchdata", f"scale1m_{dim}_vecstore")
     t0 = time.perf_counter()
-    if not VecStore.exists(store_dir):
+    vec_store = None
+    if VecStore.exists(store_dir):
+        # the store persists across rounds but THIS base is regenerated
+        # in-session, and its per-partition seeding depends on the host's
+        # initial parallelism (ids[0] per shuffled partition) — a different
+        # host/core-count yields different vectors per id. Fingerprint
+        # three rows against the live base before trusting the store;
+        # rebuild on any mismatch (review finding, round 9).
+        cand = VecStore.open(store_dir)
+        pick = [0, n_base // 2, n_base - 1]
+        rows = sorted(
+            model.base_df.filter(F.col("orig_id").isin(pick))
+            .select("orig_id", "vec")
+            .collect(),
+            key=lambda r: r["orig_id"],
+        )
+        try:
+            got = cand.gather(
+                np.array([r["orig_id"] for r in rows], dtype=np.int64)
+            )
+            if (
+                cand.n_rows == n_base
+                and len(rows) == len(pick)
+                and all(
+                    np.array_equal(
+                        got[i],
+                        np.asarray(rows[i]["vec"][:dim], dtype=np.float32),
+                    )
+                    for i in range(len(rows))
+                )
+            ):
+                vec_store = cand
+        except (KeyError, OSError):
+            pass
+        if vec_store is None:
+            import shutil
+
+            shutil.rmtree(store_dir)
+    if vec_store is None:
         build_vec_store(model.base_df, store_dir, dim=dim, n_rows=n_base)
-    vec_store = VecStore.open(store_dir)
+        vec_store = VecStore.open(store_dir)
     model.vec_store = vec_store
     vecstore_s = time.perf_counter() - t0
 
@@ -1463,13 +1501,17 @@ def _scale_probe_10m(
         "geometry gate -> jvm (probing queries per cluster below 12)"
     )
     t0 = time.perf_counter()
-    search(
+    fs_forced = search(
         model, queries, impl="fastscan", fastscan_max_lut_bytes=1 << 31,
         arrow_min_queries_per_cluster=0,
-    ).write.format("noop").mode("overwrite").save()
+    ).toPandas()
     out["fastscan_forced_sec"] = round(time.perf_counter() - t0, 1)
+    # equality gate MUST use the forced-kernel run: the default dispatch
+    # routes impl="fastscan" to the jvm plan at this geometry, so gating
+    # on `fs` would compare jvm vs jvm and a fastscan-kernel regression
+    # at 10M scale would pass green (review finding, round 9)
     out["fastscan_equal_gate"] = bool(
-        fs.sort_values(["query_id", "rank"], ignore_index=True).equals(
+        fs_forced.sort_values(["query_id", "rank"], ignore_index=True).equals(
             jvm.sort_values(["query_id", "rank"], ignore_index=True)
         )
     )

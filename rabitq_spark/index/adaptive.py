@@ -78,9 +78,12 @@ def cluster_radii_sq(model: RaBitQModel) -> np.ndarray:
     # memo keyed on the index plan's identity: the repo's own pattern of
     # reassigning model.index_df in place (bench/tests persist it) must
     # invalidate the radii — stale (undersized) radii would make the
-    # triangle bound unsound and silently drop true neighbors
+    # triangle bound unsound and silently drop true neighbors. The memo
+    # stores the DataFrame OBJECT (not id(): a freed DataFrame's address
+    # can be reused by its replacement, falsely matching) — holding the
+    # reference pins the object, so `is` identity is stable
     memo = getattr(model, "_radii_sq", None)
-    if memo is not None and memo[0] == id(model.index_df):
+    if memo is not None and memo[0] is model.index_df:
         return memo[1]
     rows = (
         model.index_df.groupBy("cluster_id")
@@ -90,7 +93,7 @@ def cluster_radii_sq(model: RaBitQModel) -> np.ndarray:
     radii = np.zeros(model.n_clusters, dtype=np.float64)
     for row in rows:
         radii[row["cluster_id"]] = max(float(row["r2"]), 0.0)
-    model._radii_sq = (id(model.index_df), radii)
+    model._radii_sq = (model.index_df, radii)
     return radii
 
 
@@ -300,25 +303,17 @@ def search_adaptive(
             # over many clusters with few queries each sit far below
             # that, exactly where the codegen join wins (measured at
             # 10M x 256: fused 55 s vs jvm join 18.5 s at 6 q/cluster).
-            from rabitq_spark.index.search import (
-                rough_distance_expr,
-                rough_distance_expr_multibit,
-            )
+            from rabitq_spark.index.search import rough_estimator_expr
 
             index = model.index_df
             probed_set = [int(c) for c in np.unique(ci_arr)]
             if 2 * len(probed_set) <= ncl:
                 index = index.filter(F.col("cluster_id").isin(probed_set))
-            est = (
-                rough_distance_expr_multibit(
-                    cfg.bits_per_dim, cfg.theta_log_dim, model.n_words,
-                    model.dim_pad,
-                )
-                if cfg.bits_per_dim > 1
-                else rough_distance_expr(cfg.theta_log_dim, model.n_words)
-            )
+            # same estimator expression as search() stage 5 (shared helper
+            # — the frame-identity contract depends on it)
             local = index.join(F.broadcast(probes_df), "cluster_id").select(
-                "query_id", "orig_id", est.alias("rough")
+                "query_id", "orig_id",
+                rough_estimator_expr(model).alias("rough"),
             )
         else:
             local = _fused_shortlist(

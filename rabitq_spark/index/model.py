@@ -78,6 +78,15 @@ class RaBitQModel:
                 self.base_df, f"{path}/vecstore", dim=self.dim,
                 n_rows=self.n_rows,
             )
+        elif os.path.isdir(f"{path}/vecstore"):
+            # overwrite-save of a store-less model must REMOVE a stale
+            # sidecar left by a previous occupant of this path: load()
+            # auto-attaches any vecstore dir it finds, and index/ + base/
+            # were just overwritten — a surviving old store would serve the
+            # previous model's vectors to the new model's shortlists
+            import shutil
+
+            shutil.rmtree(f"{path}/vecstore")
         from rabitq_spark.index.rotation import BlockRotation
 
         if isinstance(self.rotation, BlockRotation):

@@ -234,6 +234,19 @@ def rough_distance_expr_multibit(
 _POPCNT = None
 
 
+def rough_estimator_expr(model) -> F.Column:
+    """The bits-aware D5 estimator for a model — the single place the
+    single-bit / multi-bit Column selection lives. Shared by search()'s
+    stage-5 jvm plan and search_adaptive's jvm wave scorer, whose
+    'identical results' contract depends on using the same expression."""
+    cfg = model.config
+    if cfg.bits_per_dim > 1:
+        return rough_distance_expr_multibit(
+            cfg.bits_per_dim, cfg.theta_log_dim, model.n_words, model.dim_pad
+        )
+    return rough_distance_expr(cfg.theta_log_dim, model.n_words)
+
+
 def _popcount64(arr: "np.ndarray") -> "np.ndarray":
     """Vectorized popcount for int64 arrays (numpy<2 has no bitwise_count):
     byte-LUT sum over the 8 bytes of each word."""
@@ -713,6 +726,7 @@ def search(
         impl = "jvm"
     r = max(topk * overfetch, topk)
     probes_materialized = False
+    probed_clusters: list | None = None  # collected once, reused by pruning
     if impl in ("fused", "fastscan"):
         # Gate (round-2 verdict): the fused path materializes the whole
         # probe table on the driver. Checkpoint once (executor blocks), then
@@ -723,38 +737,45 @@ def search(
         n_probe_rows = probes.count()
         if n_probe_rows > fused_max_probe_rows:
             impl = "jvm"
-        elif arrow_min_queries_per_cluster > 0 and (
-            n_probe_rows
-            < arrow_min_queries_per_cluster
-            * probes.select("cluster_id").distinct().count()
-        ):
-            # Geometry dispatch (measured at 10M x 256, 0.5% coverage, r9):
-            # the Arrow kernels pay a per-(cluster, batch)-group setup
-            # (pandas group materialization, LUT build/gather) that needs
-            # enough probing queries per cluster to amortize — at ~6.4
-            # queries/cluster the jvm codegen join won 18.5 s vs fused
-            # 55.4 / fastscan 76.5; at 31 queries/cluster fused won 7.3 s
-            # vs jvm 12.5 (1M probe). Threshold 12 sits between the two
-            # measured regimes; kernel-pinning tests/benches pass 0 to
-            # force the Arrow path.
-            impl = "jvm"
-        elif impl == "fastscan" and (
-            model.dim_pad * ((1 << cfg.theta_log_dim) - 1) >= 1 << 24
-        ):
-            # fastscan's float32 GEMM is integer-exact only while partial
-            # sums stay under 2^24 (fastscan_luts enforces it); past the
-            # bound use the popcount kernel — same fused plan, same results
-            impl = "fused"
-        elif impl == "fastscan" and (
-            n_probe_rows * 16 * model.dim_pad > fastscan_max_lut_bytes
-        ):
-            # a nibble LUT costs 16 bytes/dim per probe row (vs 0.5 for the
-            # packed planes — 32×). LUTs are built lazily executor-side
-            # with a 64 MB per-worker cache, so past this TOTAL byte budget
-            # most groups would rebuild their LUT every batch — fall back
-            # to the popcount kernel, which shares every other property of
-            # the fused plan
-            impl = "fused"
+        else:
+            if arrow_min_queries_per_cluster > 0:
+                # Geometry dispatch (measured at 10M x 256, 0.5% coverage,
+                # r9): the Arrow kernels pay a per-(cluster, batch)-group
+                # setup (pandas group materialization, LUT build/gather)
+                # that needs enough probing queries per cluster to amortize
+                # — at ~6.4 queries/cluster the jvm codegen join won 18.5 s
+                # vs fused 55.4 / fastscan 76.5; at 31 queries/cluster
+                # fused won 7.3 s vs jvm 12.5 (1M probe). Threshold 12 sits
+                # between the two measured regimes; kernel-pinning tests/
+                # benches pass 0 to force the Arrow path. The collected
+                # cluster list is REUSED by the jvm prune below — one job,
+                # not a distinct-count followed by a distinct-collect.
+                probed_clusters = [
+                    row.cluster_id
+                    for row in probes.select("cluster_id").distinct().collect()
+                ]
+                if n_probe_rows < arrow_min_queries_per_cluster * len(
+                    probed_clusters
+                ):
+                    impl = "jvm"
+            if impl == "fastscan" and (
+                model.dim_pad * ((1 << cfg.theta_log_dim) - 1) >= 1 << 24
+            ):
+                # fastscan's float32 GEMM is integer-exact only while
+                # partial sums stay under 2^24 (fastscan_luts enforces it);
+                # past the bound use the popcount kernel — same fused plan,
+                # same results
+                impl = "fused"
+            if impl == "fastscan" and (
+                n_probe_rows * 16 * model.dim_pad > fastscan_max_lut_bytes
+            ):
+                # a nibble LUT costs 16 bytes/dim per probe row (vs 0.5 for
+                # the packed planes — 32×). LUTs are built lazily executor-
+                # side with a 64 MB per-worker cache, so past this TOTAL
+                # byte budget most groups would rebuild their LUT every
+                # batch — fall back to the popcount kernel, which shares
+                # every other property of the fused plan
+                impl = "fused"
     if impl in ("fused", "fastscan"):
         # Stages 5-6 fused in one Arrow pass (see _fused_shortlist); it
         # collects the probe table itself and derives partition pruning
@@ -789,11 +810,12 @@ def search(
             # stage ran twice per search.
             if not probes_materialized:
                 probes = probes.localCheckpoint(eager=True)
-            probed = [
-                row.cluster_id
-                for row in probes.select("cluster_id").distinct().collect()
-            ]
-            index = index.filter(F.col("cluster_id").isin(probed))
+            if probed_clusters is None:
+                probed_clusters = [
+                    row.cluster_id
+                    for row in probes.select("cluster_id").distinct().collect()
+                ]
+            index = index.filter(F.col("cluster_id").isin(probed_clusters))
         # Stage 5: J2 equi-join + D5 estimator. Typical query batches make
         # the probe table small → broadcast; a huge batch (probe table
         # ~ nq × nprobe rows, e.g. a full-table similarity join) must
@@ -802,14 +824,9 @@ def search(
         # shuffle is bounded by the pruned posting lists.
         probe_side = F.broadcast(probes) if broadcast_probes else probes
         cand = index.join(probe_side, "cluster_id")
-        est = (
-            rough_distance_expr_multibit(
-                cfg.bits_per_dim, cfg.theta_log_dim, model.n_words, model.dim_pad
-            )
-            if cfg.bits_per_dim > 1
-            else rough_distance_expr(cfg.theta_log_dim, model.n_words)
+        cand = cand.select(
+            "query_id", "orig_id", rough_estimator_expr(model).alias("rough")
         )
-        cand = cand.select("query_id", "orig_id", est.alias("rough"))
         if allowed is not None:
             ok = allowed.select(
                 F.col(allowed.columns[0]).alias("orig_id")

@@ -57,6 +57,13 @@ _MM_CACHE: dict = {}
 def _shard_mmaps(store_dir: str, shard: dict, dim: int):
     base = os.path.join(store_dir, shard["name"])
     st = os.stat(base + ".vec")
+    want = shard["count"] * dim * 4
+    if st.st_size != want:
+        raise OSError(
+            f"vec store shard {base}.vec is {st.st_size} bytes, expected "
+            f"{want} (count {shard['count']} x dim {dim} x 4) — truncated "
+            "or partially-written store"
+        )
     key = (base, st.st_mtime_ns, st.st_size)
     hit = _MM_CACHE.get(key)
     if hit is None:
@@ -110,7 +117,8 @@ class VecStore:
         which = np.searchsorted(max_ids, ids, side="left")
         if which.max(initial=-1) >= len(self.shards):
             bad = ids[which >= len(self.shards)][0]
-            raise KeyError(f"id {bad} beyond store max {max_ids[-1]}")
+            top = int(max_ids[-1]) if len(max_ids) else "<empty store>"
+            raise KeyError(f"id {bad} beyond store max {top}")
         for si in np.unique(which):
             sel = np.flatnonzero(which == si)
             sid_mm, vec_mm = _shard_mmaps(self.dir, self.shards[si], self.dim)
@@ -164,14 +172,22 @@ def build_vec_store(
     def write(it):
         import pandas as pd
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         name = f"shard_{pid:05d}"
         vec_path = os.path.join(store_dir, name + ".vec")
         ids_path = os.path.join(store_dir, name + ".ids")
+        # attempt-unique temp names + atomic rename: a speculative or
+        # zombie duplicate attempt of this partition must never interleave
+        # bytes with the winning attempt's files (both attempts write the
+        # same rows, so whichever rename lands last leaves a complete file)
+        suffix = f".tmp{ctx.taskAttemptId()}"
         count = 0
         min_id = None
         max_id = None
-        with open(vec_path, "wb") as fv, open(ids_path, "wb") as fi:
+        with open(vec_path + suffix, "wb") as fv, open(
+            ids_path + suffix, "wb"
+        ) as fi:
             for pdf in it:
                 ids = pdf["__id"].to_numpy(dtype="<i8")
                 if len(ids) == 0:
@@ -185,9 +201,11 @@ def build_vec_store(
                 min_id = int(ids[0]) if min_id is None else min_id
                 max_id = int(ids[-1])
         if count == 0:
-            os.unlink(vec_path)
-            os.unlink(ids_path)
+            os.unlink(vec_path + suffix)
+            os.unlink(ids_path + suffix)
             return
+        os.replace(vec_path + suffix, vec_path)
+        os.replace(ids_path + suffix, ids_path)
         yield pd.DataFrame(
             {
                 "name": [name],
@@ -273,15 +291,27 @@ def store_exact_rerank(
                 acc = acc + d2[:, j]
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    # pass query_id through UNCAST — the join plans this
+                    # rerank replaces preserve arbitrary query_id types
+                    # (an int64 cast would silently truncate float ids)
+                    "query_id": pdf["query_id"],
                     "neighbor_id": ids,
                     "dist": acc,
                 }
             )
 
-    return joined.mapInPandas(
-        rr, "query_id bigint, neighbor_id bigint, dist double"
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(
+                "query_id", joined.schema["query_id"].dataType, True
+            ),
+            StructField("neighbor_id", LongType(), True),
+            StructField("dist", DoubleType(), True),
+        ]
     )
+    return joined.mapInPandas(rr, out_schema)
 
 
 def attach_vec_store(model, store_dir: str) -> "VecStore":

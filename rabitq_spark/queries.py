@@ -201,6 +201,20 @@ GROUP BY l_returnflag, l_linestatus
 
 _MODEL_CACHE: dict = {}
 
+# Session-owned temp dirs: every mkdtemp in this registry (vec stores,
+# cold-reload model dirs, stream inputs/checkpoints) is reclaimed at
+# interpreter exit — repeated sweep sessions must not accumulate copies
+# of base data under /tmp (review finding, round 9).
+import atexit as _atexit
+import shutil as _shutil
+import tempfile as _tempfile
+
+
+def _mkdtemp(prefix: str) -> str:
+    d = _tempfile.mkdtemp(prefix=prefix)
+    _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    return d
+
 # committed oracle fixtures (see scripts/make_bpe_fixture.py): expectation
 # tables for queries whose computation is iterative (not SQL-expressible)
 # but whose RESULT is deterministic for a fixed corpus
@@ -259,7 +273,7 @@ def q_ann_ivf_vecstore(spark: SparkSession, sf_dir: str) -> DataFrame:
         import copy
 
         model = copy.copy(base_model)
-        attach_vec_store(model, tempfile.mkdtemp(prefix="rabitq_vecstore_"))
+        attach_vec_store(model, _mkdtemp(prefix="rabitq_vecstore_"))
         _MODEL_CACHE[key] = model
     model = _MODEL_CACHE[key]
     emb = load_table(spark, sf_dir, "embeddings")
@@ -594,7 +608,7 @@ def _get_cold_model(spark: SparkSession, sf_dir: str):
 
         from rabitq_spark.index.model import RaBitQModel
 
-        path = tempfile.mkdtemp(prefix="rabitq_cold_index_")
+        path = _mkdtemp(prefix="rabitq_cold_index_")
         _get_model(spark, sf_dir).save(path)
         _MODEL_CACHE[key] = RaBitQModel.load(spark, path)
     return _MODEL_CACHE[key]
@@ -640,7 +654,7 @@ def q_ann_ivfpq_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
         )
         coarse, cb = ivfpq_train(base, "vec", n_clusters=16, m=8, ksub=64, iters=6)
-        path = tempfile.mkdtemp(prefix="ivfpq_cold_")
+        path = _mkdtemp(prefix="ivfpq_cold_")
         ivfpq_save(path, coarse, cb, ivfpq_encode(base, coarse, cb))
         _MODEL_CACHE[key] = ivfpq_load(spark, path)
     coarse, cb, coded = _MODEL_CACHE[key]
@@ -706,7 +720,7 @@ def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         first = base.filter(F.col("id") % 2 == 0)
         second = base.filter(F.col("id") % 2 == 1)
         coarse, cb = ivfpq_train(first, "vec", n_clusters=16, m=8, ksub=64, iters=6)
-        path = tempfile.mkdtemp(prefix="ivfpq_append_")
+        path = _mkdtemp(prefix="ivfpq_append_")
         ivfpq_save(path, coarse, cb, ivfpq_encode(first, coarse, cb))
         ivfpq_append(spark, path, second)
         _MODEL_CACHE[key] = ivfpq_load(spark, path)
@@ -741,9 +755,9 @@ def _get_stream_model(spark: SparkSession, sf_dir: str):
         seed = emb.filter(F.col("vec_id") < half).select(
             F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
         )
-        path = tempfile.mkdtemp(prefix="rabitq_stream_index_")
+        path = _mkdtemp(prefix="rabitq_stream_index_")
         build_index(seed, RaBitQConfig()).save(path)
-        stream_in = tempfile.mkdtemp(prefix="rabitq_stream_in_")
+        stream_in = _mkdtemp(prefix="rabitq_stream_in_")
         (
             emb.filter(F.col("vec_id") >= half)
             .select("vec_id", "embedding")
@@ -754,7 +768,7 @@ def _get_stream_model(spark: SparkSession, sf_dir: str):
         maintain_index_stream(
             path,
             read_vector_stream(spark, stream_in),
-            checkpoint=tempfile.mkdtemp(prefix="rabitq_stream_ckpt_"),
+            checkpoint=_mkdtemp(prefix="rabitq_stream_ckpt_"),
         )
         _MODEL_CACHE[key] = RaBitQModel.load(spark, path)
     return _MODEL_CACHE[key]
@@ -800,9 +814,9 @@ def _get_stream_cdc_model(spark: SparkSession, sf_dir: str):
         boot = emb.filter(F.col("vec_id") % 2 == 0).select(
             F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
         )
-        model_path = tempfile.mkdtemp(prefix="rabitq_cdc_model_")
+        model_path = _mkdtemp(prefix="rabitq_cdc_model_")
         build_index(boot, RaBitQConfig()).save(model_path)
-        stream_in = tempfile.mkdtemp(prefix="rabitq_cdc_in_")
+        stream_in = _mkdtemp(prefix="rabitq_cdc_in_")
         b0 = (
             emb.filter((F.col("vec_id") % 8 == 0))
             .select(
@@ -826,7 +840,7 @@ def _get_stream_cdc_model(spark: SparkSession, sf_dir: str):
         maintain_index_cdc_stream(
             model_path,
             read_cdc_vector_stream(spark, stream_in, max_files_per_trigger=1),
-            checkpoint=tempfile.mkdtemp(prefix="rabitq_cdc_ckpt_"),
+            checkpoint=_mkdtemp(prefix="rabitq_cdc_ckpt_"),
         )
         model = load_index_with_tombstones(spark, model_path)
         model.index_df = model.index_df.cache()
@@ -1723,12 +1737,12 @@ def q_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     key = (sf_dir, "neardup_state_base")
     if key not in _MODEL_CACHE:
-        base_dir = tempfile.mkdtemp(prefix="neardup_state_")
+        base_dir = _mkdtemp(prefix="neardup_state_")
         boot = NearDupState(spark, base_dir)
         boot.bootstrap(docs.filter(F.col("doc_id") % 10 >= 2))
         _MODEL_CACHE[key] = base_dir
     state = NearDupState(
-        spark, _MODEL_CACHE[key], tempfile.mkdtemp(prefix="neardup_delta_")
+        spark, _MODEL_CACHE[key], _mkdtemp(prefix="neardup_delta_")
     )
     state.apply_delta(docs.filter(F.col("doc_id") % 10 == 0))
     state.apply_delta(docs.filter(F.col("doc_id") % 10 == 1))
@@ -1754,12 +1768,12 @@ def q_neardup_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     key = (sf_dir, "neardup_state_base")  # bootstrap shared with q_neardup_state
     if key not in _MODEL_CACHE:
-        base_dir = tempfile.mkdtemp(prefix="neardup_state_")
+        base_dir = _mkdtemp(prefix="neardup_state_")
         NearDupState(spark, base_dir).bootstrap(
             docs.filter(F.col("doc_id") % 10 >= 2)
         )
         _MODEL_CACHE[key] = base_dir
-    stream_in = tempfile.mkdtemp(prefix="nds_stream_in_")
+    stream_in = _mkdtemp(prefix="nds_stream_in_")
     for r in (0, 1):
         (
             docs.filter(F.col("doc_id") % 10 == r)
@@ -1769,12 +1783,12 @@ def q_neardup_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(stream_in)
         )
     state = NearDupState(
-        spark, _MODEL_CACHE[key], tempfile.mkdtemp(prefix="nds_delta_")
+        spark, _MODEL_CACHE[key], _mkdtemp(prefix="nds_delta_")
     )
     neardup_state_maintenance_stream(
         state,
         read_doc_stream(spark, stream_in, max_files_per_trigger=1),
-        checkpoint=tempfile.mkdtemp(prefix="nds_ckpt_"),
+        checkpoint=_mkdtemp(prefix="nds_ckpt_"),
     )
     return state.pairs()
 
@@ -1891,7 +1905,7 @@ def _get_neardup_stream_decisions(spark: SparkSession, sf_dir: str) -> DataFrame
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         n = docs.count()
-        stream_in = tempfile.mkdtemp(prefix="rabitq_nd_stream_in_")
+        stream_in = _mkdtemp(prefix="rabitq_nd_stream_in_")
         slice_sz = max(1, n // 4 + 1)
         for i in range(4):
             lo, hi = i * slice_sz, (i + 1) * slice_sz
@@ -1903,11 +1917,11 @@ def _get_neardup_stream_decisions(spark: SparkSession, sf_dir: str) -> DataFrame
                 .write.mode("append")
                 .parquet(stream_in)
             )
-        store = tempfile.mkdtemp(prefix="rabitq_nd_store_")
+        store = _mkdtemp(prefix="rabitq_nd_store_")
         neardup_maintenance_stream(
             read_doc_stream(spark, stream_in, max_files_per_trigger=1),
             store,
-            checkpoint=tempfile.mkdtemp(prefix="rabitq_nd_ckpt_"),
+            checkpoint=_mkdtemp(prefix="rabitq_nd_ckpt_"),
         )
         _MODEL_CACHE[key] = spark.read.parquet(f"{store}/decisions")
     return _MODEL_CACHE[key]
@@ -2676,14 +2690,14 @@ def q_embedding_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     key = (sf_dir, "emb_neardup_state_base")
     if key not in _MODEL_CACHE:
-        base_dir = tempfile.mkdtemp(prefix="embstate_")
+        base_dir = _mkdtemp(prefix="embstate_")
         boot = EmbeddingNearDupState(spark, base_dir, threshold=0.4)
         boot.bootstrap(emb.filter(F.col("vec_id") % 10 >= 2))
         _MODEL_CACHE[key] = base_dir
     state = EmbeddingNearDupState(
         spark,
         _MODEL_CACHE[key],
-        tempfile.mkdtemp(prefix="embstate_d_"),
+        _mkdtemp(prefix="embstate_d_"),
         threshold=0.4,
     )
     state.apply_delta(emb.filter(F.col("vec_id") % 10 == 0))
@@ -2736,11 +2750,11 @@ def q_embedding_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     key = (sf_dir, "emb_neardup_state_base")  # shared with the batch query
     if key not in _MODEL_CACHE:
-        base_dir = tempfile.mkdtemp(prefix="embstate_")
+        base_dir = _mkdtemp(prefix="embstate_")
         boot = EmbeddingNearDupState(spark, base_dir, threshold=0.4)
         boot.bootstrap(emb.filter(F.col("vec_id") % 10 >= 2))
         _MODEL_CACHE[key] = base_dir
-    stream_in = tempfile.mkdtemp(prefix="embstate_stream_in_")
+    stream_in = _mkdtemp(prefix="embstate_stream_in_")
     for r in (0, 1):
         (
             emb.filter(F.col("vec_id") % 10 == r)
@@ -2752,13 +2766,13 @@ def q_embedding_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = EmbeddingNearDupState(
         spark,
         _MODEL_CACHE[key],
-        tempfile.mkdtemp(prefix="embstate_sd_"),
+        _mkdtemp(prefix="embstate_sd_"),
         threshold=0.4,
     )
     embedding_state_maintenance_stream(
         state,
         read_vector_stream(spark, stream_in, max_files_per_trigger=1),
-        checkpoint=tempfile.mkdtemp(prefix="embstate_ckpt_"),
+        checkpoint=_mkdtemp(prefix="embstate_ckpt_"),
     )
     return state.pairs()
 
@@ -3593,7 +3607,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.streaming.stateful import streaming_ewma
 
     ev = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="ewma_stream_in_")
+    src = _mkdtemp(prefix="ewma_stream_in_")
     # slice by the ACTUAL id range, not [0, n): benchdata replicas carry
     # key-OFFSET ids, and the [0, n) assumption silently streamed only the
     # first replica at sf1.0 (measured: exactly 1/10 of sessions)
@@ -3653,7 +3667,7 @@ def q_stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.streaming.stateful import stateful_sessionize
 
     ev = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="sess_state_in_")
+    src = _mkdtemp(prefix="sess_state_in_")
     # slice by the ACTUAL id range, not [0, n): benchdata replicas carry
     # key-OFFSET ids, and the [0, n) assumption silently streamed only the
     # first replica at sf1.0 (measured: exactly 1/10 of sessions)
@@ -3717,7 +3731,7 @@ def q_stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     max_us = ev.agg(F.max("ts_us")).first()[0]
-    src = tempfile.mkdtemp(prefix="sess_timeout_in_")
+    src = _mkdtemp(prefix="sess_timeout_in_")
     # slice by the ACTUAL id range, not [0, n): benchdata replicas carry
     # key-OFFSET ids, and the [0, n) assumption silently streamed only the
     # first replica at sf1.0 (measured: exactly 1/10 of sessions)
@@ -4423,7 +4437,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="csv_rt_")
+    path = _mkdtemp(prefix="csv_rt_")
     orders.write.mode("overwrite").option("header", "true").csv(path)
     back = spark.read.schema(
         "o_orderkey bigint, o_orderpriority string, o_totalprice double"
@@ -4438,7 +4452,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="json_rt_")
+    path = _mkdtemp(prefix="json_rt_")
     orders.write.mode("overwrite").json(path)
     back = spark.read.schema(
         "o_orderkey bigint, o_orderpriority string, o_totalprice double"
@@ -4456,7 +4470,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="orc_rt_")
+    path = _mkdtemp(prefix="orc_rt_")
     orders.write.mode("overwrite").orc(path)
     return _roundtrip_agg(spark.read.orc(path))
 
@@ -5178,7 +5192,7 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", F.col("value").cast("double").alias("value")
         )
-        stream_in = tempfile.mkdtemp(prefix="rabitq_mv_stream_in_")
+        stream_in = _mkdtemp(prefix="rabitq_mv_stream_in_")
         for i in range(4):
             (
                 ev.filter((F.col("event_id") % 4) == i)
@@ -5188,8 +5202,8 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         final = maintain_agg_stream(
             read_event_stream(spark, stream_in, max_files_per_trigger=1),
-            state_dir=tempfile.mkdtemp(prefix="rabitq_mv_state_"),
-            checkpoint=tempfile.mkdtemp(prefix="rabitq_mv_ckpt_"),
+            state_dir=_mkdtemp(prefix="rabitq_mv_state_"),
+            checkpoint=_mkdtemp(prefix="rabitq_mv_ckpt_"),
             keys=["user_id"],
             sum_cols=["value"],
             minmax_cols=["value"],
