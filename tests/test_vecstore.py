@@ -269,3 +269,43 @@ def test_rebuild_same_dir_serves_fresh_rows(spark, gappy_base, tmp_path):
     s2 = build_vec_store(shifted, store_dir, dim=100, n_shards=3, id_col="id")
     got2 = s2.gather(ids[:4])
     np.testing.assert_array_equal(got2, vecs[:4] + np.float32(1.0))
+
+
+def test_overwrite_save_removes_stale_sidecar(spark, gappy_base, stored_model, tmp_path):
+    # save a store-carrying model, then overwrite the SAME path with a
+    # store-less one: load() must not auto-attach the first model's store
+    import copy
+
+    path = str(tmp_path / "model_overwrite")
+    stored_model.save(path)
+    assert VecStore.exists(os.path.join(path, "vecstore"))
+    storeless = copy.copy(stored_model)
+    storeless.vec_store = None
+    storeless.save(path)
+    assert not VecStore.exists(os.path.join(path, "vecstore"))
+    assert RaBitQModel.load(spark, path).vec_store is None
+
+
+def test_store_rerank_preserves_query_id_dtype(spark, gappy_base, stored_model):
+    # the join plans the store rerank replaces preserve arbitrary query_id
+    # types; an int64 cast would silently truncate float ids (review
+    # finding, round 9)
+    from rabitq_spark.index.vecstore import store_exact_rerank
+
+    _, ids, vecs = gappy_base
+    qv = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["qa", "qb"], "__qvec": [vecs[0], vecs[1]]}),
+        "query_id string, __qvec array<float>",
+    )
+    shortlist = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": ["qa", "qb"], "neighbor_id": ids[:2].tolist()}
+        ),
+        "query_id string, neighbor_id bigint",
+    )
+    out = store_exact_rerank(shortlist, qv, stored_model.vec_store)
+    assert dict(out.dtypes)["query_id"] == "string"
+    pdf = out.toPandas().sort_values("query_id", ignore_index=True)
+    assert list(pdf["query_id"]) == ["qa", "qb"]
+    # each query's own vector is its neighbor at distance 0
+    assert pdf["dist"].max() == 0.0
