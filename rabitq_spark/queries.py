@@ -1904,11 +1904,17 @@ def _get_neardup_stream_decisions(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        n = docs.count()
         stream_in = _mkdtemp(prefix="rabitq_nd_stream_in_")
-        slice_sz = max(1, n // 4 + 1)
+        # slice by the ACTUAL id range, not [0, n): benchdata replicas
+        # carry key-OFFSET doc_ids, and the [0, n) assumption silently
+        # streamed only the first replica at sf1.0 (measured: exactly
+        # 1/10 of the corpus — the same bug class the round-9 full sweep
+        # exposed in the event-stream entries)
+        lo_id, hi_id = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        slice_sz = max(1, (hi_id - lo_id) // 4 + 1)
         for i in range(4):
-            lo, hi = i * slice_sz, (i + 1) * slice_sz
+            lo = lo_id + i * slice_sz
+            hi = lo_id + (i + 1) * slice_sz
             (
                 docs.filter(
                     (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
