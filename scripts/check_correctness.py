@@ -41,6 +41,14 @@ FIXTURE_PINNED = {
     "bpe_merges", "bpe_tokenize", "ann_ivf_recall", "quality_classifier",
     "minhash_lsh_mllib", "brp_lsh_mllib",
 }
+# Entries whose ORACLE is all-pairs O(n^2) BY CONSTRUCTION (the engine
+# side is blocked/banded — the oracle's quadratic cost is the point of
+# the comparison, like the bench's naive minhash control). At sf1.0 the
+# fuzzy oracle is ~11 billion levenshtein calls (measured: >3 h in
+# DuckDB before being stopped); correctness is pinned at sf0.01 + sf0.1
+# and the operator's SCALING by the bench sf1/sf3 slope gate, so the
+# oracle is skipped past sf0.1 rather than left to grind for hours.
+ORACLE_ALLPAIRS_SF_CAP = {"fuzzy_name_pairs"}
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -67,6 +75,11 @@ def main() -> int:
         if only and name not in only:
             continue
         if skip_pinned and name in FIXTURE_PINNED:
+            continue
+        big_sf = not SF_DIR.rstrip("/").endswith(("sf0.001", "sf0.01", "sf0.1"))
+        if big_sf and name in ORACLE_ALLPAIRS_SF_CAP:
+            print(f"[SKIP] {name}: all-pairs oracle infeasible at this SF "
+                  "(see ORACLE_ALLPAIRS_SF_CAP)")
             continue
         row = {
             "rows_match": None,
