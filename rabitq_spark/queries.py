@@ -7202,63 +7202,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is a driver-coverage decision: the driver's
     # correctness window checks the FIRST ~50 entries only, so entries are
     # rotated each round behind two fixed anchors, ordered by
-    # least-recently-driver-checked (union of CORRECTNESS_r01..r08:
-    # 160/160 green). Round-9 front: the never-checked round-9 addition
-    # (ann_ivf_vecstore), then the 14-entry r5 cohort (exactly 3 rounds
-    # stale at r8 close), then the r6 cohort — the 50-entry window covers
-    # anchors + new + all of r5 + 33 of r6; the r6 remainder (15) is 3
-    # rounds stale at r9 close and fronts the r10 rotation. Within each
-    # cohort the previous relative order is kept (stable rotation).
+    # least-recently-driver-checked (union of CORRECTNESS_r01..r09:
+    # 161/161 green). Round-10 front: the 15-entry r6 cohort (3 rounds
+    # stale at r9 close — the verdict's What's-wrong #2 list), then the r7
+    # cohort — the 50-entry window covers anchors + new r10 entries + all
+    # of r6 + most of r7; the r7 remainder fronts the r11 rotation. Within
+    # each cohort the previous relative order is kept (stable rotation).
     "knn_exact": q_knn_exact,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
-    "ann_ivf_vecstore": q_ann_ivf_vecstore,
-    "funnel": q_funnel,
-    "hopping_window": q_hopping_window,
-    "jaccard_estimate": q_jaccard_estimate,
-    "hard_negatives": q_hard_negatives,
-    "prefix_dup_pairs": q_prefix_dup_pairs,
-    "cohort_retention": q_cohort_retention,
-    "conversion_latency": q_conversion_latency,
-    "funnel_ordered": q_funnel_ordered,
-    "winsorize_values": q_winsorize_values,
-    "mmr_rerank": q_mmr_rerank,
-    "retrieval_metrics": q_retrieval_metrics,
-    "dataset_manifest": q_dataset_manifest,
-    "csv_roundtrip": q_csv_roundtrip,
-    "json_roundtrip": q_json_roundtrip,
-    "resample_locf": q_resample_locf,
-    "cube_events": q_cube_events,
-    "value_histogram": q_value_histogram,
-    "value_mad": q_value_mad,
-    "stream_sessionize": q_stream_sessionize,
-    "stream_hopping": q_stream_hopping,
-    "weighted_sample": q_weighted_sample,
-    "source_quota": q_source_quota,
-    "oov_rate": q_oov_rate,
-    "incremental_agg": q_incremental_agg,
-    "stream_incremental_agg": q_stream_incremental_agg,
-    "profile_events": q_profile_events,
-    "embedding_stats": q_embedding_stats,
-    "embedding_norms": q_embedding_norms,
-    "event_anomalies": q_event_anomalies,
-    "event_transitions": q_event_transitions,
-    "bloom_members": q_bloom_members,
-    "image_channel_stats": q_image_channel_stats,
-    "image_resize_stats": q_image_resize_stats,
-    "audio_level_stats": q_audio_level_stats,
-    "video_frame_stats": q_video_frame_stats,
-    "rolling_user_value": q_rolling_user_value,
-    "triangle_count": q_triangle_count,
-    "pii_redact": q_pii_redact,
-    "snapshot_diff": q_snapshot_diff,
-    "forget_users": q_forget_users,
-    "repetition_stats": q_repetition_stats,
-    "contamination_check": q_contamination_check,
-    "bm25_search": q_bm25_search,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "pack_sequences": q_pack_sequences,
-    "token_df_prune": q_token_df_prune,
-    "decontaminate": q_decontaminate,
     "neardup_cross": q_neardup_cross,
     "curate_corpus": q_curate_corpus,
     "hybrid_search": q_hybrid_search,
@@ -7370,6 +7321,54 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_nearest_click": q_asof_nearest_click,
     "window_events": q_window_events,
     "sessionize": q_sessionize,
+    "ann_ivf_vecstore": q_ann_ivf_vecstore,
+    "funnel": q_funnel,
+    "hopping_window": q_hopping_window,
+    "jaccard_estimate": q_jaccard_estimate,
+    "hard_negatives": q_hard_negatives,
+    "prefix_dup_pairs": q_prefix_dup_pairs,
+    "cohort_retention": q_cohort_retention,
+    "conversion_latency": q_conversion_latency,
+    "funnel_ordered": q_funnel_ordered,
+    "winsorize_values": q_winsorize_values,
+    "mmr_rerank": q_mmr_rerank,
+    "retrieval_metrics": q_retrieval_metrics,
+    "dataset_manifest": q_dataset_manifest,
+    "csv_roundtrip": q_csv_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
+    "resample_locf": q_resample_locf,
+    "cube_events": q_cube_events,
+    "value_histogram": q_value_histogram,
+    "value_mad": q_value_mad,
+    "stream_sessionize": q_stream_sessionize,
+    "stream_hopping": q_stream_hopping,
+    "weighted_sample": q_weighted_sample,
+    "source_quota": q_source_quota,
+    "oov_rate": q_oov_rate,
+    "incremental_agg": q_incremental_agg,
+    "stream_incremental_agg": q_stream_incremental_agg,
+    "profile_events": q_profile_events,
+    "embedding_stats": q_embedding_stats,
+    "embedding_norms": q_embedding_norms,
+    "event_anomalies": q_event_anomalies,
+    "event_transitions": q_event_transitions,
+    "bloom_members": q_bloom_members,
+    "image_channel_stats": q_image_channel_stats,
+    "image_resize_stats": q_image_resize_stats,
+    "audio_level_stats": q_audio_level_stats,
+    "video_frame_stats": q_video_frame_stats,
+    "rolling_user_value": q_rolling_user_value,
+    "triangle_count": q_triangle_count,
+    "pii_redact": q_pii_redact,
+    "snapshot_diff": q_snapshot_diff,
+    "forget_users": q_forget_users,
+    "repetition_stats": q_repetition_stats,
+    "contamination_check": q_contamination_check,
+    "bm25_search": q_bm25_search,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pack_sequences": q_pack_sequences,
+    "token_df_prune": q_token_df_prune,
+    "decontaminate": q_decontaminate,
 }
 
 
