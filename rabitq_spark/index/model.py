@@ -53,13 +53,26 @@ class RaBitQModel:
 
     # -- persistence -------------------------------------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, store_min_rows: int | None = None) -> None:
         """Write index + base Parquet and the numpy/JSON sidecar.
 
         The index is partitioned by cluster_id so a probe-filtered read
         prunes partitions (the Spark analogue of the reference's CSR posting
         ranges, src/rabitq.rs:240-252 — offsets become partition boundaries).
+
+        A vec-store sidecar (index/vecstore.py — candidate-bound point-read
+        rerank) is written when the model already carries one, OR when the
+        indexed row count is at/above `store_min_rows` (default
+        vecstore.STORE_AUTO_MIN_ROWS): at that scale the O(base) rerank
+        join is the measured scale killer, so the scale-safe plan must be
+        what a plain save → load → search gets BY DEFAULT, not behind an
+        attach_vec_store call the user has to know about. load()
+        auto-attaches any sidecar it finds and search() dispatches on it.
         """
+        from rabitq_spark.index.vecstore import STORE_AUTO_MIN_ROWS
+
+        if store_min_rows is None:
+            store_min_rows = STORE_AUTO_MIN_ROWS
         os.makedirs(path, exist_ok=True)
         (
             self.index_df.repartition("cluster_id")
@@ -69,7 +82,21 @@ class RaBitQModel:
             .parquet(f"{path}/index")
         )
         self.base_df.write.mode("overwrite").parquet(f"{path}/base")
-        if self.vec_store is not None:
+        if self.n_rows is not None:
+            big = self.n_rows >= store_min_rows
+        else:
+            # bounded probe (the round-2 dispatch pattern): the decision
+            # only needs which SIDE of the threshold the base is on, so
+            # read at most store_min_rows rows — never a full-scan count.
+            # Reads the just-written parquet, not the (possibly expensive)
+            # base_df lineage.
+            big = (
+                self.base_df.sparkSession.read.parquet(f"{path}/base")
+                .limit(store_min_rows)
+                .count()
+                >= store_min_rows
+            )
+        if self.vec_store is not None or big:
             # re-materialize the point-read sidecar under the save dir (same
             # values — the store is a pure function of base_df, like index/)
             from rabitq_spark.index.vecstore import build_vec_store

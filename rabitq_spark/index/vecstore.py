@@ -15,9 +15,12 @@ fetches ONLY the blocks holding shortlist candidates, each one a bounded
 range read) and its S3 range-GET design (crates/disk/src/reader.rs): rows
 live at `ordinal * dim * 4` inside fixed-width float32 shard files, so one
 candidate costs one bounded read regardless of how ids spread across the
-base. Locally the reads are np.memmap gathers served by the page cache; on
-a cluster the store directory lives on shared storage and each gather is
-the byte-range-GET analogue.
+base. Two gather branches behind the same interface: a posix store path is
+served by np.memmap gathers (page-cached); a scheme-qualified URI
+(s3://, hdfs://, file://, any pyarrow.fs scheme) is served by genuine
+byte-range reads (`read_at`) — one bounded read per candidate run, the
+direct analogue of the reference disk variant's S3 range-GETs. Only the
+(small) sorted id arrays are cached per shard; vector bytes never are.
 
 Layout under `dir/`:
     meta.json             dim, row count, shard table (min_id/max_id/count)
@@ -45,6 +48,13 @@ from dataclasses import dataclass
 import numpy as np
 from pyspark.sql import DataFrame
 
+# Rows at or past this count get a store built automatically on
+# RaBitQModel.save(): the O(base) rerank join is measurably the scale
+# killer there (BENCH_r08 scale10m read the full 10 GB vector column per
+# batch), while below it the broadcast-shortlist join is competitive and
+# the extra shard write is pure overhead.
+STORE_AUTO_MIN_ROWS = 500_000
+
 # Executor-process-local memmap cache: one (ids, vec) memmap pair per shard
 # file, reused across Arrow batches and queries. Keyed by file identity
 # (path + mtime + size), not path alone: Spark reuses Python worker
@@ -67,6 +77,13 @@ def _shard_mmaps(store_dir: str, shard: dict, dim: int):
     key = (base, st.st_mtime_ns, st.st_size)
     hit = _MM_CACHE.get(key)
     if hit is None:
+        # evict prior-generation entries for the SAME shard path before
+        # inserting: a store rebuilt into the same directory changes the
+        # file identity, and long-lived reused worker processes would
+        # otherwise accumulate the old generation's memmaps (and their
+        # file descriptors) forever (round-9 advisor)
+        for k in [k for k in _MM_CACHE if k[0] == base]:
+            del _MM_CACHE[k]
         ids = np.memmap(
             base + ".ids", dtype="<i8", mode="r", shape=(shard["count"],)
         )
@@ -76,6 +93,78 @@ def _shard_mmaps(store_dir: str, shard: dict, dim: int):
         hit = (ids, vec)
         _MM_CACHE[key] = hit
     return hit
+
+
+def _is_uri(path: str) -> bool:
+    """True for scheme-qualified paths (file://, s3://, hdfs://, ...) —
+    these read through pyarrow.fs bounded range reads instead of memmaps."""
+    return "://" in path
+
+
+def _fs_path(uri: str):
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(uri)
+
+
+# URI-store shard-id cache: the (small) sorted id array per shard, keyed by
+# file identity like _MM_CACHE. The VECTOR bytes are never cached — each
+# gather issues one bounded range read per candidate run, the point of the
+# object-store branch.
+_URI_ID_CACHE: dict = {}
+
+
+def _uri_shard_ids(fs, path_in_fs: str, shard: dict) -> np.ndarray:
+    ids_path = f"{path_in_fs}/{shard['name']}.ids"
+    info = fs.get_file_info(ids_path)
+    key = (ids_path, info.size, info.mtime_ns)
+    hit = _URI_ID_CACHE.get(key)
+    if hit is None:
+        want = shard["count"] * 8
+        if info.size != want:
+            raise OSError(
+                f"vec store shard {ids_path} is {info.size} bytes, expected "
+                f"{want} — truncated or partially-written store"
+            )
+        for k in [k for k in _URI_ID_CACHE if k[0] == ids_path]:
+            del _URI_ID_CACHE[k]
+        with fs.open_input_file(ids_path) as f:
+            hit = np.frombuffer(f.read(), dtype="<i8")
+        _URI_ID_CACHE[key] = hit
+    return hit
+
+
+def _uri_gather_shard(
+    fs, path_in_fs: str, shard: dict, dim: int, ords: np.ndarray
+) -> np.ndarray:
+    """Bounded range reads for the ordinals of ONE shard: sorted ordinals
+    are coalesced into contiguous runs, each run one `read_at` — the byte-
+    range-GET the reference disk variant issues per candidate block
+    (crates/disk/src/cache.rs:115-145, crates/disk/src/reader.rs). Cost is
+    O(candidate rows) reads, never O(shard)."""
+    row_bytes = dim * 4
+    order = np.argsort(ords, kind="stable")
+    sorted_ords = ords[order]
+    out_sorted = np.empty((len(ords), dim), dtype=np.float32)
+    with fs.open_input_file(f"{path_in_fs}/{shard['name']}.vec") as f:
+        run_start = 0
+        for i in range(1, len(sorted_ords) + 1):
+            # a run extends over consecutive OR duplicate ordinals (the
+            # same neighbor can be a candidate for many queries in one
+            # Arrow batch)
+            if (
+                i == len(sorted_ords)
+                or sorted_ords[i] - sorted_ords[i - 1] > 1
+            ):
+                lo, hi = sorted_ords[run_start], sorted_ords[i - 1]
+                buf = f.read_at((hi - lo + 1) * row_bytes, lo * row_bytes)
+                out_sorted[run_start:i] = np.frombuffer(
+                    buf, dtype="<f4"
+                ).reshape(-1, dim)[sorted_ords[run_start:i] - lo]
+                run_start = i
+    out = np.empty_like(out_sorted)
+    out[order] = out_sorted
+    return out
 
 
 @dataclass
@@ -90,8 +179,13 @@ class VecStore:
 
     @classmethod
     def open(cls, store_dir: str) -> "VecStore":
-        with open(os.path.join(store_dir, "meta.json")) as f:
-            meta = json.load(f)
+        if _is_uri(store_dir):
+            fs, p = _fs_path(store_dir)
+            with fs.open_input_file(f"{p}/meta.json") as f:
+                meta = json.load(f)
+        else:
+            with open(os.path.join(store_dir, "meta.json")) as f:
+                meta = json.load(f)
         return cls(
             dir=store_dir,
             dim=meta["dim"],
@@ -101,6 +195,11 @@ class VecStore:
 
     @staticmethod
     def exists(store_dir: str) -> bool:
+        if _is_uri(store_dir):
+            from pyarrow import fs as pafs
+
+            fs, p = _fs_path(store_dir)
+            return fs.get_file_info(f"{p}/meta.json").type == pafs.FileType.File
         return os.path.isfile(os.path.join(store_dir, "meta.json"))
 
     def gather(self, ids: np.ndarray) -> np.ndarray:
@@ -119,9 +218,18 @@ class VecStore:
             bad = ids[which >= len(self.shards)][0]
             top = int(max_ids[-1]) if len(max_ids) else "<empty store>"
             raise KeyError(f"id {bad} beyond store max {top}")
+        uri = _is_uri(self.dir)
+        fs = path_in_fs = None
+        if uri:
+            fs, path_in_fs = _fs_path(self.dir)
         for si in np.unique(which):
             sel = np.flatnonzero(which == si)
-            sid_mm, vec_mm = _shard_mmaps(self.dir, self.shards[si], self.dim)
+            if uri:
+                sid_mm = _uri_shard_ids(fs, path_in_fs, self.shards[si])
+            else:
+                sid_mm, vec_mm = _shard_mmaps(
+                    self.dir, self.shards[si], self.dim
+                )
             ords = np.searchsorted(sid_mm, ids[sel])
             if (ords >= len(sid_mm)).any() or (
                 np.asarray(sid_mm[np.minimum(ords, len(sid_mm) - 1)])
@@ -132,7 +240,12 @@ class VecStore:
                     != ids[sel]
                 ][0]
                 raise KeyError(f"id {miss} not in vec store {self.dir}")
-            out[sel] = vec_mm[ords]
+            if uri:
+                out[sel] = _uri_gather_shard(
+                    fs, path_in_fs, self.shards[si], self.dim, ords
+                )
+            else:
+                out[sel] = vec_mm[ords]
         return out
 
 
@@ -157,6 +270,12 @@ def build_vec_store(
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
+    if _is_uri(store_dir):
+        raise ValueError(
+            "build_vec_store writes via posix paths (executor-local open); "
+            "build onto a mounted/shared path, then open it by URI — the "
+            "range-read gather branch serves any pyarrow.fs scheme"
+        )
     os.makedirs(store_dir, exist_ok=True)
     row_bytes = dim * 4
     if n_shards is None:
@@ -236,8 +355,14 @@ def build_vec_store(
         "shards": shards,
         "format_version": 1,
     }
-    with open(os.path.join(store_dir, "meta.json"), "w") as f:
+    # temp + atomic replace: meta.json is the store's existence marker, so
+    # a crash mid-write must never leave a present-but-truncated file that
+    # passes exists() and then fails open() (round-9 advisor — the bench's
+    # fingerprint block took the open path, not the rebuild path, on one)
+    meta_path = os.path.join(store_dir, "meta.json")
+    with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
     return VecStore(dir=store_dir, dim=dim, n_rows=n_rows, shards=shards)
 
 

@@ -631,6 +631,38 @@ def q_ann_ivf_cold_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_store_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Save → load → search where the SAVE auto-builds the vec-store
+    sidecar (model.py::save store_min_rows threshold — the round-10
+    default-at-scale contract: a user who saves a big index and reloads it
+    gets the candidate-bound point-read rerank without ever calling
+    attach_vec_store). The threshold is passed as 1 here so the toy-SF
+    corpus exercises the exact auto branch a 10M-row save takes; load()
+    auto-attaches the sidecar and search() dispatches stage 7 through
+    VecStore.gather. Exhaustive config == brute force bit-for-bit, so the
+    sidecar build-at-save, re-open, and fold are all oracle-checked."""
+    from rabitq_spark.index import search
+    from rabitq_spark.index.model import RaBitQModel
+
+    key = ("store_cold", sf_dir)
+    if key not in _MODEL_CACHE:
+        path = _mkdtemp(prefix="rabitq_store_cold_")
+        _get_model(spark, sf_dir).save(path, store_min_rows=1)
+        loaded = RaBitQModel.load(spark, path)
+        assert loaded.vec_store is not None, (
+            "save(store_min_rows=1) must auto-build the vecstore sidecar"
+        )
+        _MODEL_CACHE[key] = loaded
+    model = _MODEL_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search(
+        model, queries, topk=_KNN_K, nprobe=model.n_clusters, overfetch=10**6
+    )
+
+
 def q_ann_ivfpq_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ persistence lifecycle: train → encode → save (cluster_id-
     partitioned codes + numpy sidecar) → LOAD → exhaustive search. Equals
@@ -7210,6 +7242,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # each cohort the previous relative order is kept (stable rotation).
     "knn_exact": q_knn_exact,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    # new in round 10 (never driver-checked): fronts the window
+    "ann_ivf_store_cold": q_ann_ivf_store_cold,
     "neardup_cross": q_neardup_cross,
     "curate_corpus": q_curate_corpus,
     "hybrid_search": q_hybrid_search,
@@ -7499,6 +7533,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_jl_ivf": _SQL_KNN_EXACT,
     # saved→loaded index, exhaustive == exact brute force (production read path)
     "ann_ivf_cold_index": _SQL_KNN_EXACT,
+    # save auto-builds the store sidecar; load attaches; rerank point-reads
+    "ann_ivf_store_cold": _SQL_KNN_EXACT,
     # IVF over unit vectors serves cosine; output == brute-force cosine
     "ann_ivf_cosine": _SQL_KNN_COSINE,
     # half bootstrapped + half streamed in, exhaustive == exact brute force

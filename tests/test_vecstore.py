@@ -309,3 +309,106 @@ def test_store_rerank_preserves_query_id_dtype(spark, gappy_base, stored_model):
     assert list(pdf["query_id"]) == ["qa", "qb"]
     # each query's own vector is its neighbor at distance 0
     assert pdf["dist"].max() == 0.0
+
+
+def test_uri_gather_equals_memmap(gappy_base, stored_model):
+    # the object-store branch (pyarrow.fs bounded range reads) must return
+    # byte-identical rows to the memmap branch for the same store dir —
+    # shuffled, duplicated, and run-coalescible ordinals included
+    _, ids, vecs = gappy_base
+    store = stored_model.vec_store
+    uri_store = VecStore.open("file://" + store.dir)
+    rng = np.random.default_rng(3)
+    pick = np.concatenate(
+        [ids[:10], ids[:1], ids[::13], rng.permutation(ids[:50]), ids[-2:]]
+    )
+    np.testing.assert_array_equal(
+        uri_store.gather(pick), store.gather(pick)
+    )
+
+
+def test_uri_gather_missing_id_raises(stored_model):
+    uri_store = VecStore.open("file://" + stored_model.vec_store.dir)
+    with pytest.raises(KeyError):
+        uri_store.gather(np.array([987_654_321], dtype=np.int64))
+
+
+def test_uri_store_search_bitexact(spark, gappy_base, stored_model):
+    # end-to-end: a model whose store handle is a file:// URI reranks
+    # through the range-read branch and stays bit-identical to the memmap
+    # plan (exhaustive config == join plan == brute force, transitively)
+    import copy
+
+    queries = _queries(spark, gappy_base)
+    uri_model = copy.copy(stored_model)
+    uri_model.vec_store = VecStore.open("file://" + stored_model.vec_store.dir)
+    got = (
+        search(uri_model, queries, topk=K, nprobe=uri_model.n_clusters,
+               overfetch=10**6)
+        .toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        search(stored_model, queries, topk=K,
+               nprobe=stored_model.n_clusters, overfetch=10**6)
+        .toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_build_vec_store_rejects_uri_target(gappy_base):
+    base, _, _ = gappy_base
+    with pytest.raises(ValueError, match="posix"):
+        build_vec_store(base, "s3://bucket/store", dim=100, id_col="id")
+
+
+def test_save_auto_builds_store_at_threshold(spark, gappy_base, tmp_path):
+    # round-10 contract: at/above store_min_rows a plain save() writes the
+    # sidecar even when the model never had one attached, and a fresh
+    # load() + search() reranks candidate-bound (rows read == candidates)
+    base, ids, vecs = gappy_base
+    cfg = RaBitQConfig(n_clusters=8, nprobe=4, topk=K, overfetch=8)
+    model = build_index(base, cfg, n_rows=len(ids))
+    assert model.vec_store is None
+
+    below = str(tmp_path / "below_threshold")
+    model.save(below)  # default threshold 500k >> 600 rows: no sidecar
+    assert not VecStore.exists(os.path.join(below, "vecstore"))
+    assert RaBitQModel.load(spark, below).vec_store is None
+
+    at = str(tmp_path / "at_threshold")
+    model.save(at, store_min_rows=len(ids))
+    assert VecStore.exists(os.path.join(at, "vecstore"))
+    loaded = RaBitQModel.load(spark, at)
+    assert loaded.vec_store is not None
+
+    queries = _queries(spark, (base, ids, vecs))
+    m = SearchMetrics()
+    got = (
+        search(loaded, queries, topk=K, metrics=m)
+        .toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert m.rerank_base_rows == m.precise_count  # candidate-bound
+    assert m.rerank_base_rows < len(ids)
+    want = (
+        search(model, queries, topk=K)
+        .toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_mm_cache_evicts_prior_generation(gappy_base, tmp_path):
+    # rebuilding a store into the same directory must not leak the old
+    # generation's memmaps in a long-lived worker process (round-9 advisor)
+    from rabitq_spark.index.vecstore import _MM_CACHE
+
+    base, ids, vecs = gappy_base
+    store_dir = str(tmp_path / "evict")
+    s1 = build_vec_store(base, store_dir, dim=100, n_shards=2, id_col="id")
+    s1.gather(ids[:4])
+    shard_paths = {k[0] for k in _MM_CACHE if k[0].startswith(store_dir)}
+    assert shard_paths  # populated by the first gather
+
+    s2 = build_vec_store(base, store_dir, dim=100, n_shards=2, id_col="id")
+    s2.gather(ids[:4])
+    for p in shard_paths:
+        assert len([k for k in _MM_CACHE if k[0] == p]) == 1
