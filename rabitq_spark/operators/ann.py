@@ -11,6 +11,8 @@ the data instead of all of it).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
 from rabitq_spark.config import RaBitQConfig
@@ -18,6 +20,16 @@ from rabitq_spark.index import RaBitQModel, build_index, search
 from rabitq_spark.operators.knn import knn_exact_refined
 
 BRUTE_FORCE_MAX_BASE = 100_000
+
+# Dispatch-probe memo: repeated query batches against the SAME base
+# DataFrame object must not re-run the bounded count job (measured ~0.2 s
+# of pure scheduler overhead per batch at sf0.1 — round-10 headline-ratio
+# item). Keyed by a weak reference to the DataFrame, so a released base
+# frees its entry and a recycled object address can never alias a stale
+# count (the round-9 id()-memo review finding).
+_PROBE_MEMO: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def ann_search(
@@ -33,10 +45,13 @@ def ann_search(
     if isinstance(base, RaBitQModel):
         return search(base, queries, topk=k, **search_kwargs)
     if base_count is None:
+        base_count = _PROBE_MEMO.get(base)
+    if base_count is None:
         # bounded probe (round-2 verdict pattern): reads at most
         # threshold+1 rows instead of a full-scan count — the dispatch only
         # needs to know which SIDE of the threshold the base is on
         base_count = base.limit(BRUTE_FORCE_MAX_BASE + 1).count()
+        _PROBE_MEMO[base] = base_count
     if base_count <= BRUTE_FORCE_MAX_BASE:
         return knn_exact_refined(
             queries, base, k, query_id="query_id", query_vec="qvec"

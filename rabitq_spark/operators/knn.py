@@ -76,33 +76,21 @@ def knn_exact_refined(
 ) -> DataFrame:
     """Exact top-k with bit-exact fold distances at GEMM speed.
 
-    Two phases: (1) `knn_exact_fast` shortlists k+margin candidates per query
-    (BLAS), (2) distances for the shortlist are recomputed with the
-    deterministic double fold and re-ranked. Identical to `knn_exact` unless
-    the true k-th and (k+margin)-th neighbors are within GEMM rounding error
-    (~1e-12 relative) — margin makes that practically impossible while the
-    refine step touches only nq × (k+margin) rows.
+    One fused pass (round-10 headline fix — the former two-phase form spent
+    ~30% of the sf0.1 wall on the shortlist⋈base⋈queries refine stages):
+    each partition GEMM-shortlists k+margin candidates per query, then
+    recomputes THOSE rows' distances in-place with the deterministic
+    elementwise-f64 left-to-right fold before the shuffle; the global
+    window ranks by fold distance. Identical to `knn_exact` unless the true
+    k-th and (k+margin)-th neighbors are within GEMM rounding error
+    (~1e-12 relative) — and the margin now applies PER PARTITION, a
+    strictly weaker assumption than the old global shortlist. The refine
+    work is nq × (k+margin) fold rows per partition, executor-side numpy.
     """
-    short = knn_exact_fast(
-        queries, base, k + margin, query_id, query_vec, base_id, base_vec,
-        bc_registry=bc_registry,
-    ).select("query_id", "neighbor_id")
-    qv = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
+    return knn_exact_fast(
+        queries, base, k, query_id, query_vec, base_id, base_vec,
+        bc_registry=bc_registry, local_k=k + margin, exact_fold=True,
     )
-    bv = base.select(F.col(base_id).alias("neighbor_id"), F.col(base_vec).alias("__bvec"))
-    scored = (
-        short.join(bv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            l2_squared(F.col("__qvec"), F.col("__bvec")).alias("dist"),
-        )
-    )
-    return topk_per_group(
-        scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
-    ).select("query_id", "neighbor_id", "dist", "rank")
 
 
 def knn_exact_fast(
@@ -114,17 +102,28 @@ def knn_exact_fast(
     base_id: str = "id",
     base_vec: str = "vec",
     bc_registry: list | None = None,
+    local_k: int | None = None,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """BLAS-backed exact top-k: per-partition matmul + local top-k, then a
     global top-k per query. Map-side combine keeps the shuffle at
-    O(|queries| * k * n_partitions) rows regardless of base size.
+    O(|queries| * local_k * n_partitions) rows regardless of base size.
 
     `bc_registry` (when given) receives the query-matrix Broadcast handle so
     a blocked caller can destroy it as soon as the block's result is
     materialized — at most one block's broadcast live at a time.
+
+    `local_k` (default k) widens the per-partition shortlist without
+    widening the final answer; `exact_fold` recomputes the shortlisted
+    rows' distances with the l2_squared-mirroring fold (elementwise f32→f64
+    cast, (x-y)² in double, left-to-right accumulation — the same
+    numpy pattern store_exact_rerank proves bit-identical to the Column
+    expression) so the emitted dists are hash-stable against any engine.
     """
     spark = queries.sparkSession
     ensure_package_on_executors(spark)
+    if local_k is None:
+        local_k = k
     qpd = queries.select(query_id, query_vec).toPandas()
     q_ids = np.asarray(qpd[query_id].values, dtype=np.int64)
     q_mat = np.ascontiguousarray(np.vstack(qpd[query_vec].values).astype(np.float64))
@@ -141,7 +140,7 @@ def knn_exact_fast(
             b_ids = np.asarray(pdf[base_id].values, dtype=np.int64)
             b_mat = np.ascontiguousarray(np.vstack(pdf[base_vec].values).astype(np.float64))
             b_sq = (b_mat * b_mat).sum(axis=1)
-            kk = min(k, len(b_ids))
+            kk = min(local_k, len(b_ids))
             # block the query side so the distance matrix stays ≤ ~256 MB
             # regardless of batch shape (a 20k-query × 10k-row batch would
             # otherwise allocate 1.6 GB per Arrow batch)
@@ -158,11 +157,24 @@ def knn_exact_fast(
                 part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
                 rows = np.repeat(np.arange(hi - lo), kk)
                 cols = part.ravel()
+                if exact_fold:
+                    # bit-exact refine IN the GEMM pass: recompute the
+                    # shortlisted pairs' distances with the fold that
+                    # mirrors l2_squared exactly (f32→f64 is value-exact,
+                    # so mat_b/b_mat hold the cast operands already)
+                    diff = mat_b[lo + rows] - b_mat[cols]
+                    sq = diff * diff
+                    acc = np.zeros(len(rows), dtype=np.float64)
+                    for j in range(sq.shape[1]):
+                        acc = acc + sq[:, j]
+                    d_out = acc
+                else:
+                    d_out = dists[rows, cols]
                 yield pd.DataFrame(
                     {
                         "query_id": ids_b[lo + rows],
                         "neighbor_id": b_ids[cols],
-                        "dist": dists[rows, cols],
+                        "dist": d_out,
                         "rank": 0,
                     }
                 )
