@@ -70,7 +70,8 @@ def _left() -> float:
 # dropped before scale10m starts (both measured, rounds 8-9).
 _OPTIONAL_PHASES = [
     ("dedup_minhash", 90, 1),    # 1M banded-LSH gates; feeds dedup10m
-    ("dedup10m", 240, 2),        # second-decade dedup slope + recall gates
+    ("dedup10m", 280, 2),        # second-decade dedup slope + recall gates
+    #                              (includes its adjacent 1M denominator)
     ("scale10m", 820, 3),        # the 10M ivf_2x_brute flagship gate
     ("state", 430, 4),           # 1M-user RocksDB keyed-state gates
     ("slope", 160, 5),           # sf1/sf3 slopes minus fuzzy (3 probes)
@@ -290,10 +291,6 @@ def time_df(fn, *args, **kwargs) -> float:
     return time.perf_counter() - t0
 
 
-def time_df_n(fn, *args, n: int = REPEATS, **kwargs) -> list[float]:
-    return [time_df(fn, *args, **kwargs) for _ in range(n)]
-
-
 def _host_calibration(spark) -> dict:
     """Fixed-size micro-tasks that price THIS host/session, so cross-round
     deltas on unchanged code are diagnosable from the artifact alone
@@ -468,14 +465,34 @@ def main() -> None:
     # which pays off at larger |base|, see PLAN.md scaling table)
     from rabitq_spark.operators.ann import ann_search
 
-    ann_search(queries.limit(10), base, TOPK).write.format("noop").mode(
+    # full-shape warmup: the brute control is already warm at the full
+    # 1k-query plan shape (the recall pass above runs it), so the engine
+    # must be too — a limit(10) warmup compiles a DIFFERENT plan and the
+    # first timed engine run was eating full-shape codegen (round-10)
+    ann_search(queries, base, TOPK).write.format("noop").mode(
         "overwrite"
     ).save()
-    record("ann_search_engine_1k", time_df_n(ann_search, queries, base, TOPK))
+    # INTERLEAVED engine/brute reps (round-10): the host is shared and
+    # neighbor load drifts minute to minute (see the phase ticks), so the
+    # contract ratio engine-vs-brute is only honest when adjacent reps of
+    # BOTH paths see the same contention — the r9 earlystop gate lesson
+    # applied to the headline pair
+    eng_runs: list[float] = []
+    brute_runs: list[float] = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        ann_search(queries, base, TOPK).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        eng_runs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        knn_exact_fast(queries, base, TOPK).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        brute_runs.append(time.perf_counter() - t0)
+    record("ann_search_engine_1k", eng_runs)
+    record("knn_exact_fast_1k", brute_runs)
     engine_sec = timings["ann_search_engine_1k"]
-
-    # --- brute-force batch for comparison
-    record("knn_exact_fast_1k", time_df_n(knn_exact_fast, queries, base, TOPK))
 
     result["value"] = engine_sec
     result["engine_qps"] = round(nq / engine_sec, 1)
@@ -643,16 +660,12 @@ def main() -> None:
         result.setdefault("slope_probe", {}).update(out)
 
     def ph_dedup10m():
-        # explicit None test (round-9 advisor): a rounded-to-0.0 1M time or
-        # an error dict must record a visible skip reason, not silently
-        # become dedup10m={}
-        t1m = dedup_probe.get("minhash_sec")
-        if t1m is None:
-            result["dedup_scale_probe_10m"] = {
-                "skipped": "no 1M minhash time (dedup_minhash skipped or failed)"
-            }
-        else:
-            result["dedup_scale_probe_10m"] = _dedup_scale_probe_10m(spark, t1m)
+        # self-contained since round 10 (the slope's 1M denominator is
+        # re-measured adjacent to the 10M run); the dedup_minhash phase's
+        # earlier time rides along for the record when it exists
+        result["dedup_scale_probe_10m"] = _dedup_scale_probe_10m(
+            spark, dedup_probe.get("minhash_sec")
+        )
 
     def ph_scale10m():
         result["scale_probe_10m"] = _scale_probe_10m(spark)
@@ -954,9 +967,9 @@ def _gen_planted_docs(dup_every: int = 20):
     return gen_docs
 
 
-def _dedup_scale_probe_10m(spark, t_1m: float | None) -> dict:
+def _dedup_scale_probe_10m(spark, t_1m_earlier: float | None = None) -> dict:
     """Second-decade minhash probe (round-9): 10M planted docs — one decade
-    past `_dedup_scale_probe`'s 1M point, the dedup analogue of
+    past `_dedup_minhash_probe`'s 1M point, the dedup analogue of
     `_scale_probe_10m`. Same banded-LSH plan; the naive / embedding
     controls are NOT repeated (agreement is pinned at the 1M point — this
     probe measures SCALING, not correctness). Corpus is generated and
@@ -964,9 +977,14 @@ def _dedup_scale_probe_10m(spark, t_1m: float | None) -> dict:
     the 10M ANN probe's DISK_ONLY stance).
 
     Gates: planted-pair recall >= 0.95 at 10M, and a linearity slope
-    against the 1M run from the SAME session —
     (t_10m / t_1m) / 10 <= 1.5 — i.e. 10x docs costs <= 15x wall, the
-    sub-quadratic evidence (naive all-pairs would be 100x)."""
+    sub-quadratic evidence (naive all-pairs would be 100x). The 1M
+    denominator is re-measured HERE, immediately before the 10M run
+    (round-10 fix): the host is shared, and gating against a 1M time
+    taken ~50 bench-minutes earlier compared numbers from different
+    neighbor-load regimes — measured: slope 1.714 vs a load-31 spike the
+    phase ticks recorded, where r9's same-minute pairing read 0.617. The
+    earlier-phase time is still reported for the record."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
@@ -974,6 +992,23 @@ def _dedup_scale_probe_10m(spark, t_1m: float | None) -> dict:
         neardup_minhash_pairs,
         release_caches,
     )
+
+    # adjacent 1M denominator: same generator, same session-minute
+    docs_1m = (
+        spark.range(1_000_000)
+        .repartition(32)
+        .mapInPandas(
+            _gen_planted_docs(), "doc_id bigint, text string, partner bigint"
+        )
+        .cache()
+    )
+    docs_1m.count()
+    t0 = time.perf_counter()
+    pairs_1m = neardup_minhash_pairs(docs_1m.select("doc_id", "text"))
+    pairs_1m.write.format("noop").mode("overwrite").save()
+    t_1m = time.perf_counter() - t0
+    docs_1m.unpersist()
+    release_caches()
 
     n_docs = 10_000_000
     docs = (
@@ -997,7 +1032,7 @@ def _dedup_scale_probe_10m(spark, t_1m: float | None) -> dict:
     t_10m = time.perf_counter() - t0
     found = planted.join(pairs, ["id_a", "id_b"], "left_semi").count()
     recall = found / max(n_planted, 1)
-    slope = (t_10m / t_1m) / 10.0 if t_1m else None
+    slope = (t_10m / t_1m) / 10.0
     out = {
         "n_docs": n_docs,
         "sec": round(t_10m, 1),
@@ -1006,9 +1041,12 @@ def _dedup_scale_probe_10m(spark, t_1m: float | None) -> dict:
         "planted": n_planted,
         "planted_recall": round(recall, 4),
         "recall_gate": recall >= 0.95,
-        "sec_1m_same_session": round(t_1m, 1) if t_1m else None,
-        "slope_vs_1m": round(slope, 3) if slope is not None else None,
-        "linear_gate": (slope <= 1.5) if slope is not None else None,
+        "sec_1m_adjacent": round(t_1m, 1),
+        "sec_1m_earlier_phase": (
+            round(t_1m_earlier, 1) if t_1m_earlier else None
+        ),
+        "slope_vs_1m": round(slope, 3),
+        "linear_gate": slope <= 1.5,
     }
     for df in (pairs, planted, docs):
         df.unpersist()

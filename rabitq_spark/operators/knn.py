@@ -167,14 +167,43 @@ def knn_exact_fast(
                     acc = np.zeros(len(rows), dtype=np.float64)
                     for j in range(sq.shape[1]):
                         acc = acc + sq[:, j]
-                    d_out = acc
-                else:
-                    d_out = dists[rows, cols]
+                    # per-partition trim to the FINAL k by (fold dist,
+                    # neighbor id): the global window only needs each
+                    # partition's own top-k, so the refined plan's shuffle
+                    # volume matches the plain plan's exactly instead of
+                    # carrying the +margin rows. (dist, neighbor_id) is a
+                    # total order, so union-of-partition-top-k contains
+                    # the global top-k and the window result is identical.
+                    nqb = hi - lo
+                    d_mat = acc.reshape(nqb, kk)
+                    n_mat = b_ids[cols].reshape(nqb, kk)
+                    kf = min(k, kk)
+                    # stable two-pass argsort = lexsort by (dist, id):
+                    # order by id first, then stably by distance
+                    ord1 = np.argsort(n_mat, axis=1, kind="stable")
+                    d1 = np.take_along_axis(d_mat, ord1, axis=1)
+                    n1 = np.take_along_axis(n_mat, ord1, axis=1)
+                    ord2 = np.argsort(d1, axis=1, kind="stable")[:, :kf]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": ids_b[
+                                lo + np.repeat(np.arange(nqb), kf)
+                            ],
+                            "neighbor_id": np.take_along_axis(
+                                n1, ord2, axis=1
+                            ).ravel(),
+                            "dist": np.take_along_axis(
+                                d1, ord2, axis=1
+                            ).ravel(),
+                            "rank": 0,
+                        }
+                    )
+                    continue
                 yield pd.DataFrame(
                     {
                         "query_id": ids_b[lo + rows],
                         "neighbor_id": b_ids[cols],
-                        "dist": d_out,
+                        "dist": dists[rows, cols],
                         "rank": 0,
                     }
                 )
