@@ -49,7 +49,7 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 #      calibration) and is skipped-with-reason when it doesn't fit, so
 #      the mandatory sections (headline, sf0.1 queries, 1M probe) and the
 #      highest-value gates always land inside the driver's window.
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2250"))
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700"))
 _T_START = time.monotonic()
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -69,10 +69,11 @@ def _left() -> float:
 # blocks leave JVM pressure behind, and dedup10m's 3 GB cached corpus is
 # dropped before scale10m starts (both measured, rounds 8-9).
 _OPTIONAL_PHASES = [
-    ("dedup_minhash", 90, 1),    # 1M banded-LSH gates; feeds dedup10m
-    ("dedup10m", 280, 2),        # second-decade dedup slope + recall gates
-    #                              (includes its adjacent 1M denominator)
-    ("scale10m", 820, 3),        # the 10M ivf_2x_brute flagship gate
+    ("dedup_minhash", 90, 1),    # 1M banded-LSH gates (cheap)
+    ("scale10m", 820, 2),        # the 10M ivf_2x_brute flagship gate
+    ("dedup10m", 200, 3),        # second-decade dedup slope + recall gates
+    #                              (incl. its adjacent 1M denominator;
+    #                              measured 124-173 s across three runs)
     ("state", 430, 4),           # 1M-user RocksDB keyed-state gates
     ("slope", 160, 5),           # sf1/sf3 slopes minus fuzzy (3 probes)
     ("dedup_embedding", 920, 6), # 200k blocked-vs-GEMM crossover control
@@ -87,12 +88,21 @@ _EXEC_ORDER = [
 _SCALE10M_CACHED_EST = 480.0
 
 
-def _select_phases(host_scale: float, scale10m_cached: bool) -> dict:
-    """Greedy by priority against the remaining budget; returns
-    {name: {"selected": bool, "est_sec": float, ...}}."""
+def _select_phases(
+    host_scale: float, scale10m_cached: bool, pending=None
+) -> dict:
+    """Greedy by priority against the CURRENT remaining budget; returns
+    {name: {"selected": bool, "est_sec": float, ...}}. Called again
+    before every optional phase (round-10: the one-shot plan could not
+    adapt when phases finished far under their estimates — a driver-shaped
+    run reserved 560 s for a 145 s dedup10m and starved the flagship
+    scale10m gate), so budget a fast phase frees flows to the next
+    highest-priority phase still ahead in the execution order."""
     budget = _left()
     decisions: dict = {}
     for name, est, _prio in sorted(_OPTIONAL_PHASES, key=lambda p: p[2]):
+        if pending is not None and name not in pending:
+            continue
         if name == "scale10m" and scale10m_cached:
             est = _SCALE10M_CACHED_EST
         est = est * host_scale
@@ -380,9 +390,19 @@ def main() -> None:
     host_cal = _host_calibration(spark)
     result.update(host_cal)
     # price the optional-phase estimates for THIS host (the estimates are
-    # r9 reference-host medians; that host measured host_shuffle 0.914 s);
-    # clamped so one weird calibration can't zero out or blow up the plan
-    host_scale = min(2.0, max(0.5, host_cal["host_shuffle_sec"] / 0.914))
+    # r9 reference-host medians; that host measured gemm 0.692 / shuffle
+    # 0.914). BLEND of the cpu and shuffle ratios: a momentary neighbor
+    # spike during the shuffle calibration alone doubled every estimate
+    # in a driver-shaped run (est_scale pinned at the 2.0 clamp) and
+    # starved scale10m; the probes mix cpu and shuffle work anyway.
+    host_scale = min(
+        2.0,
+        max(
+            0.5,
+            0.5 * (host_cal["host_gemm_sec"] / 0.692)
+            + 0.5 * (host_cal["host_shuffle_sec"] / 0.914),
+        ),
+    )
     result["phase_est_scale"] = round(host_scale, 2)
     _phase_done(result, "calibration", spark)
 
@@ -614,9 +634,8 @@ def main() -> None:
     _phase_done(result, "scale_probe_1m", spark)
 
     # --- optional phases: greedy selection by priority against the
-    # remaining budget, then execution in heap-hygiene order (_EXEC_ORDER;
-    # scale10m last — measured rounds 8-9)
-    decisions = _select_phases(host_scale, _scale10m_cache_ready())
+    # remaining budget, RE-PLANNED before every phase, executed in
+    # heap-hygiene order (_EXEC_ORDER; scale10m last — measured r8-9)
     env_off = {
         "dedup_minhash": os.environ.get("SPARK_GRAFT_DEDUP_PROBE", "1") == "0",
         "dedup_embedding": os.environ.get("SPARK_GRAFT_DEDUP_PROBE", "1") == "0",
@@ -627,10 +646,11 @@ def main() -> None:
         "dedup10m": os.environ.get("SPARK_GRAFT_DEDUP10M", "1") == "0",
         "scale10m": os.environ.get("SPARK_GRAFT_SCALE10M", "1") == "0",
     }
-    for name, off in env_off.items():
-        if off:
-            decisions[name] = {"selected": False, "skip_reason": "disabled by env"}
-    result["phase_plan"] = decisions
+    result["phase_plan"] = {
+        name: {"selected": False, "skip_reason": "disabled by env"}
+        for name, off in env_off.items()
+        if off
+    }
 
     dedup_probe: dict = {}
 
@@ -680,23 +700,36 @@ def main() -> None:
         "dedup10m": ph_dedup10m,
         "scale10m": ph_scale10m,
     }
+    scale10m_cached = _scale10m_cache_ready()
+    pending = [n for n in _EXEC_ORDER if not env_off.get(n)]
     for name in _EXEC_ORDER:
-        d = decisions.get(name, {"selected": True})
-        if not d.get("selected"):
-            result["phases_skipped"][name] = d.get("skip_reason", "?")
+        if env_off.get(name):
+            result["phases_skipped"][name] = "disabled by env"
             _emit(result)
             continue
-        # re-check against reality: earlier phases may have overrun their
-        # estimates; give a phase the green light only if at least half its
-        # estimated cost still fits (emission already protects the tail)
-        est = float(d.get("est_sec") or 0.0)
-        if _left() < 0.5 * est:
-            reason = (
-                f"budget overrun upstream: remaining {_left():.0f}s "
-                f"< 0.5 x est {est:.0f}s"
-            )
-            result["phases_skipped"][name] = reason
-            d["skip_reason"] = reason
+        # RE-PLAN against the actual remaining budget over every phase
+        # still ahead (selection reserves estimates for higher-priority
+        # phases later in the execution order, and budget freed by a
+        # phase that ran under its estimate flows to the next decision).
+        # Estimates additionally track LIVE contention: the latest phase
+        # tick relative to the first prices neighbor load that rose or
+        # fell since the start-of-run calibration (measured drifting
+        # 0.2 -> 31 os_load1 within one run).
+        ticks = [
+            p["tick_shuffle_ms"]
+            for p in result["phases_done"]
+            if p.get("tick_shuffle_ms")
+        ]
+        drift = 1.0
+        if len(ticks) >= 2 and ticks[0] > 0:
+            drift = min(3.0, max(0.5, ticks[-1] / ticks[0]))
+        plan_now = _select_phases(host_scale * drift, scale10m_cached, pending)
+        d = plan_now.get(name, {"selected": True})
+        d["load_drift"] = round(drift, 2)
+        result["phase_plan"][name] = d
+        pending.remove(name)
+        if not d.get("selected"):
+            result["phases_skipped"][name] = d.get("skip_reason", "?")
             _emit(result)
             continue
         try:
