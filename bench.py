@@ -71,9 +71,10 @@ def _left() -> float:
 _OPTIONAL_PHASES = [
     ("dedup_minhash", 90, 1),    # 1M banded-LSH gates (cheap)
     ("scale10m", 820, 2),        # the 10M ivf_2x_brute flagship gate
-    ("dedup10m", 200, 3),        # second-decade dedup slope + recall gates
-    #                              (incl. its adjacent 1M denominator;
-    #                              measured 124-173 s across three runs)
+    ("dedup10m", 290, 3),        # second-decade dedup slope + recall gates
+    #                              (incl. adjacent 1M denominator + the
+    #                              round-11 3M midpoint; r10 measured
+    #                              124-223 s for the 1M+10M pair)
     ("state", 430, 4),           # 1M-user RocksDB keyed-state gates
     ("slope", 160, 5),           # sf1/sf3 slopes minus fuzzy (3 probes)
     ("dedup_embedding", 920, 6), # 200k blocked-vs-GEMM crossover control
@@ -119,10 +120,17 @@ def _select_phases(
     return decisions
 
 
+MAX_COMPACT_BYTES = 1500
+
+
 def _compact(result: dict) -> dict:
-    """The <1.5 KB summary line (the part of the artifact that must
-    survive any tail-window capture — round-4 finding). Tolerant of
-    missing sections so it can be emitted after EVERY phase."""
+    """The single stdout artifact line. HARD CONTRACT (round-10 verdict,
+    the second parsed-null round): headline numbers + FLAT gate booleans
+    only — no embedded sub-objects (the r10 line blew past the driver's
+    2,000-char tail window because earlystop/seq_latency/kernel_ab/
+    phases_done rode along; they all live in BENCH_DETAIL.json). `_emit`
+    asserts len <= MAX_COMPACT_BYTES on the final line. Tolerant of
+    missing sections so it can be rendered after EVERY phase."""
     timings = result.get("queries") or {}
     spread = result.get("queries_spread") or {}
     scale_probe = result.get("scale_probe") or {}
@@ -131,13 +139,42 @@ def _compact(result: dict) -> dict:
     dedup10m = result.get("dedup_scale_probe_10m") or {}
     state_probe = result.get("state_scale_probe") or {}
     slope_probe = result.get("slope_probe") or {}
+    earlystop = scale_probe.get("earlystop") or {}
+    seq = scale_probe.get("seq_latency") or {}
     sf1 = result.get("sf1") or {}
     headline = [
         "index_build", "ann_batch_1k", "ann_batch_1k_bucketed",
         "ann_search_engine_1k", "knn_exact_fast_1k",
     ]
     eng_spread = spread.get("ann_search_engine_1k")
-    return {
+    # every gate, flattened to one booleans-only dict (None = not run)
+    gates = {
+        "scale1m_recall": scale_probe.get("recall_gate_0.9"),
+        "earlystop_recall": earlystop.get("recall_gate"),
+        "earlystop_saving": earlystop.get("probe_saving_gate"),
+        "earlystop_wall": earlystop.get("wall_parity_gate"),
+        "seq_latency_win": seq.get("adaptive_wins"),
+        "seq_latency_recall": seq.get("recall_gate"),
+        "scale10m_recall": scale10m.get("recall_gate_0.9"),
+        "scale10m_2x_brute": scale10m.get("ivf_2x_brute_gate"),
+        "scale10m_fastscan_eq": scale10m.get("fastscan_equal_gate"),
+        "dedup10m_recall": dedup10m.get("recall_gate"),
+        "dedup10m_linear": dedup10m.get("linear_gate"),
+    }
+    for probe in (dedup_probe, state_probe, slope_probe):
+        # strip the redundant "_gate" suffix — every key in this dict IS a
+        # gate, and the 5 bytes × ~15 keys matter against the 1.5 KB cap
+        gates.update(
+            {
+                k[: -len("_gate")].rstrip("_") or k: v
+                for k, v in probe.items()
+                if k.endswith("gate")
+            }
+        )
+    # null gates/metrics = section not run; phases_skipped already names
+    # those, so drop them from the line (size headroom vs the 1.5 KB cap)
+    gates = {k: v for k, v in gates.items() if v is not None}
+    out = {
         "metric": result.get("metric"),
         "value": result.get("value"),
         "unit": "sec",
@@ -152,51 +189,19 @@ def _compact(result: dict) -> dict:
             if eng_spread
             else None
         ),
-        "bench_repeats": REPEATS,
         "engine_qps": result.get("engine_qps"),
         "ivf_recall_at_k": result.get("ivf_recall_at_k"),
         "ivf_qps": result.get("ivf_qps"),
-        "scale_probe_gate": scale_probe.get("recall_gate_0.9"),
-        "scale_probe_ivf_sec": scale_probe.get("ivf_sec"),
-        "scale_probe_brute_sec": scale_probe.get("brute_sec"),
-        "scale_probe_recall": scale_probe.get("ivf_recall_at_k"),
-        "kernel_ab": scale_probe.get("kernel_ab"),
-        "earlystop": scale_probe.get("earlystop"),
-        "seq_latency": scale_probe.get("seq_latency"),
-        "scale10m": {
-            k: scale10m.get(k)
-            for k in (
-                "build_sec", "model_load_sec", "brute_sec", "ivf_sec",
-                "fastscan_sec", "recall_at_k", "recall_gate_0.9",
-                "ivf_2x_brute_gate", "fastscan_equal_gate",
-                "rerank_base_rows_per_query", "rough_candidates_per_query",
-                "skipped",
-            )
-            if k in scale10m
-        }
-        if scale10m
-        else None,
-        "dedup_probe_gates": {
-            k: v for k, v in dedup_probe.items() if k.endswith("gate")
-        },
-        "dedup10m": {
-            k: dedup10m.get(k)
-            for k in (
-                "sec", "docs_per_sec", "planted_recall", "recall_gate",
-                "slope_vs_1m", "linear_gate", "skipped",
-            )
-            if k in dedup10m
-        }
-        if dedup10m
-        else None,
-        "state_probe_gates": {
-            k: v for k, v in state_probe.items() if k.endswith("gate")
-        },
-        "state_probe_peak_rows": state_probe.get("peak_state_rows"),
-        "state_probe_final_rows": state_probe.get("final_state_rows"),
-        "slope_gates": {
-            k: v for k, v in slope_probe.items() if k.endswith("gate")
-        },
+        "scale1m_ivf_sec": scale_probe.get("ivf_sec"),
+        "scale1m_brute_sec": scale_probe.get("brute_sec"),
+        "scale1m_recall": scale_probe.get("ivf_recall_at_k"),
+        "scale10m_ivf_sec": scale10m.get("ivf_sec"),
+        "scale10m_brute_sec": scale10m.get("brute_sec"),
+        "scale10m_recall": scale10m.get("recall_at_k"),
+        "dedup10m_sec": dedup10m.get("sec"),
+        "dedup10m_docs_per_sec": dedup10m.get("docs_per_sec"),
+        "dedup10m_slope": dedup10m.get("slope_vs_1m"),
+        "gates": gates,
         "n_sf1_queries": len(sf1.get("queries", {})) if sf1 else 0,
         # fixed micro-tasks pricing this host/session (see _host_calibration)
         # — normalize cross-round ratios by these before reading any drift
@@ -205,28 +210,46 @@ def _compact(result: dict) -> dict:
         "host_shuffle_sec": result.get("host_shuffle_sec"),
         "bench_budget_sec": BUDGET_SEC,
         "bench_elapsed_sec": round(_elapsed(), 1),
-        "phases_done": result.get("phases_done"),
         "phases_skipped": sorted(result.get("phases_skipped") or {}),
         "detail": "BENCH_DETAIL.json",
     }
+    keep_null = {"metric", "value", "unit", "sf"}
+    return {k: v for k, v in out.items() if v is not None or k in keep_null}
 
 
 def _emit(result: dict, final: bool = False) -> None:
     """Persist + print the artifact NOW. Called after every phase so a
-    timeout kill erases at most the in-flight phase (round-9 verdict)."""
+    timeout kill erases at most the in-flight phase (round-9 verdict).
+
+    Stdout contract (round-10 verdict task 1, after TWO parsed-null
+    rounds): stdout carries EXACTLY ONE JSON line for the whole run — the
+    final compact summary, hard-asserted <= MAX_COMPACT_BYTES so the
+    driver's tail-window capture can never start mid-line. Per-phase
+    partial lines go to stderr; the full detail object goes to
+    BENCH_DETAIL.json only (never printed)."""
     try:
         with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
             json.dump(result, f, indent=1)
     except OSError:
         pass
-    if final:
-        # detail first (own line), then the compact line LAST so any
-        # tail-window capture parses the summary
-        print(json.dumps(result), flush=True)
     compact = _compact(result)
     if not final:
         compact["partial"] = True
-    print(json.dumps(compact), flush=True)
+        print(json.dumps(compact), file=sys.stderr, flush=True)
+        return
+    line = json.dumps(compact)
+    if len(line) > MAX_COMPACT_BYTES:
+        # belt-and-braces: shed the most dispensable keys until it fits
+        # (should be unreachable — the full dict measures ~1.1 KB)
+        for k in ("phases_skipped", "queries", "gates"):
+            compact.pop(k, None)
+            line = json.dumps(compact)
+            if len(line) <= MAX_COMPACT_BYTES:
+                break
+    assert len(line) <= MAX_COMPACT_BYTES, (
+        f"final stdout line {len(line)}B > {MAX_COMPACT_BYTES}B contract"
+    )
+    print(line, flush=True)
 
 
 def _phase_tick(spark) -> dict:
@@ -701,8 +724,27 @@ def main() -> None:
         "scale10m": ph_scale10m,
     }
     scale10m_cached = _scale10m_cache_ready()
-    pending = [n for n in _EXEC_ORDER if not env_off.get(n)]
-    for name in _EXEC_ORDER:
+    exec_order = list(_EXEC_ORDER)
+    # round-10 verdict task 2: scale10m (priority 2, the flagship gate) sat
+    # LAST in execution order for cold-build heap hygiene and was starved
+    # by lower-priority phases that overran their estimates. The hygiene
+    # argument was measured for the COLD build (a 10M generate + k-means +
+    # transform); when the model/store cache is warm the phase is a
+    # parquet load + two searches — run it FIRST, right after the 1M probe,
+    # before any optional phase can eat its budget. Pollution risk runs the
+    # other way (scale10m's 10 GB scans before dedup/state) and is priced:
+    # every later phase carries its own contention tick in the artifact.
+    if scale10m_cached and not env_off.get("scale10m"):
+        exec_order.remove("scale10m")
+        exec_order.insert(0, "scale10m")
+    # actual/estimate feedback (round-10: phases overran their scaled
+    # estimates 1.5-2.7x and the one-way error starved the flagship gate):
+    # each completed estimated phase contributes actual/est; the planner
+    # inflates remaining estimates by the running mean, never below 1.0 —
+    # estimates may only get MORE conservative as evidence accumulates.
+    overruns: list[float] = []
+    pending = [n for n in exec_order if not env_off.get(n)]
+    for name in exec_order:
         if env_off.get(name):
             result["phases_skipped"][name] = "disabled by env"
             _emit(result)
@@ -723,27 +765,38 @@ def main() -> None:
         drift = 1.0
         if len(ticks) >= 2 and ticks[0] > 0:
             drift = min(3.0, max(0.5, ticks[-1] / ticks[0]))
-        plan_now = _select_phases(host_scale * drift, scale10m_cached, pending)
+        inflate = 1.0
+        if overruns:
+            inflate = min(3.0, max(1.0, sum(overruns) / len(overruns)))
+        plan_now = _select_phases(
+            host_scale * drift * inflate, scale10m_cached, pending
+        )
         d = plan_now.get(name, {"selected": True})
         d["load_drift"] = round(drift, 2)
+        d["est_inflate"] = round(inflate, 2)
         result["phase_plan"][name] = d
         pending.remove(name)
         if not d.get("selected"):
             result["phases_skipped"][name] = d.get("skip_reason", "?")
             _emit(result)
             continue
+        t_ph = time.monotonic()
         try:
             phase_fns[name]()
         except Exception as exc:  # noqa: BLE001 — never block the contract
             result["phase_errors"][name] = repr(exc)[:200]
+        actual = time.monotonic() - t_ph
+        d["actual_sec"] = round(actual, 1)
+        if d.get("est_sec"):
+            overruns.append(actual / d["est_sec"])
         _phase_done(result, name, spark)
 
     spark.stop()
-    # round-4 verdict: the single giant JSON line got truncated by the
-    # driver's capture (only the tail survived -> "parsed": null). Mirror
-    # the reference harness's compact report (crates/cli/src/main.rs:77-82):
-    # detail first (own line + BENCH_DETAIL.json beside this file), then a
-    # compact FINAL line (<1.5 KB) that survives any tail-window capture.
+    # the ONE stdout line (rounds 4 and 10 both failed this differently:
+    # a giant single line truncated by the capture window, then a compact
+    # line that grew past it with many partials around it). Detail lives
+    # in BENCH_DETAIL.json; partials went to stderr; this line is asserted
+    # <= MAX_COMPACT_BYTES in _emit.
     _emit(result, final=True)
 
 
@@ -1005,19 +1058,25 @@ def _dedup_scale_probe_10m(spark, t_1m_earlier: float | None = None) -> dict:
     past `_dedup_minhash_probe`'s 1M point, the dedup analogue of
     `_scale_probe_10m`. Same banded-LSH plan; the naive / embedding
     controls are NOT repeated (agreement is pinned at the 1M point — this
-    probe measures SCALING, not correctness). Corpus is generated and
-    cached MEMORY_AND_DISK (~3 GB of text; the at-scale shape, matching
-    the 10M ANN probe's DISK_ONLY stance).
+    probe measures SCALING, not correctness).
+
+    Round-11 shape (r10 verdict task 3 — the driver run's slope read 1.737
+    vs the 1.5 gate): THREE points, 1M / 3M / 10M, all measured adjacent
+    in the same session-minute. The 3M midpoint distinguishes a storage
+    knee (slope bends only on the 3M→10M leg, where the corpus stops
+    fitting in memory) from a super-linear plan (both legs bend). Corpus
+    partition count now scales with rows (round 10 generated 10M docs
+    into just 64 partitions — 2x partitions for 10x rows — so each cached
+    partition was ~47 MB of text and per-partition verify/spill chunks
+    grew 5x past the 1M shape); density is pinned at the 1M probe's
+    31,250 docs/partition. Per-point recall is checked against the
+    planted pairs; per-point caches (corpus + the operator's scoped
+    shingle caches) are dropped before the next point so each decade is
+    measured from the same storage baseline.
 
     Gates: planted-pair recall >= 0.95 at 10M, and a linearity slope
     (t_10m / t_1m) / 10 <= 1.5 — i.e. 10x docs costs <= 15x wall, the
-    sub-quadratic evidence (naive all-pairs would be 100x). The 1M
-    denominator is re-measured HERE, immediately before the 10M run
-    (round-10 fix): the host is shared, and gating against a 1M time
-    taken ~50 bench-minutes earlier compared numbers from different
-    neighbor-load regimes — measured: slope 1.714 vs a load-31 spike the
-    phase ticks recorded, where r9's same-minute pairing read 0.617. The
-    earlier-phase time is still reported for the record."""
+    sub-quadratic evidence (naive all-pairs would be 100x)."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
@@ -1026,64 +1085,69 @@ def _dedup_scale_probe_10m(spark, t_1m_earlier: float | None = None) -> dict:
         release_caches,
     )
 
-    # adjacent 1M denominator: same generator, same session-minute
-    docs_1m = (
-        spark.range(1_000_000)
-        .repartition(32)
-        .mapInPandas(
-            _gen_planted_docs(), "doc_id bigint, text string, partner bigint"
+    def run_point(n_docs: int) -> dict:
+        parts = max(32, n_docs // 31_250)
+        level = (
+            StorageLevel.MEMORY_AND_DISK if n_docs > 1_000_000 else None
         )
-        .cache()
-    )
-    docs_1m.count()
-    t0 = time.perf_counter()
-    pairs_1m = neardup_minhash_pairs(docs_1m.select("doc_id", "text"))
-    pairs_1m.write.format("noop").mode("overwrite").save()
-    t_1m = time.perf_counter() - t0
-    docs_1m.unpersist()
-    release_caches()
-
-    n_docs = 10_000_000
-    docs = (
-        spark.range(n_docs)
-        .repartition(64)
-        .mapInPandas(
-            _gen_planted_docs(), "doc_id bigint, text string, partner bigint"
+        docs = (
+            spark.range(n_docs)
+            .repartition(parts)
+            .mapInPandas(
+                _gen_planted_docs(),
+                "doc_id bigint, text string, partner bigint",
+            )
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    docs.count()
-    planted = docs.filter(F.col("partner") >= 0).select(
-        F.least("doc_id", "partner").alias("id_a"),
-        F.greatest("doc_id", "partner").alias("id_b"),
-    ).cache()
-    n_planted = planted.count()
+        docs = docs.persist(level) if level else docs.cache()
+        docs.count()
+        planted = docs.filter(F.col("partner") >= 0).select(
+            F.least("doc_id", "partner").alias("id_a"),
+            F.greatest("doc_id", "partner").alias("id_b"),
+        ).cache()
+        n_planted = planted.count()
+        t0 = time.perf_counter()
+        pairs = neardup_minhash_pairs(docs.select("doc_id", "text")).cache()
+        n_pairs = pairs.count()
+        sec = time.perf_counter() - t0
+        found = planted.join(pairs, ["id_a", "id_b"], "left_semi").count()
+        recall = found / max(n_planted, 1)
+        for df in (pairs, planted, docs):
+            df.unpersist()
+        release_caches()
+        return {
+            "n_docs": n_docs,
+            "partitions": parts,
+            "sec": round(sec, 1),
+            "docs_per_sec": round(n_docs / sec),
+            "pairs": n_pairs,
+            "planted": n_planted,
+            "recall": round(recall, 4),
+        }
 
-    t0 = time.perf_counter()
-    pairs = neardup_minhash_pairs(docs.select("doc_id", "text")).cache()
-    n_pairs = pairs.count()
-    t_10m = time.perf_counter() - t0
-    found = planted.join(pairs, ["id_a", "id_b"], "left_semi").count()
-    recall = found / max(n_planted, 1)
-    slope = (t_10m / t_1m) / 10.0
+    p1 = run_point(1_000_000)
+    p3 = run_point(3_000_000)
+    p10 = run_point(10_000_000)
+    slope = (p10["sec"] / p1["sec"]) / 10.0
     out = {
-        "n_docs": n_docs,
-        "sec": round(t_10m, 1),
-        "docs_per_sec": round(n_docs / t_10m),
-        "pairs": n_pairs,
-        "planted": n_planted,
-        "planted_recall": round(recall, 4),
-        "recall_gate": recall >= 0.95,
-        "sec_1m_adjacent": round(t_1m, 1),
+        "n_docs": p10["n_docs"],
+        "sec": p10["sec"],
+        "docs_per_sec": p10["docs_per_sec"],
+        "pairs": p10["pairs"],
+        "planted": p10["planted"],
+        "planted_recall": p10["recall"],
+        "recall_gate": p10["recall"] >= 0.95,
+        "points": [p1, p3, p10],
+        "sec_1m_adjacent": p1["sec"],
         "sec_1m_earlier_phase": (
             round(t_1m_earlier, 1) if t_1m_earlier else None
         ),
+        # per-leg slopes, each normalized by its decade fraction (1.0 =
+        # perfectly linear): where the curve bends is the diagnosis
+        "slope_1m_3m": round((p3["sec"] / p1["sec"]) / 3.0, 3),
+        "slope_3m_10m": round((p10["sec"] / p3["sec"]) / (10.0 / 3.0), 3),
         "slope_vs_1m": round(slope, 3),
         "linear_gate": slope <= 1.5,
     }
-    for df in (pairs, planted, docs):
-        df.unpersist()
-    release_caches()
     return out
 
 

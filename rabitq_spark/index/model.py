@@ -98,12 +98,16 @@ class RaBitQModel:
             )
         if self.vec_store is not None or big:
             # re-materialize the point-read sidecar under the save dir (same
-            # values — the store is a pure function of base_df, like index/)
+            # values — the store is a pure function of base_df, like index/).
+            # Build it from the JUST-WRITTEN base parquet, not self.base_df:
+            # the lineage behind base_df may be expensive (it already ran
+            # once to write {path}/base) and the parquet holds identical
+            # rows by construction.
             from rabitq_spark.index.vecstore import build_vec_store
 
             build_vec_store(
-                self.base_df, f"{path}/vecstore", dim=self.dim,
-                n_rows=self.n_rows,
+                self.base_df.sparkSession.read.parquet(f"{path}/base"),
+                f"{path}/vecstore", dim=self.dim, n_rows=self.n_rows,
             )
         elif os.path.isdir(f"{path}/vecstore"):
             # overwrite-save of a store-less model must REMOVE a stale

@@ -107,6 +107,26 @@ def _fs_path(uri: str):
     return pafs.FileSystem.from_uri(uri)
 
 
+def _fs_replace(fs, src: str, dst: str) -> None:
+    """move-with-overwrite through pyarrow.fs. On posix-backed filesystems
+    this is an atomic rename(2); on object stores it is copy+delete — NOT
+    atomic, a concurrent reader can observe dst half-written or briefly
+    absent on stores without native rename. That weaker guarantee is safe
+    here because every attempt of a shard task writes identical rows
+    (deterministic sort order), so whichever attempt's move lands last
+    leaves a complete, correct file — the same argument the posix branch
+    makes for duplicate speculative attempts."""
+    try:
+        fs.move(src, dst)
+    except OSError:
+        # filesystems that refuse to clobber: drop dst and retry once
+        try:
+            fs.delete_file(dst)
+        except FileNotFoundError:
+            pass
+        fs.move(src, dst)
+
+
 # URI-store shard-id cache: the (small) sorted id array per shard, keyed by
 # file identity like _MM_CACHE. The VECTOR bytes are never cached — each
 # gather issues one bounded range read per candidate run, the point of the
@@ -117,7 +137,9 @@ _URI_ID_CACHE: dict = {}
 def _uri_shard_ids(fs, path_in_fs: str, shard: dict) -> np.ndarray:
     ids_path = f"{path_in_fs}/{shard['name']}.ids"
     info = fs.get_file_info(ids_path)
-    key = (ids_path, info.size, info.mtime_ns)
+    # some pyarrow filesystems report mtime_ns as None — fall back to a
+    # size-only key rather than keying every generation identically None
+    key = (ids_path, info.size, info.mtime_ns or info.mtime or 0)
     hit = _URI_ID_CACHE.get(key)
     if hit is None:
         want = shard["count"] * 8
@@ -143,10 +165,20 @@ def _uri_gather_shard(
     (crates/disk/src/cache.rs:115-145, crates/disk/src/reader.rs). Cost is
     O(candidate rows) reads, never O(shard)."""
     row_bytes = dim * 4
+    vec_path = f"{path_in_fs}/{shard['name']}.vec"
+    info = fs.get_file_info(vec_path)
+    want = shard["count"] * row_bytes
+    if info.size != want:
+        # mirror the .ids check: a truncated or partially-written .vec
+        # shard must fail with a diagnostic, not a short-buffer reshape
+        raise OSError(
+            f"vec store shard {vec_path} is {info.size} bytes, expected "
+            f"{want} — truncated or partially-written store"
+        )
     order = np.argsort(ords, kind="stable")
     sorted_ords = ords[order]
     out_sorted = np.empty((len(ords), dim), dtype=np.float32)
-    with fs.open_input_file(f"{path_in_fs}/{shard['name']}.vec") as f:
+    with fs.open_input_file(vec_path) as f:
         run_start = 0
         for i in range(1, len(sorted_ords) + 1):
             # a run extends over consecutive OR duplicate ordinals (the
@@ -264,19 +296,23 @@ def build_vec_store(
     O(n) sequential writes, no driver materialization. `vec` may be padded;
     only the first `dim` floats per row are stored.
 
-    The directory must be visible to every executor (local disk in
-    local-mode, shared/object storage on a cluster — where each shard file
-    is the range-GET target, see module docstring)."""
+    The directory must be visible to every executor: a posix path
+    (local disk in local-mode, a shared mount on a cluster) writes via
+    plain file handles; a scheme-qualified URI (s3://, hdfs://, file://,
+    any pyarrow.fs scheme) writes each shard through a pyarrow.fs output
+    stream — the round-10 read branch's twin, so a cluster can build
+    DIRECTLY onto the object store the searchers will range-GET from.
+    Both branches use attempt-unique temp names + move-with-overwrite;
+    note the weaker atomicity of object-store "rename" (_fs_replace)."""
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
-    if _is_uri(store_dir):
-        raise ValueError(
-            "build_vec_store writes via posix paths (executor-local open); "
-            "build onto a mounted/shared path, then open it by URI — the "
-            "range-read gather branch serves any pyarrow.fs scheme"
-        )
-    os.makedirs(store_dir, exist_ok=True)
+    is_uri = _is_uri(store_dir)
+    if is_uri:
+        fs, root = _fs_path(store_dir)
+        fs.create_dir(root, recursive=True)
+    else:
+        os.makedirs(store_dir, exist_ok=True)
     row_bytes = dim * 4
     if n_shards is None:
         if n_rows:
@@ -294,19 +330,28 @@ def build_vec_store(
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         name = f"shard_{pid:05d}"
-        vec_path = os.path.join(store_dir, name + ".vec")
-        ids_path = os.path.join(store_dir, name + ".ids")
-        # attempt-unique temp names + atomic rename: a speculative or
+        # attempt-unique temp names + move-with-overwrite: a speculative or
         # zombie duplicate attempt of this partition must never interleave
         # bytes with the winning attempt's files (both attempts write the
         # same rows, so whichever rename lands last leaves a complete file)
         suffix = f".tmp{ctx.taskAttemptId()}"
+        if is_uri:
+            tfs, troot = _fs_path(store_dir)
+            vec_path = f"{troot}/{name}.vec"
+            ids_path = f"{troot}/{name}.ids"
+            _open = lambda p: tfs.open_output_stream(p)  # noqa: E731
+            _replace = lambda s, d: _fs_replace(tfs, s, d)  # noqa: E731
+            _unlink = tfs.delete_file
+        else:
+            vec_path = os.path.join(store_dir, name + ".vec")
+            ids_path = os.path.join(store_dir, name + ".ids")
+            _open = lambda p: open(p, "wb")  # noqa: E731
+            _replace = os.replace
+            _unlink = os.unlink
         count = 0
         min_id = None
         max_id = None
-        with open(vec_path + suffix, "wb") as fv, open(
-            ids_path + suffix, "wb"
-        ) as fi:
+        with _open(vec_path + suffix) as fv, _open(ids_path + suffix) as fi:
             for pdf in it:
                 ids = pdf["__id"].to_numpy(dtype="<i8")
                 if len(ids) == 0:
@@ -320,11 +365,11 @@ def build_vec_store(
                 min_id = int(ids[0]) if min_id is None else min_id
                 max_id = int(ids[-1])
         if count == 0:
-            os.unlink(vec_path + suffix)
-            os.unlink(ids_path + suffix)
+            _unlink(vec_path + suffix)
+            _unlink(ids_path + suffix)
             return
-        os.replace(vec_path + suffix, vec_path)
-        os.replace(ids_path + suffix, ids_path)
+        _replace(vec_path + suffix, vec_path)
+        _replace(ids_path + suffix, ids_path)
         yield pd.DataFrame(
             {
                 "name": [name],
@@ -359,10 +404,15 @@ def build_vec_store(
     # a crash mid-write must never leave a present-but-truncated file that
     # passes exists() and then fails open() (round-9 advisor — the bench's
     # fingerprint block took the open path, not the rebuild path, on one)
-    meta_path = os.path.join(store_dir, "meta.json")
-    with open(meta_path + ".tmp", "w") as f:
-        json.dump(meta, f)
-    os.replace(meta_path + ".tmp", meta_path)
+    if is_uri:
+        with fs.open_output_stream(f"{root}/meta.json.tmp") as f:
+            f.write(json.dumps(meta).encode())
+        _fs_replace(fs, f"{root}/meta.json.tmp", f"{root}/meta.json")
+    else:
+        meta_path = os.path.join(store_dir, "meta.json")
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(meta_path + ".tmp", meta_path)
     return VecStore(dir=store_dir, dim=dim, n_rows=n_rows, shards=shards)
 
 

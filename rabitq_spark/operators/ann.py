@@ -41,7 +41,16 @@ def ann_search(
     **search_kwargs,
 ) -> DataFrame:
     """Top-k neighbors per query: brute force for small bases (exact),
-    IVF+RaBitQ for large ones (approximate, nprobe/overfetch knobs)."""
+    IVF+RaBitQ for large ones (approximate, nprobe/overfetch knobs).
+
+    The dispatch probe is memoized per base DataFrame OBJECT and assumes
+    the data behind it is static for the object's lifetime: if the same
+    DataFrame re-executes over storage that has grown (an appended parquet
+    path, a view over a growing table), the memoized count — and therefore
+    the brute/IVF choice — is stale. For growing bases, pass a fresh
+    DataFrame per batch (a new `spark.read.parquet(...)` object re-probes)
+    or supply `base_count` explicitly.
+    """
     if isinstance(base, RaBitQModel):
         return search(base, queries, topk=k, **search_kwargs)
     if base_count is None:

@@ -283,16 +283,20 @@ def neardup_minhash_pairs(
     # collision probability. The word-hash array is cached so the shingle
     # combiner cannot inline (and re-evaluate) the md5 transform per element.
     scope = _begin_scope("minhash")
-    wh = _scoped_cache(
-        _widen(docs).select(
-            F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("h")
-        ),
-        scope,
-    )
+    wh = _widen(docs).select(
+        F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("h")
+    ).cache()
     hashed = _scoped_cache(
         wh.select("doc_id", combine_word_hashes("h", shingle_words).alias("hs")),
         scope,
     )
+    # wh has exactly one consumer (hashed); materialize through the
+    # barrier NOW and drop it immediately. At 10M docs the word-hash
+    # arrays are ~3 GB of executor storage that round 10 measured pinned
+    # across the whole banding + verify tail (one of three simultaneous
+    # ~10M-row array caches behind the super-linear dedup10m slope).
+    hashed.count()
+    wh.unpersist(False)
     return _banded_jaccard_pairs(hashed, n_bands, threshold, scope=scope)
 
 

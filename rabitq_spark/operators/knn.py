@@ -146,6 +146,16 @@ def knn_exact_fast(
             # otherwise allocate 1.6 GB per Arrow batch)
             nq = mat_b.shape[0]
             qblock = max(1, 33_554_432 // max(len(b_ids), 1))
+            if exact_fold:
+                # the fold temporaries diff/sq below are (qblock*kk, dim)
+                # float64 — unbounded by the GEMM cap when a small Arrow
+                # batch (tail partition) meets a large query block (qblock
+                # grows inversely with batch size; simjoin passes up to
+                # 500k queries). Bound the block so the fold obeys the
+                # same ~256 MB ceiling as the distance matrix.
+                qblock = max(
+                    1, min(qblock, 33_554_432 // max(kk * mat_b.shape[1], 1))
+                )
             for lo in range(0, nq, qblock):
                 hi = min(lo + qblock, nq)
                 # dists[i, j] = ||q_i - b_j||^2, computed as one GEMM

@@ -83,12 +83,13 @@ def main() -> int:
         # unparseable names still skip-with-warning, never grind for hours
         sf_m = re.search(r"sf(\d+(?:\.\d+)?)/?$", SF_DIR.rstrip("/"))
         big_sf = float(sf_m.group(1)) > 0.1 if sf_m else True
-        if big_sf and not sf_m and name in ORACLE_ALLPAIRS_SF_CAP:
-            print(f"[WARN] {name}: cannot parse SF from {SF_DIR!r}; "
-                  "treating as big and skipping the all-pairs oracle")
         if big_sf and name in ORACLE_ALLPAIRS_SF_CAP:
-            print(f"[SKIP] {name}: all-pairs oracle infeasible at this SF "
-                  "(see ORACLE_ALLPAIRS_SF_CAP)")
+            why = (
+                f"cannot parse SF from {SF_DIR!r}; treating as big"
+                if not sf_m
+                else "all-pairs oracle infeasible at this SF"
+            )
+            print(f"[SKIP] {name}: {why} (see ORACLE_ALLPAIRS_SF_CAP)")
             continue
         row = {
             "rows_match": None,

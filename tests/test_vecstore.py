@@ -355,10 +355,26 @@ def test_uri_store_search_bitexact(spark, gappy_base, stored_model):
     pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
-def test_build_vec_store_rejects_uri_target(gappy_base):
-    base, _, _ = gappy_base
-    with pytest.raises(ValueError, match="posix"):
-        build_vec_store(base, "s3://bucket/store", dim=100, id_col="id")
+def test_build_vec_store_onto_uri_target(gappy_base, stored_model, tmp_path):
+    # round-11 (r10 verdict task 5): building DIRECTLY onto a URI target
+    # (pyarrow.fs output streams + move-with-overwrite) must serve gathers
+    # identical to the posix-built store opened by URI — same rows, same
+    # bytes, for shuffled/duplicated/missing-id shapes alike
+    base, ids, vecs = gappy_base
+    uri_dir = "file://" + str(tmp_path / "uri_store")
+    built = build_vec_store(base, uri_dir, dim=100, id_col="id", n_shards=5)
+    assert built.n_rows == len(ids)
+    # shard files land under the posix path behind the URI, temps cleaned
+    names = sorted(os.listdir(str(tmp_path / "uri_store")))
+    assert "meta.json" in names
+    assert not [n for n in names if ".tmp" in n]
+    reopened = VecStore.open(uri_dir)
+    posix = stored_model.vec_store
+    rng = np.random.default_rng(7)
+    pick = np.concatenate([ids[::7], ids[:3], rng.permutation(ids[:40])])
+    np.testing.assert_array_equal(reopened.gather(pick), posix.gather(pick))
+    with pytest.raises(KeyError):
+        reopened.gather(np.array([987_654_321], dtype=np.int64))
 
 
 def test_save_auto_builds_store_at_threshold(spark, gappy_base, tmp_path):
