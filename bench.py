@@ -64,29 +64,39 @@ def _left() -> float:
 
 # Optional phases: (name, est_sec on the r9 reference host, selection
 # priority — lower = more important). Selection is greedy by priority
-# against the remaining budget; EXECUTION keeps the heap-hygiene order
-# (_EXEC_ORDER): scale10m runs last because its 10 GB scans + DISK_ONLY
-# blocks leave JVM pressure behind, and dedup10m's 3 GB cached corpus is
-# dropped before scale10m starts (both measured, rounds 8-9).
+# against the remaining budget; EXECUTION follows the SAME priority order
+# (round-11 fix: r10 starved scale10m and the first r11 run starved
+# dedup10m the identical way — a lower-priority phase that executes
+# EARLIER can overrun past its estimate and eat a reserved higher-
+# priority slot; estimate reservations only protect phases that run
+# before the overrunner. With exec order == priority order, an overrun
+# can only ever starve phases LESS important than the one that overran).
+# One exception: a COLD scale10m (10M generate + k-means + DISK_ONLY
+# build) still runs last — its heap residue measurably taxed later
+# phases (rounds 8-9); the warm cached load runs first instead (main()).
+# Base estimates recalibrated against r10/r11 driver-shaped actuals:
+# state 430→800 (actuals 423, 516 vs scaled ests 158, 254),
+# dedup_embedding 920→1300 (r10 actual 762 vs scaled est 433),
+# dedup10m 290→380 (round-11 adds the 3M midpoint).
 _OPTIONAL_PHASES = [
     ("dedup_minhash", 90, 1),    # 1M banded-LSH gates (cheap)
     ("scale10m", 820, 2),        # the 10M ivf_2x_brute flagship gate
-    ("dedup10m", 290, 3),        # second-decade dedup slope + recall gates
-    #                              (incl. adjacent 1M denominator + the
-    #                              round-11 3M midpoint; r10 measured
-    #                              124-223 s for the 1M+10M pair)
-    ("state", 430, 4),           # 1M-user RocksDB keyed-state gates
+    ("dedup10m", 380, 3),        # 1M/3M/10M dedup slope + recall gates
+    ("state", 800, 4),           # 1M-user RocksDB keyed-state gates
     ("slope", 160, 5),           # sf1/sf3 slopes minus fuzzy (3 probes)
-    ("dedup_embedding", 920, 6), # 200k blocked-vs-GEMM crossover control
+    ("dedup_embedding", 1300, 6),  # 200k blocked-vs-GEMM crossover control
     ("sf1", 1100, 7),            # full registry sweep one SF up
     ("slope_fuzzy", 700, 8),     # fuzzy sf1/sf3 slope (output-bound 243M pairs)
 ]
 _EXEC_ORDER = [
-    "dedup_minhash", "dedup_embedding", "state", "sf1", "slope",
-    "slope_fuzzy", "dedup10m", "scale10m",
+    "dedup_minhash", "dedup10m", "state", "slope", "dedup_embedding",
+    "sf1", "slope_fuzzy", "scale10m",
 ]
-# phases cut when the model/store artifact cache under .benchdata is warm
-_SCALE10M_CACHED_EST = 480.0
+# estimate when the model/store artifact cache under .benchdata is warm
+# (r11 driver-shaped measurement: load 9.8 s + brute 139.7 + jvm 147.6 +
+# fastscan runs ≈ 488 s actual under host_scale 0.42 — the old 480 base
+# scaled to 202 and under-predicted 2.4x)
+_SCALE10M_CACHED_EST = 1150.0
 
 
 def _select_phases(
