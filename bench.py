@@ -171,12 +171,16 @@ def _compact(result: dict) -> dict:
         "dedup10m_recall": dedup10m.get("recall_gate"),
         "dedup10m_linear": dedup10m.get("linear_gate"),
     }
-    for probe in (dedup_probe, state_probe, slope_probe):
+    for prefix, probe in (
+        ("", dedup_probe), ("state_", state_probe), ("", slope_probe)
+    ):
         # strip the redundant "_gate" suffix — every key in this dict IS a
-        # gate, and the 5 bytes × ~15 keys matter against the 1.5 KB cap
+        # gate, and the 5 bytes × ~15 keys matter against the 1.5 KB cap.
+        # State-probe keys carry no probe prefix of their own ("equal_gate",
+        # "peak_gate") — add one so the flat dict stays self-describing.
         gates.update(
             {
-                k[: -len("_gate")].rstrip("_") or k: v
+                prefix + (k[: -len("_gate")].rstrip("_") or k): v
                 for k, v in probe.items()
                 if k.endswith("gate")
             }

@@ -125,6 +125,7 @@ def test_compact_carries_headline_and_gate_signals():
     assert g["scale10m_2x_brute"] is True
     assert g["dedup10m_linear"] is True
     assert g["emb_volume"] is False  # falsy gates survive (only None drops)
+    assert g["state_equal"] is True  # state gates carry their probe prefix
 
 
 def test_compact_drops_unrun_sections():
