@@ -56,6 +56,12 @@ class RaBitQModel:
     def save(self, path: str, store_min_rows: int | None = None) -> None:
         """Write index + base Parquet and the numpy/JSON sidecar.
 
+        `path` may be a posix directory or a scheme-qualified URI (s3://,
+        s3a://, hdfs://, file://): parquet goes through Spark, the vec
+        store and the numpy/JSON sidecars through pyarrow.fs, so a cluster
+        can persist a model directly onto the object store its searchers
+        load from (load() takes the same URI).
+
         The index is partitioned by cluster_id so a probe-filtered read
         prunes partitions (the Spark analogue of the reference's CSR posting
         ranges, src/rabitq.rs:240-252 — offsets become partition boundaries).
@@ -69,11 +75,26 @@ class RaBitQModel:
         attach_vec_store call the user has to know about. load()
         auto-attaches any sidecar it finds and search() dispatches on it.
         """
-        from rabitq_spark.index.vecstore import STORE_AUTO_MIN_ROWS
+        from rabitq_spark.index.vecstore import (
+            STORE_AUTO_MIN_ROWS,
+            _fs_path,
+            _is_uri,
+        )
 
         if store_min_rows is None:
             store_min_rows = STORE_AUTO_MIN_ROWS
-        os.makedirs(path, exist_ok=True)
+        # URI targets (s3://, s3a://, hdfs://, file://, any pyarrow.fs
+        # scheme): the index/base parquet and the vec-store sidecar already
+        # write through URI-capable layers (Spark, pyarrow.fs); the numpy/
+        # JSON sidecars go through pyarrow.fs streams below. The one
+        # requirement is a scheme BOTH Spark's Hadoop layer and pyarrow
+        # resolve (s3a:// is bridged to pyarrow's s3:// in _fs_path).
+        is_uri = _is_uri(path)
+        if is_uri:
+            fs, root = _fs_path(path)
+            fs.create_dir(root, recursive=True)
+        else:
+            os.makedirs(path, exist_ok=True)
         (
             self.index_df.repartition("cluster_id")
             .sortWithinPartitions("center_dist_sq")
@@ -109,12 +130,19 @@ class RaBitQModel:
                 self.base_df.sparkSession.read.parquet(f"{path}/base"),
                 f"{path}/vecstore", dim=self.dim, n_rows=self.n_rows,
             )
-        elif os.path.isdir(f"{path}/vecstore"):
+        elif is_uri:
             # overwrite-save of a store-less model must REMOVE a stale
             # sidecar left by a previous occupant of this path: load()
             # auto-attaches any vecstore dir it finds, and index/ + base/
             # were just overwritten — a surviving old store would serve the
             # previous model's vectors to the new model's shortlists
+            from rabitq_spark.index.vecstore import VecStore
+
+            if VecStore.exists(f"{path}/vecstore"):
+                sfs, sroot = _fs_path(f"{path}/vecstore")
+                sfs.delete_dir(sroot)
+        elif os.path.isdir(f"{path}/vecstore"):
+            # same stale-sidecar removal, posix form
             import shutil
 
             shutil.rmtree(f"{path}/vecstore")
@@ -127,23 +155,36 @@ class RaBitQModel:
             }
         else:
             rot_arrays = {"rotation": self.rotation}
-        np.savez(
-            f"{path}/arrays.npz",
-            rand_bias=self.rand_bias,
-            centroids_proj=self.centroids_proj,
-            **rot_arrays,
-        )
-        with open(f"{path}/meta.json", "w") as f:
-            json.dump(
-                {
-                    "dim": self.dim,
-                    "dim_pad": self.dim_pad,
-                    "config": self.config.__dict__,
-                    "n_rows": self.n_rows,
-                    "format_version": 1,
-                },
-                f,
+        meta = {
+            "dim": self.dim,
+            "dim_pad": self.dim_pad,
+            "config": self.config.__dict__,
+            "n_rows": self.n_rows,
+            "format_version": 1,
+        }
+        if is_uri:
+            import io
+
+            buf = io.BytesIO()
+            np.savez(
+                buf,
+                rand_bias=self.rand_bias,
+                centroids_proj=self.centroids_proj,
+                **rot_arrays,
             )
+            with fs.open_output_stream(f"{root}/arrays.npz") as f:
+                f.write(buf.getvalue())
+            with fs.open_output_stream(f"{root}/meta.json") as f:
+                f.write(json.dumps(meta).encode())
+        else:
+            np.savez(
+                f"{path}/arrays.npz",
+                rand_bias=self.rand_bias,
+                centroids_proj=self.centroids_proj,
+                **rot_arrays,
+            )
+            with open(f"{path}/meta.json", "w") as f:
+                json.dump(meta, f)
 
     def persist_bucketed(
         self, n_buckets: int = 32, name: str = "rabitq_model"
@@ -183,11 +224,24 @@ class RaBitQModel:
     def load(cls, spark: SparkSession, path: str) -> RaBitQModel:
         from rabitq_spark.index.rotation import BlockRotation
 
-        from rabitq_spark.index.vecstore import VecStore
+        from rabitq_spark.index.vecstore import VecStore, _fs_path, _is_uri
 
-        with open(f"{path}/meta.json") as f:
-            meta = json.load(f)
-        arrays = np.load(f"{path}/arrays.npz")
+        if _is_uri(path):
+            # URI model dir (object/cluster storage): numpy/JSON sidecars
+            # read through pyarrow.fs; parquet + vecstore are URI-capable
+            # already. np.load needs a seekable file — buffer the (small,
+            # rotation-matrix-sized) archive.
+            import io
+
+            fs, root = _fs_path(path)
+            with fs.open_input_file(f"{root}/meta.json") as f:
+                meta = json.load(f)
+            with fs.open_input_file(f"{root}/arrays.npz") as f:
+                arrays = np.load(io.BytesIO(f.read()))
+        else:
+            with open(f"{path}/meta.json") as f:
+                meta = json.load(f)
+            arrays = np.load(f"{path}/arrays.npz")
         if "rotation" in arrays:
             rotation = arrays["rotation"]
         else:

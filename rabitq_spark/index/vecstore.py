@@ -104,6 +104,11 @@ def _is_uri(path: str) -> bool:
 def _fs_path(uri: str):
     from pyarrow import fs as pafs
 
+    # Hadoop spells the S3 connector "s3a://" while pyarrow.fs spells it
+    # "s3://" — a cluster that writes parquet through s3a:// should be able
+    # to hand the same path string to the store/model sidecar readers
+    if uri.startswith("s3a://"):
+        uri = "s3://" + uri[len("s3a://"):]
     return pafs.FileSystem.from_uri(uri)
 
 

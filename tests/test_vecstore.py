@@ -158,6 +158,43 @@ def test_save_load_carries_store(spark, gappy_base, stored_model, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
+def test_save_load_model_uri_roundtrip(spark, gappy_base, stored_model, tmp_path):
+    # round-11: model persistence onto object storage — save() and load()
+    # take the same URI; the numpy/JSON sidecars go through pyarrow.fs and
+    # the result must search bit-identically to the posix-saved model
+    queries = _queries(spark, gappy_base)
+    uri = "file://" + str(tmp_path / "uri_model")
+    stored_model.save(uri)
+    loaded = RaBitQModel.load(spark, uri)
+    assert loaded.vec_store is not None
+    assert loaded.vec_store.dir.startswith("file://")  # URI gather branch
+    got = (
+        search(loaded, queries, topk=K, nprobe=loaded.n_clusters, overfetch=10**6)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        search(
+            stored_model, queries, topk=K,
+            nprobe=stored_model.n_clusters, overfetch=10**6,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # overwrite-save of a store-less model over the same URI must remove
+    # the stale sidecar (load would otherwise auto-attach the old store)
+    import copy
+
+    bare = copy.copy(stored_model)
+    bare.vec_store = None
+    bare.save(uri, store_min_rows=10**9)
+    from rabitq_spark.index.vecstore import VecStore
+
+    assert not VecStore.exists(uri + "/vecstore")
+    assert RaBitQModel.load(spark, uri).vec_store is None
+
+
 def test_unpadded_fold_bit_equals_padded():
     # the store keeps the unpadded prefix; the claim it rests on: folding
     # (x-y)^2 over the first dim terms == folding over dim_pad terms when
