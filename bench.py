@@ -225,10 +225,16 @@ def _compact(result: dict) -> dict:
         "bench_budget_sec": BUDGET_SEC,
         "bench_elapsed_sec": round(_elapsed(), 1),
         "phases_skipped": sorted(result.get("phases_skipped") or {}),
+        # present only when the SIGTERM handler printed this line: the
+        # run was killed and this is the partial-but-parseable artifact
+        "terminated_by_signal": result.get("terminated_by_signal"),
         "detail": "BENCH_DETAIL.json",
     }
     keep_null = {"metric", "value", "unit", "sf"}
     return {k: v for k, v in out.items() if v is not None or k in keep_null}
+
+
+_FINAL_EMITTED = False
 
 
 def _emit(result: dict, final: bool = False) -> None:
@@ -241,6 +247,7 @@ def _emit(result: dict, final: bool = False) -> None:
     driver's tail-window capture can never start mid-line. Per-phase
     partial lines go to stderr; the full detail object goes to
     BENCH_DETAIL.json only (never printed)."""
+    global _FINAL_EMITTED
     try:
         with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
             json.dump(result, f, indent=1)
@@ -251,6 +258,10 @@ def _emit(result: dict, final: bool = False) -> None:
         compact["partial"] = True
         print(json.dumps(compact), file=sys.stderr, flush=True)
         return
+    if _FINAL_EMITTED:
+        # the SIGTERM path already printed the one stdout line
+        return
+    _FINAL_EMITTED = True
     line = json.dumps(compact)
     if len(line) > MAX_COMPACT_BYTES:
         # belt-and-braces: shed the most dispensable keys until it fits
@@ -421,6 +432,22 @@ def main() -> None:
         "phases_skipped": {},
         "phase_errors": {},
     }
+    # With partials on stderr, a timeout kill would otherwise leave stdout
+    # EMPTY — the r9 failure class through a new door. Catching the
+    # harness's SIGTERM turns a kill into a parsed artifact: print the one
+    # stdout line with whatever phases completed, then exit 124 so the rc
+    # still says "killed". os._exit because Spark's nonessential threads
+    # must not block the dying print.
+    import signal
+
+    def _on_term(signum, frame):  # noqa: ARG001
+        result["terminated_by_signal"] = signum
+        try:
+            _emit(result, final=True)
+        finally:
+            os._exit(124)
+
+    signal.signal(signal.SIGTERM, _on_term)
     timings = result["queries"]
     spread = result["queries_spread"]
 
