@@ -138,6 +138,12 @@ def _fs_replace(fs, src: str, dst: str) -> None:
 # object-store branch.
 _URI_ID_CACHE: dict = {}
 
+# store_exact_rerank ships the query matrix as ONE broadcast variable up
+# to this many queries (dim 256 f64 → ≤ ~200 MB); larger batches fall
+# back to the broadcast-join form, whose per-candidate-row qvec traffic
+# is then amortized over a proportionally larger shortlist anyway
+_BC_MAX_QUERIES = 100_000
+
 
 def _uri_shard_ids(fs, path_in_fs: str, shard: dict) -> np.ndarray:
     ids_path = f"{path_in_fs}/{shard['name']}.ids"
@@ -436,62 +442,143 @@ def store_exact_rerank(
     Column expression; a zero tail on both sides adds exact +0.0 terms,
     so folding the store's dim-length prefix is safe for padded queries).
 
-    `shortlist` is (query_id, <id_col>); `qv` is (query_id, <qvec_col>)
-    and broadcasts. Shared by the RaBitQ stage-7 rerank and the PQ / SQ8
-    family reranks — any shortlist-then-exact plan whose base join would
-    otherwise scan O(base)."""
+    `shortlist` is (query_id, <id_col>); `qv` is (query_id, <qvec_col>),
+    one row per query id. Shared by the RaBitQ stage-7 rerank and the
+    PQ / SQ8 family reranks — any shortlist-then-exact plan whose base
+    join would otherwise scan O(base).
+
+    Physical shape (round 11): the query vectors ride ONE spark broadcast
+    variable as an (nq, dim) float64 matrix and the kernel indexes into it
+    by query_id. The previous broadcast-JOIN form duplicated each query's
+    vector onto every candidate row — at the 1M probe geometry (620
+    candidates/query x 256 dims) that was ~1.3 GB of Arrow traffic plus a
+    python-level np.vstack per batch, and the rerank stage's JVM threads
+    sat 90% idle waiting on Python (measured via task summaries). Past
+    _BC_MAX_QUERIES the matrix no longer broadcasts economically and the
+    join form is used instead (same results — the fold is identical)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from rabitq_spark._dist import ensure_package_on_executors
+    from rabitq_spark.functions.scratch import scratch
 
-    ensure_package_on_executors(shortlist.sparkSession)
+    spark = shortlist.sparkSession
+    ensure_package_on_executors(spark)
     dim = store.dim
-    joined = shortlist.join(F.broadcast(qv), "query_id")
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    def fold(q64: "np.ndarray", v: "np.ndarray") -> "np.ndarray":
+        # pooled-buffer form of
+        #   d = q.astype(f64) - v.astype(f64); d2 = d*d
+        #   acc = left-to-right sum of d2 columns
+        # — identical operands in identical order, bit-exact (scratch.py)
+        n = len(q64)
+        d = scratch("rerank_d", (n, dim))
+        np.subtract(q64, v.astype(np.float64), out=d)
+        np.multiply(d, d, out=d)
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(dim):
+            np.add(acc, d[:, j], out=acc)
+        return acc
+
+    # one bounded job decides the physical form AND fetches the matrix:
+    # ≤ _BC_MAX_QUERIES rows land driver-side for the broadcast path; an
+    # over-limit result is discarded and the join form runs instead
+    qpd = qv.select("query_id", qvec_col).limit(_BC_MAX_QUERIES + 1).toPandas()
+    if len(qpd) > _BC_MAX_QUERIES:
+        joined = shortlist.join(F.broadcast(qv), "query_id")
+        if metrics is not None:
+            joined = joined.observe(
+                metrics.rerank, F.count(F.lit(1)).alias("rerank_base_rows")
+            )
+
+        def rr_join(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                q = np.vstack(pdf[qvec_col].to_numpy())[:, :dim]
+                acc = fold(q.astype(np.float64), store.gather(ids))
+                yield pd.DataFrame(
+                    {
+                        # query_id passes through UNCAST — the join plans
+                        # this rerank replaces preserve arbitrary query_id
+                        # types (an int64 cast would truncate float ids)
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": ids,
+                        "dist": acc,
+                    }
+                )
+
+        out_schema = StructType(
+            [
+                StructField(
+                    "query_id", joined.schema["query_id"].dataType, True
+                ),
+                StructField("neighbor_id", LongType(), True),
+                StructField("dist", DoubleType(), True),
+            ]
+        )
+        return joined.mapInPandas(rr_join, out_schema)
+
+    # float64 up front: f32→f64 is value-exact, f64 stays itself — the
+    # kernel's fold sees exactly the operands the join form would build
+    qmat = np.vstack(qpd[qvec_col].to_numpy()).astype(np.float64)[:, :dim]
+    bc = spark.sparkContext.broadcast((qpd["query_id"].tolist(), qmat))
+
+    stream = shortlist
     if metrics is not None:
-        # rows actually read from base storage == candidates. Observed on
-        # the post-join stream, NOT the shortlist: a CollectMetrics node
-        # directly above the top-R filter defeats the WindowGroupLimit
-        # pre-shuffle trim (bisected +135 s at 10M — metrics.py)
-        joined = joined.observe(
+        # candidate rows read from base storage; equals the join form's
+        # post-join count whenever every shortlist query appears in qv
+        # (the kernel drops unmatched ids below, mirroring the inner join)
+        stream = stream.observe(
             metrics.rerank, F.count(F.lit(1)).alias("rerank_base_rows")
         )
 
     def rr(it):
+        posmap = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            if posmap is None:
+                qids, qm = bc.value
+                posmap = pd.Series(
+                    np.arange(len(qids), dtype=np.int64), index=qids
+                )
+            pos = pdf["query_id"].map(posmap)
+            if pos.isna().any():
+                # inner-join semantics: a shortlist query absent from qv
+                # contributes no rows
+                keep = pos.notna()
+                pdf = pdf[keep]
+                pos = pos[keep]
+                if len(pdf) == 0:
+                    continue
+            ix = pos.to_numpy(dtype=np.int64)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.vstack(pdf[qvec_col].to_numpy())[:, :dim]
-            v = store.gather(ids)
-            d = q.astype(np.float64) - v.astype(np.float64)
-            d2 = d * d
-            acc = np.zeros(len(ids), dtype=np.float64)
-            for j in range(dim):
-                acc = acc + d2[:, j]
+            n = len(ids)
+            q64 = scratch("rerank_q", (n, dim))
+            np.take(qm, ix, axis=0, out=q64)
+            acc = fold(q64, store.gather(ids))
             yield pd.DataFrame(
                 {
-                    # pass query_id through UNCAST — the join plans this
-                    # rerank replaces preserve arbitrary query_id types
-                    # (an int64 cast would silently truncate float ids)
                     "query_id": pdf["query_id"],
                     "neighbor_id": ids,
                     "dist": acc,
                 }
             )
 
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
     out_schema = StructType(
         [
             StructField(
-                "query_id", joined.schema["query_id"].dataType, True
+                "query_id", shortlist.schema["query_id"].dataType, True
             ),
             StructField("neighbor_id", LongType(), True),
             StructField("dist", DoubleType(), True),
         ]
     )
-    return joined.mapInPandas(rr, out_schema)
+    return stream.select("query_id", id_col).mapInPandas(rr, out_schema)
 
 
 def attach_vec_store(model, store_dir: str) -> "VecStore":

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rabitq_spark._dist import ensure_package_on_executors
+from rabitq_spark.functions.scratch import scratch
 from rabitq_spark.functions.vector import l2_squared
 from rabitq_spark.operators.topk import topk_per_group
 
@@ -158,11 +159,19 @@ def knn_exact_fast(
                 )
             for lo in range(0, nq, qblock):
                 hi = min(lo + qblock, nq)
-                # dists[i, j] = ||q_i - b_j||^2, computed as one GEMM
-                dists = (
-                    sq_b[lo:hi, None] + b_sq[None, :]
-                    - 2.0 * (mat_b[lo:hi] @ b_mat.T)
-                )
+                # dists[i, j] = ||q_i - b_j||^2, computed as one GEMM.
+                # Buffers come from the per-worker scratch pool with out=
+                # ops (same operands, same order — bit-identical to the
+                # expression form): fresh >128 KB numpy temporaries are
+                # mmap'd and refaulted every task, and on virtualized
+                # hosts the first-touch stall dwarfed the arithmetic
+                # (round-11 headline finding, functions/scratch.py).
+                gemm = scratch("knn_gemm", (hi - lo, len(b_ids)))
+                np.matmul(mat_b[lo:hi], b_mat.T, out=gemm)
+                np.multiply(2.0, gemm, out=gemm)
+                dists = scratch("knn_dists", (hi - lo, len(b_ids)))
+                np.add(sq_b[lo:hi, None], b_sq[None, :], out=dists)
+                np.subtract(dists, gemm, out=dists)
                 np.maximum(dists, 0.0, out=dists)
                 part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
                 rows = np.repeat(np.arange(hi - lo), kk)
@@ -172,11 +181,22 @@ def knn_exact_fast(
                     # shortlisted pairs' distances with the fold that
                     # mirrors l2_squared exactly (f32→f64 is value-exact,
                     # so mat_b/b_mat hold the cast operands already)
-                    diff = mat_b[lo + rows] - b_mat[cols]
-                    sq = diff * diff
-                    acc = np.zeros(len(rows), dtype=np.float64)
+                    # pooled-buffer form of
+                    #   diff = mat_b[lo + rows] - b_mat[cols]
+                    #   sq = diff * diff; acc = left-to-right sum of sq cols
+                    # — identical operands in identical order, so the fold
+                    # stays bit-exact; only the allocations are reused
+                    nr, dimw = len(rows), mat_b.shape[1]
+                    sq = scratch("knn_fold_q", (nr, dimw))
+                    np.take(mat_b, lo + rows, axis=0, out=sq)
+                    gb = scratch("knn_fold_b", (nr, dimw))
+                    np.take(b_mat, cols, axis=0, out=gb)
+                    np.subtract(sq, gb, out=sq)
+                    np.multiply(sq, sq, out=sq)
+                    acc = scratch("knn_fold_acc", (nr,))
+                    acc[:] = 0.0
                     for j in range(sq.shape[1]):
-                        acc = acc + sq[:, j]
+                        np.add(acc, sq[:, j], out=acc)
                     # per-partition trim to the FINAL k by (fold dist,
                     # neighbor id): the global window only needs each
                     # partition's own top-k, so the refined plan's shuffle
