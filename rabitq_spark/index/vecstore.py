@@ -527,15 +527,6 @@ def store_exact_rerank(
     qmat = np.vstack(qpd[qvec_col].to_numpy()).astype(np.float64)[:, :dim]
     bc = spark.sparkContext.broadcast((qpd["query_id"].tolist(), qmat))
 
-    stream = shortlist
-    if metrics is not None:
-        # candidate rows read from base storage; equals the join form's
-        # post-join count whenever every shortlist query appears in qv
-        # (the kernel drops unmatched ids below, mirroring the inner join)
-        stream = stream.observe(
-            metrics.rerank, F.count(F.lit(1)).alias("rerank_base_rows")
-        )
-
     def rr(it):
         posmap = None
         for pdf in it:
@@ -578,7 +569,18 @@ def store_exact_rerank(
             StructField("dist", DoubleType(), True),
         ]
     )
-    return stream.select("query_id", id_col).mapInPandas(rr, out_schema)
+    out = shortlist.select("query_id", id_col).mapInPandas(rr, out_schema)
+    if metrics is not None:
+        # candidate rows read from base storage: the kernel emits exactly
+        # one row per matched candidate, so counting ABOVE the mapInPandas
+        # equals the join form's post-join count — and, like that form,
+        # keeps the CollectMetrics node away from the top-R filter (a node
+        # directly above the filter defeats the WindowGroupLimit
+        # pre-shuffle trim; bisected +135 s at 10M — metrics.py)
+        out = out.observe(
+            metrics.rerank, F.count(F.lit(1)).alias("rerank_base_rows")
+        )
+    return out
 
 
 def attach_vec_store(model, store_dir: str) -> "VecStore":
