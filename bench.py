@@ -94,9 +94,11 @@ _EXEC_ORDER = [
 ]
 # estimate when the model/store artifact cache under .benchdata is warm
 # (r11 driver-shaped measurement: load 9.8 s + brute 139.7 + jvm 147.6 +
-# fastscan runs ≈ 488 s actual under host_scale 0.42 — the old 480 base
-# scaled to 202 and under-predicted 2.4x)
-_SCALE10M_CACHED_EST = 1150.0
+# fastscan runs ≈ 488 s actual under host_scale 0.42 → reference-est
+# 1150 for the old four-full-search shape; the round-11 phase diet
+# replaces the two full fastscan runs with 100/200-query slices,
+# re-scaling the same measurement to ≈ 820)
+_SCALE10M_CACHED_EST = 820.0
 
 
 def _select_phases(
@@ -805,7 +807,12 @@ def main() -> None:
         ]
         drift = 1.0
         if len(ticks) >= 2 and ticks[0] > 0:
-            drift = min(3.0, max(0.5, ticks[-1] / ticks[0]))
+            # clamp raised 3 -> 8 (round 11): a mid-run host slowdown sent
+            # the measured tick ratio past 20x while estimates could only
+            # inflate 3x, and the under-estimated phase overran its slot
+            # by 900 s — the clamp exists to damp ratio NOISE, not to veto
+            # a sustained, directly-measured meltdown
+            drift = min(8.0, max(0.5, ticks[-1] / ticks[0]))
         inflate = 1.0
         if overruns:
             inflate = min(3.0, max(1.0, sum(overruns) / len(overruns)))
@@ -1982,46 +1989,53 @@ def _scale_probe_10m(
     out["rough_candidates_per_query"] = round(
         float(probe_pdf["cluster_id"].map(sizes).sum()) / max(nq, 1), 1
     )
+    # Phase diet (round 11, second pass): the phase used to run FOUR full
+    # 10M searches — brute, jvm, fastscan-dispatch (which the geometry
+    # gate routes straight back to the jvm plan: ~6 probing queries per
+    # cluster, measured 40 s jvm vs 134 s forced fastscan), and
+    # fastscan-forced — and a mid-run host slowdown blew the phase to
+    # 1249 s vs a 326 s estimate, starving every later phase. The
+    # dispatch-routing and kernel-equality checks don't need full-width
+    # runs to mean what they claim:
+    #   * recall comes from `jvm` directly (the dispatch run produced a
+    #     bit-identical frame by construction — same plan);
+    #   * dispatch routing is still exercised, on a 100-query slice;
+    #   * the forced-kernel equality gate — which MUST force the Arrow
+    #     kernel, the default dispatch would compare jvm vs jvm (round-9
+    #     review finding) — runs on a 200-query slice and compares
+    #     against the same slice of the full jvm frame: bit-exactness of
+    #     the kernel is a per-(query, cluster) property, not a width one.
     t0 = time.perf_counter()
-    # DEFAULT dispatch: at ~6 probing queries per cluster the geometry
-    # gate (search.py, measured this round: fastscan 76.5 s / fused 55.4 s
-    # vs jvm 18.5 s) routes the Arrow kernels to the jvm plan — the
-    # "pick the winner by geometry" fix from the round-8 verdict. The
-    # forced-kernel number is recorded separately below for the record.
-    fs = search(model, queries, impl="fastscan").toPandas()
-    out["fastscan_sec"] = round(time.perf_counter() - t0, 1)
+    search(model, queries.limit(100), impl="fastscan").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["fastscan_route_100q_sec"] = round(time.perf_counter() - t0, 1)
     out["fastscan_dispatch"] = (
         "geometry gate -> jvm (probing queries per cluster below 12)"
     )
+    sub = queries.limit(200)
+    sub_ids = {r["query_id"] for r in sub.select("query_id").collect()}
     t0 = time.perf_counter()
     fs_forced = search(
-        model, queries, impl="fastscan", fastscan_max_lut_bytes=1 << 31,
+        model, sub, impl="fastscan", fastscan_max_lut_bytes=1 << 31,
         arrow_min_queries_per_cluster=0,
     ).toPandas()
-    out["fastscan_forced_sec"] = round(time.perf_counter() - t0, 1)
-    # equality gate MUST use the forced-kernel run: the default dispatch
-    # routes impl="fastscan" to the jvm plan at this geometry, so gating
-    # on `fs` would compare jvm vs jvm and a fastscan-kernel regression
-    # at 10M scale would pass green (review finding, round 9)
+    out["fastscan_forced_200q_sec"] = round(time.perf_counter() - t0, 1)
     out["fastscan_equal_gate"] = bool(
         fs_forced.sort_values(["query_id", "rank"], ignore_index=True).equals(
-            jvm.sort_values(["query_id", "rank"], ignore_index=True)
+            jvm[jvm["query_id"].isin(sub_ids)].sort_values(
+                ["query_id", "rank"], ignore_index=True
+            )
         )
     )
-    hits = fs.merge(
+    hits = jvm.merge(
         exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
     )
     out["recall_at_k"] = round(len(hits) / max(len(exact), 1), 4)
     out["recall_gate_0.9"] = out["recall_at_k"] >= 0.9
-    # gate on the engine's best path: at 0.5% coverage the probed pair
-    # count is small enough that the jvm codegen plan beats the Arrow
-    # kernels (each (batch, cluster) group scores only ~5 queries, so the
-    # one-hot/LUT overhead has nothing to amortize over — measured 40 s
-    # jvm vs 134 s fastscan), exactly the regime a cost-based dispatch
-    # picks jvm
-    out["ivf_2x_brute_gate"] = (
-        min(out["ivf_sec"], out["fastscan_sec"]) * 2 <= out["brute_sec"]
-    )
+    # gate on the engine's best path — the jvm codegen plan, which the
+    # cost-based dispatch picks at this geometry (see note above)
+    out["ivf_2x_brute_gate"] = out["ivf_sec"] * 2 <= out["brute_sec"]
     for df in (model.index_df, model.base_df, base, queries):
         df.unpersist()
     return out
