@@ -1830,6 +1830,7 @@ def _scale_probe_10m(
     IVF >= 2x brute (fastscan wall * 2 <= brute wall).
     SPARK_GRAFT_SCALE10M=0 skips (local iteration)."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
@@ -1952,28 +1953,53 @@ def _scale_probe_10m(
             model.vec_store = VecStore.open(store_dir)
     assert model.vec_store is not None, "10M probe requires the point-read store"
 
-    t0 = time.perf_counter()
-    exact = knn_exact_fast(queries, base, TOPK).toPandas()
-    out["brute_sec"] = round(time.perf_counter() - t0, 1)
-
     search(model, queries.limit(10)).write.format("noop").mode(
         "overwrite"
     ).save()
+    # INTERLEAVED brute/ivf halves (round 11, third pass): the two paths
+    # used to run back-to-back at full width, ~7 bench-minutes apart — and
+    # this round's phase ticks measured the shared host drifting 20-50x
+    # WITHIN a phase, so the 2x gate compared numbers from different
+    # contention regimes (one run: brute 223 s in a calm window, jvm
+    # 419 s in a melted one, vs 140/148 same-code healthy). Splitting the
+    # query batch in half and alternating brute/ivf/brute/ivf gives both
+    # paths the same weather; each path's wall is the sum of its halves —
+    # identical total work, same frames (a top-k per query is independent
+    # across queries, so concat(h1, h2) == the full-batch result).
+    #
     # rough/precise observers OFF: bisected at this geometry (round 9),
     # the rough CollectMetrics splits the codegen span over the 146M-row
     # candidate stream (+77 s) and the precise one above the top-R filter
     # defeats WindowGroupLimit (+135 s on a 19 s search). The rerank
     # observer streams nq x R rows and measured free; the rough count is
     # derived analytically below (probe table x cluster sizes).
-    met = SearchMetrics(observe_rough=False, observe_precise=False)
-    t0 = time.perf_counter()
-    jvm = search(model, queries, metrics=met).toPandas()
-    out["ivf_sec"] = round(time.perf_counter() - t0, 1)
+    qids_all = sorted(r["query_id"] for r in queries.select("query_id").collect())
+    mid = qids_all[len(qids_all) // 2]
+    halves = [
+        queries.filter(F.col("query_id") < mid),
+        queries.filter(F.col("query_id") >= mid),
+    ]
+    brute_s = ivf_s = 0.0
+    exact_parts, jvm_parts = [], []
+    mets = []
+    for half in halves:
+        t0 = time.perf_counter()
+        exact_parts.append(knn_exact_fast(half, base, TOPK).toPandas())
+        brute_s += time.perf_counter() - t0
+        met = SearchMetrics(observe_rough=False, observe_precise=False)
+        mets.append(met)
+        t0 = time.perf_counter()
+        jvm_parts.append(search(model, half, metrics=met).toPandas())
+        ivf_s += time.perf_counter() - t0
+    exact = pd.concat(exact_parts, ignore_index=True)
+    jvm = pd.concat(jvm_parts, ignore_index=True)
+    out["brute_sec"] = round(brute_s, 1)
+    out["ivf_sec"] = round(ivf_s, 1)
     # round-8 verdict item 5: the candidate-bound property as an artifact
     # line — rows the exact rerank READ from base storage per query
     # (join plan would read n_base per batch; the store reads candidates)
     out["rerank_base_rows_per_query"] = round(
-        met.rerank_base_rows / max(nq, 1), 1
+        sum(m.rerank_base_rows for m in mets) / max(nq, 1), 1
     )
     from rabitq_spark.index.search import _prepare_probes
 
