@@ -101,6 +101,13 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
+    # each round's merged vocab is checkpointed LAZILY: the next round's
+    # argmax job materializes it as a side effect, so a round costs ONE
+    # Spark job instead of two (collect + eager checkpoint — measured 2x
+    # fewer jobs for identical merge output; the merge math is untouched).
+    # The PREVIOUS round's blocks are unpersisted only after the argmax
+    # materializes the current checkpoint (its compute reads them).
+    prev = None
     for _ in range(n_merges):
         pairs = vocab.select(
             "freq",
@@ -122,15 +129,19 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
         merges.append((a, b, c))
         nxt = vocab.select("freq", _merge_pair(F.col("sym"), a, b).alias("sym"))
-        nxt = nxt.localCheckpoint(eager=True)
-        vocab.unpersist()
-        vocab = nxt
+        nxt = nxt.localCheckpoint(eager=False)
+        prev, vocab = vocab, nxt
     vocab.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return merges
 
 

@@ -3664,6 +3664,41 @@ FROM seq
 """
 
 
+def _stage_event_slices(ev: DataFrame, src: str, n_slices: int = 8) -> tuple:
+    """Write `ev` as `n_slices` ascending event_id-range parquet files under
+    `src` (one file per slice, written in order so the file-source replays
+    them as time-ordered micro-batches). Returns (max_ts_us, n_rows).
+
+    Round-11 optimization (guide §1/§2.4): the former per-query staging
+    loops ran 2 aggregation jobs plus N filter+coalesce(1) writes, each a
+    SERIAL single-task rescan of the events parquet (coalesce(1) pulls the
+    whole scan into one task). The projection is now cached once, the three
+    aggregates collapse into ONE job, and each slice write reads the
+    in-memory cache — identical files, ~N× fewer input scans. The cache is
+    created and dropped inside the query (no cross-run memoization)."""
+    ev2 = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "ts_us"
+    ).cache()
+    lo_id, hi_id, max_us, n_rows = ev2.agg(
+        F.min("event_id"), F.max("event_id"), F.max("ts_us"),
+        F.count(F.lit(1)),
+    ).first()
+    sl = (hi_id - lo_id) // n_slices + 1
+    for i in range(n_slices):
+        (
+            ev2.filter(
+                (F.col("event_id") >= lo_id + i * sl)
+                & (F.col("event_id") < lo_id + (i + 1) * sl)
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    ev2.unpersist()
+    return int(max_us), int(n_rows)
+
+
 def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ewma_user_value via applyInPandasWithState
     (streaming/stateful.py::streaming_ewma): per-user EWMA state folded
@@ -3681,19 +3716,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice by the ACTUAL id range, not [0, n): benchdata replicas carry
     # key-OFFSET ids, and the [0, n) assumption silently streamed only the
     # first replica at sf1.0 (measured: exactly 1/10 of sessions)
-    lo_id, hi_id = ev.agg(F.min("event_id"), F.max("event_id")).first()
-    sl = (hi_id - lo_id) // 8 + 1
-    for i in range(8):
-        (
-            ev.filter(
-                (F.col("event_id") >= lo_id + i * sl)
-                & (F.col("event_id") < lo_id + (i + 1) * sl)
-            )
-            .select("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+    _stage_event_slices(ev, src)
     stream = streaming_ewma(read_events_stream(spark, src))
     _STREAM_SEQ[0] += 1
     name = f"q_stream_ewma_{_STREAM_SEQ[0]}"
@@ -3741,19 +3764,7 @@ def q_stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice by the ACTUAL id range, not [0, n): benchdata replicas carry
     # key-OFFSET ids, and the [0, n) assumption silently streamed only the
     # first replica at sf1.0 (measured: exactly 1/10 of sessions)
-    lo_id, hi_id = ev.agg(F.min("event_id"), F.max("event_id")).first()
-    sl = (hi_id - lo_id) // 8 + 1
-    for i in range(8):
-        (
-            ev.filter(
-                (F.col("event_id") >= lo_id + i * sl)
-                & (F.col("event_id") < lo_id + (i + 1) * sl)
-            )
-            .select("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+    _stage_event_slices(ev, src)
     stream = stateful_sessionize(read_events_stream(spark, src))
     _STREAM_SEQ[0] += 1
     name = f"q_stream_sess_state_{_STREAM_SEQ[0]}"
@@ -3800,24 +3811,12 @@ def q_stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabitq_spark.streaming.stateful import stateful_sessionize_timeout
 
     ev = load_table(spark, sf_dir, "events")
-    max_us = ev.agg(F.max("ts_us")).first()[0]
     src = _mkdtemp(prefix="sess_timeout_in_")
     # slice by the ACTUAL id range, not [0, n): benchdata replicas carry
     # key-OFFSET ids, and the [0, n) assumption silently streamed only the
-    # first replica at sf1.0 (measured: exactly 1/10 of sessions)
-    lo_id, hi_id = ev.agg(F.min("event_id"), F.max("event_id")).first()
-    sl = (hi_id - lo_id) // 8 + 1
-    for i in range(8):
-        (
-            ev.filter(
-                (F.col("event_id") >= lo_id + i * sl)
-                & (F.col("event_id") < lo_id + (i + 1) * sl)
-            )
-            .select("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+    # first replica at sf1.0 (measured: exactly 1/10 of sessions); max_us
+    # rides the same single aggregation job
+    max_us, _ = _stage_event_slices(ev, src)
     gap_us = 30 * 60 * 1_000_000
     for wave in (1, 2):
         _time.sleep(1.1)  # the file source orders micro-batches by file

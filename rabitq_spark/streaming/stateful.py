@@ -93,8 +93,8 @@ def _update_ewma_state(
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
         rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-        rows = rows.sort_values(["ts_us", "event_id"])
-        for v in rows["value"].astype(float):
+        _, order = _sorted_ts_order(rows)
+        for v in rows["value"].to_numpy(dtype="float64")[order]:
             ewma = v if n == 0 else 0.25 * v + 0.75 * ewma
             last = v
             n += 1
@@ -141,6 +141,47 @@ SESS_STATE_SCHEMA = "start bigint, last bigint, n bigint, cents bigint"
 
 _GAP_US = 30 * 60 * 1_000_000
 
+# Per-key output construction is THE hot path of every applyInPandasWithState
+# operator: the function runs once per key per micro-batch, and a fresh
+# 5-column typed-empty pd.DataFrame costs ~600 us, a 3-row sort_values
+# ~400 us (measured round 11) — at the state probe's 100k keys/batch that
+# is ~60 s/batch of pure construction overhead. The serializer only READS
+# the yielded frame, so one shared immutable empty per schema is safe to
+# yield from every no-emit call.
+_SESS_COLS = [
+    "user_id",
+    "session_start_us",
+    "session_end_us",
+    "n_events",
+    "sum_value",
+]
+_SESS_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series([], dtype="int64"),
+        "session_start_us": pd.Series([], dtype="int64"),
+        "session_end_us": pd.Series([], dtype="int64"),
+        "n_events": pd.Series([], dtype="int64"),
+        "sum_value": pd.Series([], dtype="float64"),
+    }
+)
+
+
+def _sess_out(out: list) -> pd.DataFrame:
+    """Session rows -> output frame (shared empty when nothing closed)."""
+    return pd.DataFrame(out, columns=_SESS_COLS) if out else _SESS_EMPTY
+
+
+def _sorted_ts_order(rows: pd.DataFrame):
+    """(ts_arr, order) in exact (ts_us, event_id) ascending order — the
+    same total order as the former rows.sort_values(["ts_us", "event_id"])
+    ((ts, event_id) pairs are unique, so stability is moot), via one
+    np.lexsort instead of a pandas sort (~25x cheaper on per-key chunks)."""
+    import numpy as np
+
+    ts = rows["ts_us"].to_numpy()
+    order = np.lexsort((rows["event_id"].to_numpy(), ts))
+    return ts[order], order
+
 
 def _to_cents(values) -> "np.ndarray":
     """Exact integer-cents conversion with a loud contract check: the
@@ -184,20 +225,11 @@ def _update_session_state(
     if not chunks:
         # state unchanged; nothing to emit for this key this batch
         state.update((start, last, n, cents))
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series([], dtype="int64"),
-                "session_start_us": pd.Series([], dtype="int64"),
-                "session_end_us": pd.Series([], dtype="int64"),
-                "n_events": pd.Series([], dtype="int64"),
-                "sum_value": pd.Series([], dtype="float64"),
-            }
-        )
+        yield _SESS_EMPTY
         return
     rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-    rows = rows.sort_values(["ts_us", "event_id"])
-    ts_arr = rows["ts_us"].to_numpy()
-    cents_arr = _to_cents(rows["value"].to_numpy())
+    ts_arr, order = _sorted_ts_order(rows)
+    cents_arr = _to_cents(rows["value"].to_numpy()[order])
     out: list[tuple] = []
     for ts, c in zip(ts_arr, cents_arr):
         ts = int(ts)
@@ -210,16 +242,7 @@ def _update_session_state(
             last, n, cents = ts, n + 1, cents + int(c)
     state.update((start, last, n, cents))
     out.append((user_id, start, last, n, cents / 100.0))  # open (running)
-    yield pd.DataFrame(
-        out,
-        columns=[
-            "user_id",
-            "session_start_us",
-            "session_end_us",
-            "n_events",
-            "sum_value",
-        ],
-    )
+    yield _sess_out(out)
 
 
 def stateful_sessionize(events: DataFrame) -> DataFrame:
@@ -258,16 +281,7 @@ def _update_session_timeout_state(
     if state.hasTimedOut:
         start, last, n, cents = state.get
         state.remove()
-        yield pd.DataFrame(
-            [(user_id, start, last, n, cents / 100.0)],
-            columns=[
-                "user_id",
-                "session_start_us",
-                "session_end_us",
-                "n_events",
-                "sum_value",
-            ],
-        )
+        yield _sess_out([(user_id, start, last, n, cents / 100.0)])
         return
     if state.exists:
         start, last, n, cents = state.get
@@ -277,9 +291,8 @@ def _update_session_timeout_state(
     out: list[tuple] = []
     if chunks:
         rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-        rows = rows.sort_values(["ts_us", "event_id"])
-        ts_arr = rows["ts_us"].to_numpy()
-        cents_arr = _to_cents(rows["value"].to_numpy())
+        ts_arr, order = _sorted_ts_order(rows)
+        cents_arr = _to_cents(rows["value"].to_numpy()[order])
         for ts, c in zip(ts_arr, cents_arr):
             ts = int(ts)
             if start < 0:
@@ -301,16 +314,7 @@ def _update_session_timeout_state(
     # the data path before the timer fires.
     deadline = (last + 999) // 1000 + _GAP_US // 1000
     state.setTimeoutTimestamp(max(deadline, state.getCurrentWatermarkMs() + 1))
-    yield pd.DataFrame(
-        out,
-        columns=[
-            "user_id",
-            "session_start_us",
-            "session_end_us",
-            "n_events",
-            "sum_value",
-        ],
-    )
+    yield _sess_out(out)
 
 
 def stateful_sessionize_timeout(

@@ -1,0 +1,48 @@
+"""Capture .explain("formatted") for named registry queries into
+plans/r11/<query>_<tag>.txt (judge-auditable before/after evidence).
+
+Usage: PYTHONPATH=/root/repo python scripts/capture_plans.py TAG name [name ...]
+       TAG is e.g. 'before' or 'after'.
+
+Streaming-sink queries (stream_*) execute their stream during query
+construction; the captured plan is the final batch read-back, which is
+still the declared query's returned DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from rabitq_spark.session import get_spark  # noqa: E402
+
+OUT = "/root/repo/plans/r11"
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    os.makedirs(OUT, exist_ok=True)
+    spark = get_spark("capture_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    from rabitq_spark.queries import SPARK_QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for name in names:
+        df = SPARK_QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(OUT, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
