@@ -333,32 +333,42 @@ def hierarchical_kmeans_centroids(
     df = base.select(F.col(vec_col).alias("vec"))
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    feat = df.select("vec", array_to_vector(F.col("vec")).alias("features"))
-    top = KMeans(k=k_top, seed=seed, maxIter=25).fit(feat)
-    assigned = top.transform(feat).select(
-        F.col("prediction").alias("cell"), "vec"
-    )
+    # cache the sampled features: MLlib KMeans re-evaluates its input every
+    # iteration, and uncached that is maxIter full scans (+ re-samples) of
+    # the base — measured at 10M×256 the fit crawled through 25 re-scans
+    # before this. The refine pass below reads the same cache. Same seeded
+    # sample either way; results unchanged.
+    feat = df.select(
+        "vec", array_to_vector(F.col("vec")).alias("features")
+    ).cache()
+    try:
+        top = KMeans(k=k_top, seed=seed, maxIter=25).fit(feat)
+        assigned = top.transform(feat).select(
+            F.col("prediction").alias("cell"), "vec"
+        )
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        cell = int(pdf["cell"].iloc[0])
-        x = np.vstack(pdf["vec"].values).astype(np.float32)
-        k = min(k_down, x.shape[0])
-        rng = np.random.default_rng(seed + cell)
-        centers = x[rng.choice(x.shape[0], size=k, replace=False)].copy()
-        for _ in range(sub_iters):  # plain Lloyd, deterministic
-            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            lab = d2.argmin(axis=1)
-            for j in range(k):
-                m = lab == j
-                if m.any():
-                    centers[j] = x[m].mean(axis=0)
-        return pd.DataFrame({"cell": cell, "centroid": list(centers)})
+        def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+            cell = int(pdf["cell"].iloc[0])
+            x = np.vstack(pdf["vec"].values).astype(np.float32)
+            k = min(k_down, x.shape[0])
+            rng = np.random.default_rng(seed + cell)
+            centers = x[rng.choice(x.shape[0], size=k, replace=False)].copy()
+            for _ in range(sub_iters):  # plain Lloyd, deterministic
+                d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+                lab = d2.argmin(axis=1)
+                for j in range(k):
+                    m = lab == j
+                    if m.any():
+                        centers[j] = x[m].mean(axis=0)
+            return pd.DataFrame({"cell": cell, "centroid": list(centers)})
 
-    dim = len(base.select(vec_col).first()[0])
-    out = assigned.groupBy("cell").applyInPandas(
-        refine, f"cell int, centroid array<float>"
-    )
-    cents = out.select("centroid").toPandas()["centroid"].values
+        dim = len(base.select(vec_col).first()[0])
+        out = assigned.groupBy("cell").applyInPandas(
+            refine, f"cell int, centroid array<float>"
+        )
+        cents = out.select("centroid").toPandas()["centroid"].values
+    finally:
+        feat.unpersist()
     return np.vstack(cents).astype(np.float32).reshape(-1, dim)
 
 

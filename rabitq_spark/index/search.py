@@ -335,6 +335,43 @@ def fastscan_asym(lut3: "np.ndarray", nib: "np.ndarray") -> "np.ndarray":
     return (lutf @ onehot.T).astype(np.int64)
 
 
+def unpack_plane_values(planes: "np.ndarray", n_planes: int) -> "np.ndarray":
+    """Packed bit-plane tensor (n, n_planes, n_words) int64 → per-dim
+    integer values (n, n_words·64) float32: v[d] = Σ_p 2^p · bit_p[d]
+    (bitorder little — the inverse of _prepare_probes' packbits; the same
+    reconstruction fastscan_luts performs before regrouping by nibble)."""
+    n, stored_planes, n_words = planes.shape
+    # unpack EVERY plane's words in one contiguous pass (8× the per-plane
+    # slice-copy-unpack loop: one C call over one buffer), then fold the
+    # plane weights with in-place uint8 shifts/ors — values ≤ 2^n_planes−1
+    b = np.unpackbits(
+        np.ascontiguousarray(planes).view(np.uint8), bitorder="little"
+    ).reshape(n, stored_planes, n_words * 64)
+    acc = b[:, 0, :].copy()
+    for p in range(1, n_planes):
+        acc |= b[:, p, :] << p
+    return acc.astype(np.float32)
+
+
+def value_gemm_asym(qvals: "np.ndarray", bvals: "np.ndarray") -> "np.ndarray":
+    """The round-11 estimator kernel: the cross term
+    Σ_{p<P, i<B} 2^{i+p}·popcount(bplane_i ∧ qplane_p) is, by the binary
+    expansion of both sides, exactly ⟨u_q, u_b⟩ — one integer dot product
+    of the per-dim quantized VALUES. So compute it as ONE float32 GEMM of
+    the unpacked values instead of B plane passes of one-hot LUT GEMMs:
+    16× fewer flops per plane (dim vs 16·dim one-hot columns), B× fewer
+    passes, and no LUT/one-hot construction per (cluster, batch) group —
+    measured 0.76 µs/pair end-to-end before vs the GEMM's ~50 ns/pair
+    after, at 10M × 256 × 4-bit geometry.
+
+    EXACTNESS: every product is an integer ≤ (2^P−1)(2^B−1), every partial
+    sum ≤ dim_pad·(2^P−1)(2^B−1); callers enforce that bound < 2^24
+    (search()'s fastscan gate), so float32 arithmetic is exact regardless
+    of BLAS summation order — bit-identical to the plane-wise popcount
+    kernel (asserted in tests)."""
+    return (qvals @ bvals.T).astype(np.int64)
+
+
 #: Worker-buffer row budget for _fused_shortlist's partition-level top-R
 #: accumulation (~100 MB at 24 bytes/row). Exhaustive configs (r ≥ buffer)
 #: emit partial chunks instead of holding the whole partition.
@@ -360,15 +397,14 @@ def _fused_shortlist(
     semantics (ties on rough broken by orig_id via stable ordering).
 
     kernel="popcount" computes the asymmetric dot plane-wise (byte-LUT
-    popcount over AND-ed words); kernel="fastscan" expands each cluster's
-    probe planes into 4-bit-nibble LUTs (fastscan_luts) and scans each
-    index batch as one one-hot GEMM (fastscan_asym) — same integer asym,
-    bit-identical rough scores, 5–40× faster kernel on large clusters.
-    The LUTs are built LAZILY executor-side per cluster group (cached per
-    worker), NOT broadcast: a LUT is 16 bytes/dim per probe row — 32× the
-    packed planes — and broadcasting it measured 127 MB at 31k probes ×
-    dim 256, which each local Python worker unpickled (slower end-to-end
-    than popcount); the per-group rebuild is ~npairs×dim/4 int ops, noise.
+    popcount over AND-ed words); kernel="fastscan" unpacks both sides to
+    their per-dim quantized integer VALUES and computes the whole cross
+    term as ONE float32 GEMM (value_gemm_asym; round 11 — supersedes the
+    per-plane one-hot LUT GEMM, which spent 16× the flops per plane plus
+    per-group LUT/one-hot construction) — same integer asym, bit-identical
+    rough scores. The unpacked query values are built LAZILY executor-side
+    per cluster group (cached per worker, 4 bytes/dim per probe row), NOT
+    broadcast — the per-group rebuild is ~npairs×dim bit ops, noise.
 
     Multi-bit base codes (config.bits_per_dim = B > 1) are supported by
     both kernels through the shift-add identity the symmetric estimator's
@@ -413,7 +449,7 @@ def _fused_shortlist(
 
     def score(batches):
         probes_by_cluster = bc.value
-        lut_cache: dict = {}
+        qv_cache: dict = {}
         buf_q, buf_id, buf_rough = [], [], []
         for pdf in batches:
             if pdf.empty:
@@ -427,28 +463,27 @@ def _fused_shortlist(
                 codes = np.vstack(grp["code"].values).astype(np.int64)
                 m = codes.shape[0]  # codes: (m, bits·w), plane-major words
 
-                # LUT lookup/build ONCE per (cid, batch) group — hoisted
-                # out of asym_1bit so a budget-evicted LUT is still built
-                # only once per group, not once per base plane
-                lut3 = None
+                # fastscan kernel (round 11): the cross/asym term is ONE
+                # value GEMM (see value_gemm_asym) — unpack the query
+                # values once per cluster (cached; 4·dim_pad bytes per
+                # probe row, bounded at 64 MB per worker: past it, rebuild
+                # per group, correctness unaffected) and the base values
+                # once per (cluster, batch) group
+                qvals = None
                 if kernel == "fastscan":
-                    lut3 = lut_cache.get(int(cid))
-                    if lut3 is None:
-                        lut3 = fastscan_luts(planes, theta_log_dim)
-                        # bound the worker-local cache at 64 MB: past it,
-                        # rebuild per group (correctness unaffected)
+                    qvals = qv_cache.get(int(cid))
+                    if qvals is None:
+                        qvals = unpack_plane_values(planes, theta_log_dim)
                         if (
-                            sum(v.nbytes for v in lut_cache.values())
-                            + lut3.nbytes
+                            sum(v.nbytes for v in qv_cache.values())
+                            + qvals.nbytes
                             <= 64 << 20
                         ):
-                            lut_cache[int(cid)] = lut3
+                            qv_cache[int(cid)] = qvals
 
                 def asym_1bit(words):
                     """Σ_plane popcount(words & qplane) << plane for ONE
                     base bit-plane's packed words (m, w) → (npairs, m)."""
-                    if kernel == "fastscan":
-                        return fastscan_asym(lut3, fastscan_nibbles(words))
                     out = np.zeros((len(qids), words.shape[0]), dtype=np.int64)
                     for p in range(theta_log_dim):
                         anded = planes[:, p, None, :] & words[None, :, :]
@@ -458,14 +493,20 @@ def _fused_shortlist(
                 cds = grp["center_dist_sq"].values.astype(np.float32)
                 if bits > 1:
                     # symmetric multi-bit estimator, mirroring
-                    # rough_distance_expr_multibit: cross term via the
-                    # per-plane shift-add of the 1-bit kernel
-                    cross = np.zeros((len(qids), m), dtype=np.int64)
+                    # rough_distance_expr_multibit: cross term via one
+                    # value GEMM (fastscan) or the per-plane shift-add of
+                    # the 1-bit popcount kernel — identical integers
                     cube = codes.reshape(m, bits, n_words)
-                    for i in range(bits):
-                        cross += asym_1bit(
-                            np.ascontiguousarray(cube[:, i, :])
-                        ) << i
+                    if kernel == "fastscan":
+                        cross = value_gemm_asym(
+                            qvals, unpack_plane_values(cube, bits)
+                        )
+                    else:
+                        cross = np.zeros((len(qids), m), dtype=np.int64)
+                        for i in range(bits):
+                            cross += asym_1bit(
+                                np.ascontiguousarray(cube[:, i, :])
+                            ) << i
                     b_lb = grp["b_lb"].values.astype(np.float32)
                     b_delta = grp["b_delta"].values.astype(np.float32)
                     b_sum = grp["b_sum"].values.astype(np.float32)
@@ -492,7 +533,15 @@ def _fused_shortlist(
                         np.float64
                     ) - 2.0 * est_ip
                 else:
-                    asym = asym_1bit(codes)
+                    if kernel == "fastscan":
+                        asym = value_gemm_asym(
+                            qvals,
+                            unpack_plane_values(
+                                codes.reshape(m, 1, n_words), 1
+                            ),
+                        )
+                    else:
+                        asym = asym_1bit(codes)
                     f_ip = grp["factor_ip"].values.astype(np.float32)
                     f_ppc = grp["factor_ppc"].values.astype(np.float32)
                     eb = grp["error_bound"].values.astype(np.float32)
@@ -759,29 +808,33 @@ def search(
                 ):
                     impl = "jvm"
             if impl == "fastscan" and (
-                model.dim_pad * ((1 << cfg.theta_log_dim) - 1) >= 1 << 24
+                model.dim_pad
+                * ((1 << cfg.theta_log_dim) - 1)
+                * ((1 << cfg.bits_per_dim) - 1)
+                >= 1 << 24
             ):
-                # fastscan's float32 GEMM is integer-exact only while
-                # partial sums stay under 2^24 (fastscan_luts enforces it);
-                # past the bound use the popcount kernel — same fused plan,
-                # same results
+                # fastscan's float32 value GEMM is integer-exact only while
+                # partial sums stay under 2^24 (every product is bounded by
+                # (2^P−1)(2^B−1) — see value_gemm_asym); past the bound use
+                # the popcount kernel — same fused plan, same results
                 impl = "fused"
             if impl == "fastscan" and (
-                n_probe_rows * 16 * model.dim_pad > fastscan_max_lut_bytes
+                n_probe_rows * 4 * model.dim_pad > fastscan_max_lut_bytes
             ):
-                # a nibble LUT costs 16 bytes/dim per probe row (vs 0.5 for
-                # the packed planes — 32×). LUTs are built lazily executor-
-                # side with a 64 MB per-worker cache, so past this TOTAL
-                # byte budget most groups would rebuild their LUT every
-                # batch — fall back to the popcount kernel, which shares
-                # every other property of the fused plan
+                # the unpacked query values cost 4 bytes/dim per probe row
+                # (float32; vs 0.5 for the packed planes — 8×). They are
+                # built lazily executor-side with a 64 MB per-worker cache,
+                # so past this TOTAL byte budget most groups would rebuild
+                # them every batch — fall back to the popcount kernel,
+                # which shares every other property of the fused plan
                 impl = "fused"
     if impl in ("fused", "fastscan"):
         # Stages 5-6 fused in one Arrow pass (see _fused_shortlist); it
         # collects the probe table itself and derives partition pruning
         # from it, so no separate pruning job here. impl="fastscan" swaps
-        # the popcount estimator kernel for the packed-nibble-LUT GEMM —
-        # identical results (impl-equality test), faster on large clusters.
+        # the popcount estimator kernel for the unpacked-value GEMM
+        # (value_gemm_asym) — identical results (impl-equality test),
+        # faster on large clusters.
         local = _fused_shortlist(
             model,
             probes,

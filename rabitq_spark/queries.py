@@ -3676,6 +3676,10 @@ def _stage_event_slices(ev: DataFrame, src: str, n_slices: int = 8) -> tuple:
     aggregates collapse into ONE job, and each slice write reads the
     in-memory cache — identical files, ~N× fewer input scans. The cache is
     created and dropped inside the query (no cross-run memoization)."""
+    import os as _os
+
+    from rabitq_spark.streaming.pipeline import stamp_staged_files
+
     ev2 = ev.select(
         "event_id", "ts", "user_id", "event_type", "value", "props", "ts_us"
     ).cache()
@@ -3685,6 +3689,7 @@ def _stage_event_slices(ev: DataFrame, src: str, n_slices: int = 8) -> tuple:
     ).first()
     sl = (hi_id - lo_id) // n_slices + 1
     for i in range(n_slices):
+        seen = set(_os.listdir(src)) if i else set()
         (
             ev2.filter(
                 (F.col("event_id") >= lo_id + i * sl)
@@ -3695,6 +3700,9 @@ def _stage_event_slices(ev: DataFrame, src: str, n_slices: int = 8) -> tuple:
             .write.mode("append")
             .parquet(src)
         )
+        # strict, deterministic slice ordering for the mtime-ordered file
+        # source (sequential writes can tie within its ms granularity)
+        stamp_staged_files(src, seen)
     ev2.unpersist()
     return int(max_us), int(n_rows)
 
@@ -3804,10 +3812,13 @@ def q_stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     events view) push the final watermark so every real session times out
     before the stream drains; the emitted set must then equal the batch
     gaps-and-islands sessionize — and its oracle — bit-exactly."""
+    import os as _os
     import tempfile
-    import time as _time
 
-    from rabitq_spark.streaming.pipeline import read_events_stream
+    from rabitq_spark.streaming.pipeline import (
+        read_events_stream,
+        stamp_staged_files,
+    )
     from rabitq_spark.streaming.stateful import stateful_sessionize_timeout
 
     ev = load_table(spark, sf_dir, "events")
@@ -3819,9 +3830,12 @@ def q_stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_us, _ = _stage_event_slices(ev, src)
     gap_us = 30 * 60 * 1_000_000
     for wave in (1, 2):
-        _time.sleep(1.1)  # the file source orders micro-batches by file
-        # mtime; wave A advances the watermark, wave B's batch fires the
-        # timeouts (a batch's watermark applies to the NEXT batch's sweep)
+        # the file source orders micro-batches by file mtime; wave A
+        # advances the watermark, wave B's batch fires the timeouts (a
+        # batch's watermark applies to the NEXT batch's sweep). The waves'
+        # files are utime-stamped strictly after the staged slices
+        # (round 11: replaces two 1.1 s ordering sleeps per query)
+        seen = set(_os.listdir(src))
         far_us = max_us + wave * 3 * gap_us
         spark.createDataFrame(
             [
@@ -3841,6 +3855,7 @@ def q_stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             "props",
         ).coalesce(1).write.mode("append").parquet(src)
+        stamp_staged_files(src, seen)
     _STREAM_SEQ[0] += 1
     name = f"q_stream_sess_timeout_{_STREAM_SEQ[0]}"
     q = (

@@ -14,6 +14,8 @@ the aggregation key, same as batch.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -35,6 +37,29 @@ def _events_raw_schema(ts_type) -> StructType:
             StructField("props", StringType()),
         ]
     )
+
+
+def stamp_staged_files(src: str, before: set[str], step_s: float = 2.0) -> None:
+    """Stamp files appended to `src` since `before` (an os.listdir snapshot)
+    with an mtime strictly greater than every pre-existing file's.
+
+    The file stream source replays files in modification-time order; staging
+    loops previously guaranteed that order with wall-clock sleeps between
+    appends (~1 s per append — sequential writes can tie within the source's
+    millisecond granularity). An explicit utime gives the same strict
+    ordering deterministically and for free. `step_s` keeps successive
+    stamps ≥ 2 s apart, far above the source's ms resolution.
+    """
+    import os
+
+    prev = max(
+        (os.stat(os.path.join(src, f)).st_mtime for f in before),
+        default=time.time(),
+    )
+    stamp = prev + step_s
+    for f in set(os.listdir(src)) - before:
+        p = os.path.join(src, f)
+        os.utime(p, (stamp, stamp))
 
 
 def read_events_stream(

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import shutil
+import os
 import tempfile
 import time
 
@@ -91,8 +92,11 @@ def run_state_scale_probe(
             )
         )
 
+    from rabitq_spark.streaming.pipeline import stamp_staged_files
+
     t0 = time.perf_counter()
     for s in range(slabs):
+        seen = set(os.listdir(src)) if s else set()
         (
             gen_slab(s)
             .withColumn("ts", F.timestamp_micros("ts_us"))
@@ -101,10 +105,12 @@ def run_state_scale_probe(
             .write.mode("append")
             .parquet(src)
         )
-        time.sleep(1.05)  # distinct mtimes: the file source orders by them
+        # distinct, strictly ordered mtimes: the file source orders by them
+        # (round 11: utime stamps replace ~1 s ordering sleeps per append)
+        stamp_staged_files(src, seen)
     max_us = _EPOCH0 + (slabs - 1) * _SLAB_US + 600 * 1_000_000 + epu * 60_000_000
     for wave in (1, 2):  # wave A advances the watermark; wave B's batch
-        time.sleep(1.05)  # sweeps the timeouts it enabled
+        seen = set(os.listdir(src))  # sweeps the timeouts it enabled
         far = max_us + wave * 3 * _GAP_US
         (
             spark.createDataFrame(
@@ -122,6 +128,7 @@ def run_state_scale_probe(
             .write.mode("append")
             .parquet(src)
         )
+        stamp_staged_files(src, seen)
     gen_sec = time.perf_counter() - t0
 
     schema = "event_id bigint, ts timestamp, ts_us bigint, user_id bigint, value double"
