@@ -328,14 +328,47 @@ def _phase_done(result: dict, name: str, spark=None) -> None:
     _emit(result)
 
 
+# 10M-probe centroid recipe tag (round 11): shared between the
+# cache-readiness check and the probe itself so a recipe change both
+# invalidates the saved model AND stops the scheduler from pricing a
+# stale cache as warm. "flat3162_s50k" is the measured-best recipe: a
+# balanced hierarchical 56×57 build was A/B'd this round and dropped
+# recall 0.9789 → 0.7762 at ~equal candidate mass — on this isotropic
+# gaussian base, recall is COVERAGE-bound (candidate mass), not
+# balance-bound, and the per-candidate wall is kernel-bound, so the
+# round's wall fix went into the estimator kernel instead
+# (index/search.py value_gemm_asym).
+_SCALE10M_RECIPE = "flat3162_s50k"
+
+
+def _scale10m_fingerprint(base_dir: str, n_base: int, dim: int) -> dict:
+    return {
+        "base_mtime_ns": os.stat(base_dir).st_mtime_ns,
+        "n_base": n_base,
+        "dim": dim,
+        "bits_per_dim": 4,
+        # build-recipe key: a cached model built under a different
+        # centroid recipe must not satisfy this run
+        "centroid_build": _SCALE10M_RECIPE,
+    }
+
+
 def _scale10m_cache_ready(dim: int = 256) -> bool:
     """True when the 10M probe's persisted artifacts (base parquet + saved
-    model w/ vecstore sidecar) are present, so the probe skips generation
-    and build — the cached-cost estimate applies."""
+    model w/ vecstore sidecar) are present AND the model matches the
+    current build recipe, so the probe skips generation and build — the
+    cached-cost estimate applies."""
     base_dir = os.path.join(_REPO, ".benchdata", f"scale10m_{dim}")
-    return os.path.isdir(base_dir) and os.path.isfile(
-        os.path.join(base_dir + "_model_mb4", "cache_meta.json")
-    )
+    meta = os.path.join(base_dir + "_model_mb4", "cache_meta.json")
+    if not (os.path.isdir(base_dir) and os.path.isfile(meta)):
+        return False
+    try:
+        with open(meta) as f:
+            return json.load(f) == _scale10m_fingerprint(
+                base_dir, 10_000_000, dim
+            )
+    except (OSError, ValueError):
+        return False
 
 
 def _median(xs: list[float]) -> float:
@@ -1874,6 +1907,15 @@ def _scale_probe_10m(
         n_clusters=k_clusters, nprobe=max(16, k_clusters // 200), topk=TOPK,
         overfetch=16, bits_per_dim=4,
     )
+    # Centroid recipe note (round 11, guide §2.3 measured and REVERTED):
+    # the flat 50k-sample Lloyd produces a skewed assignment (median
+    # cluster 68 rows, p95 17.8k, max 72k vs mean 3163; candidate mass
+    # 146k/query ≈ 2.9× nominal 0.5% coverage). A balanced hierarchical
+    # 56×57 build was measured this round: candidate mass 102k/query but
+    # recall 0.9789 → 0.7762 — on this isotropic gaussian base recall
+    # tracks candidate MASS, not balance (flat nprobe-sweep: 90k→0.744,
+    # 124k→0.902, 146k→0.977), so the flat recipe is kept and the wall
+    # fix is the value-GEMM estimator kernel + slice-measured dispatch.
     # Model + sidecar cache (round-10 budget item): build_index at 10M
     # cost 232 s on the r9 host and was re-paid EVERY run even though the
     # base parquet never changes. The model is saved ONCE via the product
@@ -1887,12 +1929,7 @@ def _scale_probe_10m(
 
     model_dir = base_dir + "_model_mb4"
     cache_meta_path = os.path.join(model_dir, "cache_meta.json")
-    want_fp = {
-        "base_mtime_ns": os.stat(base_dir).st_mtime_ns,
-        "n_base": n_base,
-        "dim": dim,
-        "bits_per_dim": 4,
-    }
+    want_fp = _scale10m_fingerprint(base_dir, n_base, dim)
     model = None
     if os.path.isfile(cache_meta_path):
         try:
@@ -1908,6 +1945,9 @@ def _scale_probe_10m(
         except (OSError, ValueError, KeyError):
             model = None
     if model is None:
+        if os.path.isdir(model_dir):
+            # stale recipe: reclaim the ~21 GB before writing the new save
+            shutil.rmtree(model_dir)
         t0 = time.perf_counter()
         model = build_index(
             base, cfg, kmeans_sample_fraction=50_000 / n_base, n_rows=n_base
@@ -1956,6 +1996,46 @@ def _scale_probe_10m(
     search(model, queries.limit(10)).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Host-measured kernel choice for the full-width search (round 11):
+    # the Arrow-vs-jvm geometry threshold (arrow_min_queries_per_cluster
+    # = 12) was tuned on the r9 host, where the jvm codegen join won this
+    # geometry 3-4x; this round's host INVERTS it (measured: jvm
+    # 0.30 s/query vs forced fastscan 0.089 s/query, same model, same
+    # probe table). Relative kernel throughput is a host property, not a
+    # geometry one, so measure BOTH kernels on the same 200-query slice
+    # in the same run and carry the winner into the full-width
+    # measurement. Both slice walls and the choice land in the artifact,
+    # and the kernels are bit-equal (fastscan_equal_gate just below, plus
+    # the impl-equality pytest), so the choice cannot change one result
+    # row — it only decides which implementation of the identical
+    # computation the engine's best path uses on this host.
+    sub = queries.limit(200).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    jvm_slice = search(model, sub).toPandas()
+    out["kernel_slice_jvm_sec"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    fs_slice = search(
+        model, sub, impl="fastscan", fastscan_max_lut_bytes=1 << 31,
+        arrow_min_queries_per_cluster=0,
+    ).toPandas()
+    out["kernel_slice_fastscan_sec"] = round(time.perf_counter() - t0, 1)
+    # the forced-kernel equality gate — which MUST force the Arrow kernel,
+    # the default dispatch would compare jvm vs jvm (round-9 review
+    # finding): kernel bit-exactness is a per-(query, cluster) property,
+    # not a width one, so the 200-query slice carries the same meaning a
+    # full-width comparison would
+    out["fastscan_equal_gate"] = bool(
+        fs_slice.sort_values(["query_id", "rank"], ignore_index=True).equals(
+            jvm_slice.sort_values(["query_id", "rank"], ignore_index=True)
+        )
+    )
+    fs_kw: dict = {}
+    if out["kernel_slice_fastscan_sec"] < out["kernel_slice_jvm_sec"]:
+        fs_kw = dict(
+            impl="fastscan", fastscan_max_lut_bytes=1 << 31,
+            arrow_min_queries_per_cluster=0,
+        )
+    out["full_width_kernel"] = "fastscan" if fs_kw else "jvm"
     # INTERLEAVED brute/ivf halves (round 11, third pass): the two paths
     # used to run back-to-back at full width, ~7 bench-minutes apart — and
     # this round's phase ticks measured the shared host drifting 20-50x
@@ -1980,7 +2060,7 @@ def _scale_probe_10m(
         queries.filter(F.col("query_id") >= mid),
     ]
     brute_s = ivf_s = 0.0
-    exact_parts, jvm_parts = [], []
+    exact_parts, full_parts = [], []
     mets = []
     for half in halves:
         t0 = time.perf_counter()
@@ -1989,10 +2069,10 @@ def _scale_probe_10m(
         met = SearchMetrics(observe_rough=False, observe_precise=False)
         mets.append(met)
         t0 = time.perf_counter()
-        jvm_parts.append(search(model, half, metrics=met).toPandas())
+        full_parts.append(search(model, half, metrics=met, **fs_kw).toPandas())
         ivf_s += time.perf_counter() - t0
     exact = pd.concat(exact_parts, ignore_index=True)
-    jvm = pd.concat(jvm_parts, ignore_index=True)
+    full = pd.concat(full_parts, ignore_index=True)
     out["brute_sec"] = round(brute_s, 1)
     out["ivf_sec"] = round(ivf_s, 1)
     # round-8 verdict item 5: the candidate-bound property as an artifact
@@ -2016,21 +2096,12 @@ def _scale_probe_10m(
         float(probe_pdf["cluster_id"].map(sizes).sum()) / max(nq, 1), 1
     )
     # Phase diet (round 11, second pass): the phase used to run FOUR full
-    # 10M searches — brute, jvm, fastscan-dispatch (which the geometry
-    # gate routes straight back to the jvm plan: ~6 probing queries per
-    # cluster, measured 40 s jvm vs 134 s forced fastscan), and
-    # fastscan-forced — and a mid-run host slowdown blew the phase to
-    # 1249 s vs a 326 s estimate, starving every later phase. The
-    # dispatch-routing and kernel-equality checks don't need full-width
-    # runs to mean what they claim:
-    #   * recall comes from `jvm` directly (the dispatch run produced a
-    #     bit-identical frame by construction — same plan);
-    #   * dispatch routing is still exercised, on a 100-query slice;
-    #   * the forced-kernel equality gate — which MUST force the Arrow
-    #     kernel, the default dispatch would compare jvm vs jvm (round-9
-    #     review finding) — runs on a 200-query slice and compares
-    #     against the same slice of the full jvm frame: bit-exactness of
-    #     the kernel is a per-(query, cluster) property, not a width one.
+    # 10M searches — brute, jvm, fastscan-dispatch, fastscan-forced — and
+    # a mid-run host slowdown blew the phase to 1249 s vs a 326 s
+    # estimate, starving every later phase. The slice-based kernel A/B
+    # above now carries the forced-kernel equality gate; what remains
+    # full-width is ONE search per path (brute + the measured-best
+    # kernel). Dispatch routing is still exercised on a 100-query slice:
     t0 = time.perf_counter()
     search(model, queries.limit(100), impl="fastscan").write.format(
         "noop"
@@ -2039,28 +2110,14 @@ def _scale_probe_10m(
     out["fastscan_dispatch"] = (
         "geometry gate -> jvm (probing queries per cluster below 12)"
     )
-    sub = queries.limit(200)
-    sub_ids = {r["query_id"] for r in sub.select("query_id").collect()}
-    t0 = time.perf_counter()
-    fs_forced = search(
-        model, sub, impl="fastscan", fastscan_max_lut_bytes=1 << 31,
-        arrow_min_queries_per_cluster=0,
-    ).toPandas()
-    out["fastscan_forced_200q_sec"] = round(time.perf_counter() - t0, 1)
-    out["fastscan_equal_gate"] = bool(
-        fs_forced.sort_values(["query_id", "rank"], ignore_index=True).equals(
-            jvm[jvm["query_id"].isin(sub_ids)].sort_values(
-                ["query_id", "rank"], ignore_index=True
-            )
-        )
-    )
-    hits = jvm.merge(
+    hits = full.merge(
         exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
     )
     out["recall_at_k"] = round(len(hits) / max(len(exact), 1), 4)
     out["recall_gate_0.9"] = out["recall_at_k"] >= 0.9
-    # gate on the engine's best path — the jvm codegen plan, which the
-    # cost-based dispatch picks at this geometry (see note above)
+    # gate on the engine's best path — the kernel the same-run slice A/B
+    # measured fastest on THIS host (full_width_kernel above); both
+    # kernels produce bit-identical frames (fastscan_equal_gate)
     out["ivf_2x_brute_gate"] = out["ivf_sec"] * 2 <= out["brute_sec"]
     for df in (model.index_df, model.base_df, base, queries):
         df.unpersist()
