@@ -73,6 +73,32 @@ def test_cross_join_equal_naive(spark):
     assert list(map(tuple, got[["id_a", "id_b", "dist"]].values)) == want
 
 
+def test_self_pairs_duplicate_heavy_replicas(spark):
+    """Round-11 distinct-text blocking: verbatim-duplicated texts (the
+    key-offset-replica shape of the slope benchdata) must expand to every
+    (id_a < id_b) pair exactly once — same-text groups (dist 0), cross-text
+    near-matches across ALL replica combinations, non-contiguous ids."""
+    base = ["abcde", "abcdx", "abcd", "zzzzz"]
+    rows = [
+        (rep * 1000 + i, w)  # replica ids are offset, not contiguous
+        for rep in range(5)
+        for i, w in enumerate(base)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, txt string")
+    got = (
+        fuzzy_self_pairs(df, "id", "txt", max_dist=1)
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    txt = dict(rows)
+    want = sorted(
+        (a, b, _levenshtein(txt[a], txt[b]))
+        for a, b in itertools.combinations(sorted(txt), 2)
+        if _levenshtein(txt[a], txt[b]) <= 1
+    )
+    assert list(map(tuple, got[["id_a", "id_b", "dist"]].values)) == want
+
+
 def test_rejects_wide_distance(spark):
     df = spark.createDataFrame([(1, "abc")], "id bigint, txt string")
     with pytest.raises(ValueError):
