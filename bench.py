@@ -1495,10 +1495,22 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
     cfg = RaBitQConfig(
         n_clusters=k_clusters, nprobe=k_clusters // 32, topk=TOPK, overfetch=16
     )
+    # Round 12: the 1-bit and multibit-4 models share one k-means fit. Both
+    # configs carry the same (n_clusters, seed), so build_index would train
+    # the IDENTICAL centroids twice (same seeded sample of the same cached
+    # base — bit-identical by construction); computing them once and passing
+    # centroids= to both builds removes a full driver Lloyd fit (~40-60 s at
+    # 50k × 256 on a 2-thread-BLAS box) from the phase. kmeans_sec is
+    # reported separately; each build_sec now times transform + cache only.
+    from rabitq_spark.index.build import _kmeans_centroids
+
     t0 = time.perf_counter()
-    model = build_index(
-        base, cfg, kmeans_sample_fraction=50_000 / n_base, n_rows=n_base
+    cents = _kmeans_centroids(
+        base, "vec", k_clusters, cfg.seed, 50_000 / n_base
     )
+    kmeans_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    model = build_index(base, cfg, centroids=cents, n_rows=n_base)
     model.index_df = model.index_df.cache()
     model.index_df.count()
     model.base_df = model.base_df.cache()
@@ -1791,9 +1803,7 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         overfetch=16, bits_per_dim=4,
     )
     t0 = time.perf_counter()
-    model4 = build_index(
-        base, cfg4, kmeans_sample_fraction=50_000 / n_base, n_rows=n_base
-    )
+    model4 = build_index(base, cfg4, centroids=cents, n_rows=n_base)
     model4.vec_store = vec_store  # same base -> same store
     model4.index_df = model4.index_df.cache()
     model4.index_df.count()
@@ -1803,6 +1813,14 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
     search(model4, queries.limit(10)).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Phase diet (round 12, mirroring the 10M phase's round-11 diet): ONE
+    # full-width multibit search through the ENGINE's default dispatch
+    # (auto → the value-GEMM fastscan kernel at this geometry), plus a
+    # 200-query kernel slice A/B whose frame equality carries the
+    # jvm-vs-fastscan gate. The old shape ran BOTH kernels full width
+    # (jvm 116.8 s + forced fastscan 41.8 s in the r11-close run) to prove
+    # a bit-equality that is a per-(query, cluster) property — the slice
+    # carries the same meaning at a fraction of the cost.
     t0 = time.perf_counter()
     approx4 = search(model4, queries).toPandas()
     ivf4_s = time.perf_counter() - t0
@@ -1810,17 +1828,18 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
     )
     recall4 = len(hits4) / max(len(exact), 1)
-    # multi-bit through the fastscan Arrow kernel (round-7: per-plane
-    # shift-add) at the same scale, with a frame-equality gate vs the jvm
-    # plan's result
+    sub4 = queries.limit(200).localCheckpoint(eager=True)
     t0 = time.perf_counter()
-    approx4_fs = search(
-        model4, queries, impl="fastscan", arrow_min_queries_per_cluster=0
+    jvm4 = search(model4, sub4, impl="jvm").toPandas()
+    slice4_jvm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fs4 = search(
+        model4, sub4, impl="fastscan", arrow_min_queries_per_cluster=0
     ).toPandas()
-    ivf4_fs_s = time.perf_counter() - t0
-    mb_equal = approx4_fs.sort_values(
+    slice4_fs_s = time.perf_counter() - t0
+    mb_equal = fs4.sort_values(
         ["query_id", "rank"], ignore_index=True
-    ).equals(approx4.sort_values(["query_id", "rank"], ignore_index=True))
+    ).equals(jvm4.sort_values(["query_id", "rank"], ignore_index=True))
     for df in (model4.index_df, model4.base_df):
         df.unpersist()
 
@@ -1831,6 +1850,9 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
     return {
         "n_base": n_base,
         "n_queries": nq,
+        # round 12: the two models share one k-means fit (kmeans_sec);
+        # each build_sec times the quantize transform + cache only
+        "kmeans_sec": round(kmeans_s, 2),
         "build_sec": round(build_s, 2),
         "vecstore_sec": round(vecstore_s, 2),
         "ivf_sec": round(ivf_s, 2),
@@ -1841,10 +1863,16 @@ def _scale_probe(spark, n_base: int, nq: int, dim: int = 256) -> dict:
         "effective_overfetch": auto_overfetch(model, cfg.nprobe, TOPK),
         "recall_gate_0.9": recall >= 0.9,
         "multibit4_build_sec": round(build4_s, 2),
+        # engine-default full-width search (auto dispatch → fastscan kernel
+        # at this geometry; round 12 — the pre-r12 value here was the
+        # forced-jvm full-width wall, now measured on the 200q slice)
         "multibit4_ivf_sec": round(ivf4_s, 2),
         "multibit4_recall_at_k": round(recall4, 4),
         "multibit4_effective_overfetch": auto_overfetch(model4, cfg4.nprobe, TOPK),
-        "multibit4_fastscan_sec": round(ivf4_fs_s, 2),
+        "multibit4_fastscan_sec": round(ivf4_s, 2),
+        "multibit4_kernel": "fastscan (auto dispatch; one full-width run)",
+        "multibit4_slice_jvm_sec": round(slice4_jvm_s, 2),
+        "multibit4_slice_fastscan_sec": round(slice4_fs_s, 2),
         "multibit4_fastscan_equal_gate": bool(mb_equal),
         "earlystop": earlystop,
         "seq_latency": seq_latency,
@@ -2029,13 +2057,18 @@ def _scale_probe_10m(
             jvm_slice.sort_values(["query_id", "rank"], ignore_index=True)
         )
     )
-    fs_kw: dict = {}
     if out["kernel_slice_fastscan_sec"] < out["kernel_slice_jvm_sec"]:
         fs_kw = dict(
             impl="fastscan", fastscan_max_lut_bytes=1 << 31,
             arrow_min_queries_per_cluster=0,
         )
-    out["full_width_kernel"] = "fastscan" if fs_kw else "jvm"
+        out["full_width_kernel"] = "fastscan"
+    else:
+        # round 12: the engine DEFAULT (impl="auto") now routes this
+        # geometry to fastscan itself, so honoring a jvm slice win needs
+        # an explicit pin — {} would silently re-route to fastscan
+        fs_kw = dict(impl="jvm")
+        out["full_width_kernel"] = "jvm"
     # INTERLEAVED brute/ivf halves (round 11, third pass): the two paths
     # used to run back-to-back at full width, ~7 bench-minutes apart — and
     # this round's phase ticks measured the shared host drifting 20-50x
@@ -2103,12 +2136,14 @@ def _scale_probe_10m(
     # full-width is ONE search per path (brute + the measured-best
     # kernel). Dispatch routing is still exercised on a 100-query slice:
     t0 = time.perf_counter()
-    search(model, queries.limit(100), impl="fastscan").write.format(
+    search(model, queries.limit(100)).write.format(
         "noop"
     ).mode("overwrite").save()
     out["fastscan_route_100q_sec"] = round(time.perf_counter() - t0, 1)
     out["fastscan_dispatch"] = (
-        "geometry gate -> jvm (probing queries per cluster below 12)"
+        "auto dispatch -> fastscan (round 12: multibit est_pairs floor; "
+        "pre-r12 the geometry gate sent this 100q batch to jvm, 43 s vs "
+        "~10 s through the value-GEMM kernel)"
     )
     hits = full.merge(
         exact[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]

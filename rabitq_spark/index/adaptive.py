@@ -292,9 +292,20 @@ def search_adaptive(
             # probing queries per cluster to amortize; below that the
             # codegen join wins (measured: sequential 100-query batches
             # popcount 38.1 s vs jvm 21.8 s; full 1k batch fused 7.3 s vs
-            # jvm 12.5 s at 31 q/cluster)
-            q_per_cluster = len(ci_arr) / max(len(np.unique(ci_arr)), 1)
-            wave_kernel = "popcount" if q_per_cluster >= 12 else "jvm"
+            # jvm 12.5 s at 31 q/cluster). Round 12: multi-bit codes route
+            # to the value-GEMM fastscan kernel whenever its integer-
+            # exactness bound holds — search()'s auto dispatch measured it
+            # 8-10× over the jvm join even at ~1 query/cluster (10M slice)
+            if cfg.bits_per_dim > 1 and (
+                model.dim_pad
+                * ((1 << cfg.theta_log_dim) - 1)
+                * ((1 << cfg.bits_per_dim) - 1)
+                < 1 << 24
+            ):
+                wave_kernel = "fastscan"
+            else:
+                q_per_cluster = len(ci_arr) / max(len(np.unique(ci_arr)), 1)
+                wave_kernel = "popcount" if q_per_cluster >= 12 else "jvm"
         if wave_kernel == "jvm":
             # JVM wave scorer — search()'s stages 5-6 on the wave's probe
             # table. The Arrow shortlist pays a per-(cluster, batch) group

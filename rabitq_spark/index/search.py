@@ -708,6 +708,22 @@ def auto_overfetch(model: RaBitQModel, nprobe: int, topk: int) -> int:
     )
 
 
+# Round-12 auto-dispatch floors (guide §1.2: the distributed algorithm
+# first). Total pair-scores below these keep the jvm codegen join — the
+# Arrow kernels' fixed per-search Python/Arrow round-trip plus per-group
+# setup dominates there. Measured on the r12 host: sf0.1 headline geometry
+# (~0.9M pairs) jvm wins; 1M×256 1-bit (~31M pairs) fused wins 40.2→33.3 s;
+# 10M×256 4-bit (~50M pairs) fastscan wins 8–10× — and the 4-bit value-GEMM
+# kernel already wins at ~1 query/cluster (200-query slice at 10M: 12.5 s
+# vs jvm 98.2 s), so the multibit floor is lower and geometry-free.
+_ARROW_MIN_PAIRS = 8_000_000
+_ARROW_MIN_PAIRS_MULTIBIT = 2_000_000
+# Byte cap for the probe table the fused path materializes/broadcasts
+# (round 12: the 1M-row cap alone was tuned at dim 256 ≈ 160 B/row; a
+# small-dim probe table with more rows but fewer bytes is equally safe).
+_FUSED_MAX_PROBE_BYTES = 256 << 20
+
+
 def search(
     model: RaBitQModel,
     queries: DataFrame,
@@ -718,9 +734,9 @@ def search(
     query_vec: str = "qvec",
     prune_partitions: bool = True,
     metrics: "SearchMetrics | None" = None,
-    impl: str = "jvm",
+    impl: str = "auto",
     broadcast_probes: bool = True,
-    fused_max_probe_rows: int = 1_000_000,
+    fused_max_probe_rows: int | None = None,
     fastscan_max_lut_bytes: int = 256 << 20,
     arrow_min_queries_per_cluster: float = 12.0,
     index_predicate=None,
@@ -754,6 +770,15 @@ def search(
     the pool. Pool ≈ nprobe × average cluster size, where the average uses
     model.n_rows when the builder recorded it and otherwise n_clusters
     itself (exact under the standard n_clusters ≈ √n sizing).
+
+    `impl` picks the rough-scoring implementation — all three produce
+    bit-identical frames (impl-equality tests): "jvm" is the codegen
+    broadcast-join plan, "fused" the Arrow popcount kernel, "fastscan" the
+    Arrow value-GEMM kernel. The default "auto" (round 12) picks per
+    search from the probe geometry: multi-bit codes route to fastscan and
+    1-bit codes to fused once the estimated pair-score volume clears the
+    measured floors (_ARROW_MIN_PAIRS*); small searches stay on the jvm
+    join — see the dispatch block for the measurements.
     """
     cfg = model.config
     topk = topk or cfg.topk
@@ -766,6 +791,35 @@ def search(
     index = model.index_df
     if index_predicate is not None:
         index = index.filter(index_predicate)
+    auto = impl == "auto"
+    if auto:
+        # Scale-measured kernel dispatch (round 12, guide §1.2/§3.1 —
+        # pick the strategy deliberately). Tentative kernel by code width:
+        # multi-bit codes go to the value-GEMM fastscan kernel (one float32
+        # BLAS call per (cluster, batch) group vs bits×planes unrolled
+        # bit_count terms per pair in codegen — measured r11/r12: 10M×256
+        # 4-bit, 200-query slice, fastscan 12.5 s vs jvm 98.2 s at ~1
+        # query/cluster; 1M×256 4-bit full width 41.8 s vs 116.8 s);
+        # 1-bit codes go to the fused popcount kernel (1M×256: fused
+        # 33.3 s vs jvm 40.2 s at 31 q/cluster). Both tentative choices
+        # are DEMOTED back to the jvm join below when the probe geometry
+        # says the per-group Arrow setup cannot amortize (est_pairs /
+        # q-per-cluster floors) — every kernel is bit-identical (the
+        # impl-equality tests), so dispatch can never change a result row.
+        impl = "fastscan" if cfg.bits_per_dim > 1 else "fused"
+        if nprobe * 2 > model.n_clusters:
+            # High-coverage regime (the same gate that disables partition
+            # pruning): the batch scans most of the index, so the jvm path
+            # pays ZERO driver-side jobs here while resolving the Arrow
+            # geometry would add a checkpoint + collect per search — at
+            # the sf0.1 headline shape (nprobe 28 of 32 clusters, 2k rows)
+            # that job alone is ~10% of the whole search. Coverage this
+            # wide on a big index is the cost-rule's brute-force territory
+            # anyway (operators/ann.py), so auto keeps the join plan and
+            # every remaining auto resolution below coincides with the
+            # pruning job the jvm path pays regardless — net added jobs
+            # from auto dispatch: zero.
+            impl = "jvm"
     if impl in ("fused", "fastscan") and (
         index_predicate is not None or allowed is not None
     ):
@@ -779,13 +833,63 @@ def search(
     if impl in ("fused", "fastscan"):
         # Gate (round-2 verdict): the fused path materializes the whole
         # probe table on the driver. Checkpoint once (executor blocks), then
-        # a near-free count over the blocks decides: past the cap, fall back
-        # to the jvm join path — never an unbounded toPandas.
+        # ONE groupBy(cluster_id).count() job (≤ n_clusters result rows)
+        # yields the probe row count, the probed-cluster list AND the
+        # queries-per-cluster geometry — round 12: this replaces the former
+        # count() + distinct().collect() pair, one job instead of two.
         probes = probes.localCheckpoint(eager=True)
         probes_materialized = True
-        n_probe_rows = probes.count()
-        if n_probe_rows > fused_max_probe_rows:
+        cluster_rows = (
+            probes.groupBy("cluster_id").count().collect()
+        )
+        probed_clusters = [row["cluster_id"] for row in cluster_rows]
+        n_probe_rows = int(sum(row["count"] for row in cluster_rows))
+        # Driver-memory gate: the row cap (round-2) bounded the probe
+        # table the fused path materializes. An EXPLICIT caller cap stays a
+        # hard row limit (the round-2 contract; tests pin it); the default
+        # (None) is rows-OR-bytes aware (round 12): a probe row costs
+        # theta_log_dim × n_words packed-plane int64s plus ~32 B of scalars
+        # — at dim 64 that is ~64 B/row, 8× under the dim-256 geometry the
+        # 1M-row cap was tuned on — so a small-dim table with more rows but
+        # fewer bytes stays eligible.
+        per_probe_row_bytes = cfg.theta_log_dim * model.n_words * 8 + 32
+        if fused_max_probe_rows is not None:
+            over_cap = n_probe_rows > fused_max_probe_rows
+        else:
+            over_cap = (
+                n_probe_rows > 1_000_000
+                and n_probe_rows * per_probe_row_bytes > _FUSED_MAX_PROBE_BYTES
+            )
+        if over_cap:
             impl = "jvm"
+        elif auto:
+            # Total-work floor (round 12): the Arrow kernels pay a fixed
+            # Python/Arrow round-trip per search plus per-group setup;
+            # below a few million pair-scores the jvm codegen join wins on
+            # fixed overhead regardless of geometry (sf0.1 headline
+            # geometry ≈ 0.9M pairs: jvm is the measured winner; 1M probe
+            # ≈ 31M pairs: fused wins; 10M probe ≈ 50M: fastscan wins
+            # 8–10×). avg cluster size uses model.n_rows when the builder
+            # recorded it, else n_clusters (exact under k ≈ √n sizing).
+            avg_cluster = (
+                model.n_rows / max(model.n_clusters, 1)
+                if model.n_rows
+                else float(model.n_clusters)
+            )
+            est_pairs = n_probe_rows * avg_cluster
+            if cfg.bits_per_dim > 1:
+                # value-GEMM fastscan amortizes at ~1 query/cluster (the
+                # 10M slice measurement above) — only the total-work floor
+                # applies
+                if est_pairs < _ARROW_MIN_PAIRS_MULTIBIT:
+                    impl = "jvm"
+            else:
+                q_per_cluster = n_probe_rows / max(len(probed_clusters), 1)
+                if (
+                    est_pairs < _ARROW_MIN_PAIRS
+                    or q_per_cluster < arrow_min_queries_per_cluster
+                ):
+                    impl = "jvm"
         else:
             if arrow_min_queries_per_cluster > 0:
                 # Geometry dispatch (measured at 10M x 256, 0.5% coverage,
@@ -796,38 +900,32 @@ def search(
                 # vs fused 55.4 / fastscan 76.5; at 31 queries/cluster
                 # fused won 7.3 s vs jvm 12.5 (1M probe). Threshold 12 sits
                 # between the two measured regimes; kernel-pinning tests/
-                # benches pass 0 to force the Arrow path. The collected
-                # cluster list is REUSED by the jvm prune below — one job,
-                # not a distinct-count followed by a distinct-collect.
-                probed_clusters = [
-                    row.cluster_id
-                    for row in probes.select("cluster_id").distinct().collect()
-                ]
+                # benches pass 0 to force the Arrow path.
                 if n_probe_rows < arrow_min_queries_per_cluster * len(
                     probed_clusters
                 ):
                     impl = "jvm"
-            if impl == "fastscan" and (
-                model.dim_pad
-                * ((1 << cfg.theta_log_dim) - 1)
-                * ((1 << cfg.bits_per_dim) - 1)
-                >= 1 << 24
-            ):
-                # fastscan's float32 value GEMM is integer-exact only while
-                # partial sums stay under 2^24 (every product is bounded by
-                # (2^P−1)(2^B−1) — see value_gemm_asym); past the bound use
-                # the popcount kernel — same fused plan, same results
-                impl = "fused"
-            if impl == "fastscan" and (
-                n_probe_rows * 4 * model.dim_pad > fastscan_max_lut_bytes
-            ):
-                # the unpacked query values cost 4 bytes/dim per probe row
-                # (float32; vs 0.5 for the packed planes — 8×). They are
-                # built lazily executor-side with a 64 MB per-worker cache,
-                # so past this TOTAL byte budget most groups would rebuild
-                # them every batch — fall back to the popcount kernel,
-                # which shares every other property of the fused plan
-                impl = "fused"
+        if impl == "fastscan" and (
+            model.dim_pad
+            * ((1 << cfg.theta_log_dim) - 1)
+            * ((1 << cfg.bits_per_dim) - 1)
+            >= 1 << 24
+        ):
+            # fastscan's float32 value GEMM is integer-exact only while
+            # partial sums stay under 2^24 (every product is bounded by
+            # (2^P−1)(2^B−1) — see value_gemm_asym); past the bound use
+            # the popcount kernel — same fused plan, same results
+            impl = "fused"
+        if impl == "fastscan" and (
+            n_probe_rows * 4 * model.dim_pad > fastscan_max_lut_bytes
+        ):
+            # the unpacked query values cost 4 bytes/dim per probe row
+            # (float32; vs 0.5 for the packed planes — 8×). They are
+            # built lazily executor-side with a 64 MB per-worker cache,
+            # so past this TOTAL byte budget most groups would rebuild
+            # them every batch — fall back to the popcount kernel,
+            # which shares every other property of the fused plan
+            impl = "fused"
     if impl in ("fused", "fastscan"):
         # Stages 5-6 fused in one Arrow pass (see _fused_shortlist); it
         # collects the probe table itself and derives partition pruning

@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 from rabitq_spark.session import get_spark  # noqa: E402
 
-OUT = "/root/repo/plans/r11"
+OUT = os.environ.get("SPARK_GRAFT_PLANS_OUT", "/root/repo/plans/r12")
 
 
 def main() -> None:

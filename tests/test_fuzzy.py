@@ -99,6 +99,25 @@ def test_self_pairs_duplicate_heavy_replicas(spark):
     assert list(map(tuple, got[["id_a", "id_b", "dist"]].values)) == want
 
 
+def test_self_pairs_nonunique_id_no_self_rows(spark):
+    """Round-12 ADVICE fix: one id carrying two distinct near-matching texts
+    must not emit an id_a == id_b self row (the reproduced r11 case:
+    [(1,'abc'),(1,'abd'),(2,'abe')] used to yield (1,1,1)). The surviving
+    pairs are exactly the cross-ID matches."""
+    df = spark.createDataFrame(
+        [(1, "abc"), (1, "abd"), (2, "abe")], "id bigint, txt string"
+    )
+    got = (
+        fuzzy_self_pairs(df, "id", "txt", max_dist=1)
+        .toPandas()
+        .sort_values(["id_a", "id_b", "dist"], ignore_index=True)
+    )
+    assert (got["id_a"] < got["id_b"]).all()
+    # every (1, 2) text combination matches at dist 1 -> the pair appears
+    # once per qualifying text pair of distinct ids
+    assert set(map(tuple, got[["id_a", "id_b"]].values)) == {(1, 2)}
+
+
 def test_rejects_wide_distance(spark):
     df = spark.createDataFrame([(1, "abc")], "id bigint, txt string")
     with pytest.raises(ValueError):
